@@ -1,0 +1,286 @@
+"""Pure-Python Unicode backend (fallback when the C++ extension is absent).
+
+Provides the property predicates, NFC normalization and batch classification
+consumed by the pre-tokenizer — the same API surface as the reference's WASM
+decoder library (`/root/reference/src/wasm/decoder.mjs:238-355`). The C++
+extension (`gpu_bpe_tpu/unicode/cpp`) implements the identical interface; this
+module mirrors the reference's own JS fallback chain
+(pre_tokenizer.mjs:430-441,464-492).
+
+Table source: CPython's ``unicodedata`` (Unicode 15.0 in this interpreter vs
+the reference's 17.0 — differences affect only codepoints assigned after 15.0;
+documented in docs/CONFORMANCE.md).
+"""
+
+from __future__ import annotations
+
+import sys
+import unicodedata
+from functools import lru_cache
+
+import numpy as np
+
+MAX_CODEPOINT = 0x110000
+
+# Unicode White_Space property (PropList.txt) — stable across recent versions.
+WHITESPACE_CODEPOINTS = frozenset(
+    list(range(0x09, 0x0E))
+    + [0x20, 0x85, 0xA0, 0x1680]
+    + list(range(0x2000, 0x200B))
+    + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+)
+
+# Newlines get their own class (pre_tokenizer.mjs:44).
+NEWLINE_CODEPOINTS = frozenset([0x0A, 0x0D, 0x85, 0x2028, 0x2029])
+
+
+class CharClass:
+    """Broad character classes for pre-tokenization (pre_tokenizer.mjs:34-42)."""
+
+    LETTER = 0
+    DIGIT = 1
+    WHITESPACE = 2
+    PUNCTUATION = 3
+    SYMBOL = 4
+    NEWLINE = 5
+    OTHER = 6
+
+
+def _classify_codepoint(cp: int) -> int:
+    if cp in NEWLINE_CODEPOINTS:
+        return CharClass.NEWLINE
+    cat = unicodedata.category(chr(cp))
+    head = cat[0]
+    if head in ("L", "M"):  # marks stay with letters (pre_tokenizer.mjs:128)
+        return CharClass.LETTER
+    if head == "N":
+        return CharClass.DIGIT
+    if cp in WHITESPACE_CODEPOINTS:
+        return CharClass.WHITESPACE
+    if head == "P":
+        return CharClass.PUNCTUATION
+    if head == "S":
+        return CharClass.SYMBOL
+    return CharClass.OTHER
+
+
+@lru_cache(maxsize=1)
+def class_table() -> np.ndarray:
+    """Dense uint8 class table over the full codepoint space (1.1 MB)."""
+    table = np.empty(MAX_CODEPOINT, dtype=np.uint8)
+    classify = _classify_codepoint
+    for cp in range(MAX_CODEPOINT):
+        table[cp] = classify(cp)
+    return table
+
+
+class PyUnicodeBackend:
+    """Python implementation of the Unicode backend interface.
+
+    Interface parity with decoder.mjs: predicates, case mapping, NFC/NFD/NFKC/
+    NFKD normalization (string + raw UTF-8 bytes), and batch classification.
+    """
+
+    name = "python-unicodedata"
+
+    @property
+    def unicode_version(self) -> str:
+        return unicodedata.unidata_version
+
+    # ── Codepoint properties (decoder.mjs:238-263) ──────────────────
+    @staticmethod
+    def get_category(cp: int) -> str:
+        return unicodedata.category(chr(cp))
+
+    def is_letter(self, cp: int) -> bool:
+        return self.get_category(cp).startswith("L")
+
+    def is_mark(self, cp: int) -> bool:
+        return self.get_category(cp).startswith("M")
+
+    def is_digit(self, cp: int) -> bool:
+        return self.get_category(cp) == "Nd"
+
+    def is_number(self, cp: int) -> bool:
+        return self.get_category(cp).startswith("N")
+
+    def is_punctuation(self, cp: int) -> bool:
+        return self.get_category(cp).startswith("P")
+
+    def is_symbol(self, cp: int) -> bool:
+        return self.get_category(cp).startswith("S")
+
+    def is_whitespace(self, cp: int) -> bool:
+        return cp in WHITESPACE_CODEPOINTS
+
+    def is_separator(self, cp: int) -> bool:
+        return self.get_category(cp).startswith("Z")
+
+    def is_control(self, cp: int) -> bool:
+        return self.get_category(cp) == "Cc"
+
+    def is_format(self, cp: int) -> bool:
+        return self.get_category(cp) == "Cf"
+
+    def is_uppercase(self, cp: int) -> bool:
+        return self.get_category(cp) == "Lu"
+
+    def is_lowercase(self, cp: int) -> bool:
+        return self.get_category(cp) == "Ll"
+
+    def is_titlecase(self, cp: int) -> bool:
+        return self.get_category(cp) == "Lt"
+
+    def is_alphanumeric(self, cp: int) -> bool:
+        return self.is_letter(cp) or self.is_number(cp)
+
+    def is_valid(self, cp: int) -> bool:
+        return 0 <= cp < MAX_CODEPOINT and not (0xD800 <= cp <= 0xDFFF)
+
+    def is_surrogate(self, cp: int) -> bool:
+        return 0xD800 <= cp <= 0xDFFF
+
+    def is_noncharacter(self, cp: int) -> bool:
+        return (0xFDD0 <= cp <= 0xFDEF) or (cp & 0xFFFE) == 0xFFFE
+
+    def is_assigned(self, cp: int) -> bool:
+        return self.get_category(cp) != "Cn"
+
+    def is_private_use(self, cp: int) -> bool:
+        return self.get_category(cp) == "Co"
+
+    def get_numeric_value(self, cp: int) -> float:
+        return unicodedata.numeric(chr(cp), float("nan"))
+
+    def get_digit_value(self, cp: int) -> int:
+        return unicodedata.digit(chr(cp), -1)
+
+    def get_name(self, cp: int) -> str:
+        return unicodedata.name(chr(cp), "")
+
+    def from_name(self, name: str) -> int:
+        try:
+            return ord(unicodedata.lookup(name))
+        except KeyError:
+            return -1
+
+    # ── Case mapping (decoder.mjs:275-297) ──────────────────────────
+    def to_upper(self, cp: int) -> int:
+        u = chr(cp).upper()
+        return ord(u) if len(u) == 1 else cp
+
+    def to_lower(self, cp: int) -> int:
+        l = chr(cp).lower()
+        return ord(l) if len(l) == 1 else cp
+
+    def to_title(self, cp: int) -> int:
+        t = chr(cp).title()
+        return ord(t[0]) if t else cp
+
+    def case_fold(self, cp: int) -> int:
+        f = chr(cp).casefold()
+        return ord(f) if len(f) == 1 else cp
+
+    def to_upper_full(self, cp: int) -> list[int]:
+        return [ord(c) for c in chr(cp).upper()]
+
+    def to_lower_full(self, cp: int) -> list[int]:
+        return [ord(c) for c in chr(cp).lower()]
+
+    def case_fold_full(self, cp: int) -> list[int]:
+        return [ord(c) for c in chr(cp).casefold()]
+
+    def string_to_upper(self, s: str) -> str:
+        return s.upper()
+
+    def string_to_lower(self, s: str) -> str:
+        return s.lower()
+
+    def string_case_fold(self, s: str) -> str:
+        return s.casefold()
+
+    # ── Normalization (decoder.mjs:309-362) ─────────────────────────
+    _FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+    def normalize(self, text: str, form: int | str = "NFC") -> str:
+        if isinstance(form, int):
+            form = self._FORMS[form]
+        return unicodedata.normalize(form, text)
+
+    def normalize_bytes(self, data: bytes, form: int | str = "NFC") -> bytes:
+        """UTF-8 bytes → normalized UTF-8 bytes. Raises on invalid UTF-8
+        (callers mimic the reference's raw-bytes fallback)."""
+        return self.normalize(bytes(data).decode("utf-8", errors="strict"), form).encode("utf-8")
+
+    def is_normalized(self, text: str, form: int | str = "NFC") -> bool:
+        if isinstance(form, int):
+            form = self._FORMS[form]
+        return unicodedata.is_normalized(form, text)
+
+    def decompose(self, cp: int) -> str:
+        return unicodedata.decomposition(chr(cp))
+
+    def combining_class(self, cp: int) -> int:
+        return unicodedata.combining(chr(cp))
+
+    def is_combining(self, cp: int) -> bool:
+        return unicodedata.combining(chr(cp)) != 0
+
+    # ── Batch classification (decoder.mjs:343-355) ──────────────────
+    def classify_codepoints(self, codepoints: np.ndarray) -> np.ndarray:
+        """Vectorized per-codepoint CharClass lookup."""
+        cps = np.asarray(codepoints, dtype=np.int64)
+        cps = np.clip(cps, 0, MAX_CODEPOINT - 1)
+        return class_table()[cps]
+
+    def classify_bytes(self, data: bytes) -> tuple[np.ndarray, int]:
+        """UTF-8 bytes → per-codepoint CharClass array (decoder.mjs:343-355)."""
+        from .utf8 import utf8_to_codepoints
+
+        cps = utf8_to_codepoints(data)
+        classes = self.classify_codepoints(cps)
+        return classes, len(cps)
+
+    # ── Segmentation counts (decoder.mjs:423-427) ───────────────────
+    def count_graphemes(self, s: str) -> int:
+        from .segmentation import count_graphemes
+
+        return count_graphemes(s)
+
+    def count_words(self, s: str) -> int:
+        from .segmentation import count_words
+
+        return count_words(s)
+
+    def count_sentences(self, s: str) -> int:
+        from .segmentation import count_sentences
+
+        return count_sentences(s)
+
+    # ── UTF validation ───────────────────────────────────────────────
+    def is_valid_utf8(self, data: bytes) -> bool:
+        try:
+            bytes(data).decode("utf-8", errors="strict")
+            return True
+        except UnicodeDecodeError:
+            return False
+
+    def utf8_length(self, s: str) -> int:
+        return len(s.encode("utf-8"))
+
+    def char_count(self, s: str) -> int:
+        return len(s)
+
+    def to_codepoints(self, s: str) -> np.ndarray:
+        return np.array([ord(c) for c in s], dtype=np.uint32)
+
+
+def _selftest() -> None:  # pragma: no cover
+    b = PyUnicodeBackend()
+    assert b.is_letter(ord("a"))
+    assert b.classify_codepoints(np.array([0x0A]))[0] == CharClass.NEWLINE
+    print("ok", b.unicode_version, file=sys.stderr)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _selftest()

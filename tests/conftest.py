@@ -1,0 +1,32 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Multi-chip sharding code paths run against a faked device topology
+(`xla_force_host_platform_device_count`) exactly as they would on a pod
+slice — same psum/shard_map code, no TPU required.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def english_text():
+    words = (
+        "the quick brown fox jumps over the lazy dog while 12345 birds "
+        "don't sing they'll wait we've seen it's O'Brien's 2,097,152 tables "
+        "naïve café ağır ğışçöü москва 北京 🙂 errors\nnewlines\r\nand tabs\t"
+    ).split(" ")
+    rs = np.random.default_rng(42)
+    return " ".join(words[int(i)] for i in rs.integers(0, len(words), 4000))
