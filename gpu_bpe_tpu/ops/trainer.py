@@ -1,0 +1,141 @@
+"""TPU BPE trainer: host orchestration around the device batch step.
+
+Mirrors the reference's host loop (trainer.js:225-335): per batch of 128
+merges → one device round trip → merge-log readback → CPU vocab
+reconstruction → progress callback with the reference's schema. TPU-specific
+additions: capacity shrinking (arrays re-padded to half capacity as the
+symbol stream compacts — the analogue of the reference's indirect dispatch
+sizing) and deduplicated weighted streams.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import BATCH_MERGES, TOKEN_MASK
+from ..core.trainer_ref import ProgressFn, TrainingResult
+from ..core.vocab import Vocab
+from .ingest import SymbolStream, make_stream, pad_stream
+from .train_step import TrainState, init_state, train_batch_jit
+
+logger = logging.getLogger(__name__)
+
+_MIN_CAP = 2048
+
+
+class TPUTrainer:
+    """Device-resident BPE trainer with batched merge loops."""
+
+    def __init__(self, vocab: Vocab | None = None, batch_merges: int = BATCH_MERGES):
+        self.vocab = vocab or Vocab()
+        self.batch_merges = min(batch_merges, BATCH_MERGES)
+
+    def train_stream(
+        self,
+        stream: SymbolStream,
+        target_vocab_size: int = 4096,
+        on_progress: ProgressFn | None = None,
+    ) -> TrainingResult:
+        if stream.n == 0:
+            raise ValueError("No symbols to train on — corpus is empty after pre-processing")
+        if stream.total_bytes >= 2**31:
+            raise ValueError(
+                "int32 count overflow risk: corpus larger than 2^31 symbols per shard; "
+                "shard across devices (gpu_bpe_tpu.parallel) or reduce the shard size"
+            )
+
+        padded = pad_stream(stream)
+        state = init_state(
+            jnp.asarray(padded.symbols),
+            jnp.asarray(padded.weights),
+            stream.n,
+            self.vocab.next_token_id,
+        )
+
+        merges: list[tuple[int, int, int]] = []
+        merge_counts: list[int] = []
+        merges_needed = max(target_vocab_size - self.vocab.size, 0)
+        start = time.perf_counter()
+        total_done = 0
+        early_stop = False
+
+        while total_done < merges_needed and not early_stop:
+            batch = min(self.batch_merges, merges_needed - total_done)
+            cap = state.symbols.shape[0]
+            state = train_batch_jit(state, jnp.asarray(batch, jnp.int32))
+
+            # ── single host readback per batch ──
+            log = np.asarray(state.merge_log)
+            merges_done = int(state.merges_done)
+            n_now = int(state.n)
+            early_stop = bool(state.early_stop)
+
+            for i in range(merges_done):
+                pair, new_id, count = int(log[i, 0]), int(log[i, 1]), int(log[i, 2])
+                a, b = pair >> 16, pair & TOKEN_MASK
+                got = self.vocab.add_merge(a, b)
+                assert got == new_id, f"vocab id drift: {got} != {new_id}"
+                merges.append((a, b, new_id))
+                merge_counts.append(count)
+            total_done += merges_done
+
+            # ── capacity shrink: re-pad to half when stream has compacted ──
+            new_cap = cap
+            while new_cap > _MIN_CAP and n_now + 1 <= new_cap // 2:
+                new_cap //= 2
+            if new_cap != cap:
+                state = TrainState(
+                    symbols=state.symbols[:new_cap],
+                    weights=state.weights[:new_cap],
+                    n=state.n,
+                    next_id=state.next_id,
+                    early_stop=state.early_stop,
+                    merges_done=state.merges_done,
+                    merge_log=state.merge_log,
+                )
+
+            elapsed = time.perf_counter() - start
+            if on_progress and merges_done:
+                on_progress(
+                    {
+                        "mergeIndex": total_done,
+                        "totalMerges": merges_needed,
+                        "mergeString": self.vocab.strings[-1],
+                        "bestCount": merge_counts[-1],
+                        "symbolCount": n_now,
+                        "mergesPerSecond": total_done / max(elapsed, 1e-9),
+                    }
+                )
+            if early_stop:
+                logger.info("early stop after %d merges", total_done)
+
+        elapsed = time.perf_counter() - start
+        return TrainingResult(
+            vocab=list(self.vocab.entries),
+            vocab_strings=list(self.vocab.strings),
+            vocab_size=self.vocab.size,
+            merges=merges,
+            merge_counts=merge_counts,
+            training_time_s=elapsed,
+        )
+
+    def train(
+        self,
+        data: bytes,
+        word_starts: np.ndarray | None = None,
+        target_vocab_size: int = 4096,
+        dedup: bool = True,
+        on_progress: ProgressFn | None = None,
+    ) -> TrainingResult:
+        """Train from pre-tokenized bytes + word-start mask."""
+        stream = make_stream(data, word_starts, dedup=dedup)
+        if dedup and word_starts is not None:
+            logger.info(
+                "dedup: %d -> %d symbols (%.1fx)", stream.total_bytes, stream.n, stream.dedup_ratio
+            )
+        return self.train_stream(stream, target_vocab_size, on_progress)

@@ -1,0 +1,126 @@
+"""TPU training step conformance vs the CPU oracle (runs on CPU backend)."""
+
+import numpy as np
+import pytest
+
+from gpu_bpe_tpu.constants import WORD_START_BIT, pack_pair
+from gpu_bpe_tpu.core import ReferenceTrainer, bytes_to_symbols, tag_word_boundaries
+from gpu_bpe_tpu.ops import TPUTrainer, make_stream
+from gpu_bpe_tpu.pretok import PreTokenizer
+
+
+def _pretok(text: str):
+    pt = PreTokenizer()
+    return pt.pre_tokenize(text)
+
+
+def _oracle(data: bytes, starts, vocab_size: int):
+    sym = bytes_to_symbols(data)
+    if starts is not None:
+        sym = tag_word_boundaries(sym, starts)
+    return ReferenceTrainer().train(sym, target_vocab_size=vocab_size)
+
+
+class TestStreamIngestion:
+    def test_no_dedup_identity(self):
+        data = b"hello world hello"
+        stream = make_stream(data, None, dedup=False)
+        assert stream.n == len(data)
+        assert (stream.weights == 1).all()
+        assert stream.symbols[0] & WORD_START_BIT
+
+    def test_dedup_exact_counts(self, english_text):
+        data, starts = _pretok(english_text[:5000])
+        stream = make_stream(data, starts, dedup=True)
+        plain = make_stream(data, starts, dedup=False)
+        assert stream.n <= plain.n
+        assert stream.total_bytes == plain.n
+        # weighted pair counts must match exactly
+        from gpu_bpe_tpu.core import count_pairs
+
+        p1, c1 = count_pairs(plain.symbols, plain.weights.astype(np.int64))
+        p2, c2 = count_pairs(stream.symbols, stream.weights.astype(np.int64))
+        assert np.array_equal(p1, p2)
+        assert np.array_equal(c1, c2)
+
+    def test_dedup_reduces(self):
+        data, starts = _pretok("spam " * 500)
+        stream = make_stream(data, starts, dedup=True)
+        assert stream.n <= 10  # "spam" + " spam"
+
+
+class TestConformance:
+    @pytest.mark.parametrize("dedup", [False, True])
+    def test_merge_list_matches_oracle(self, english_text, dedup):
+        data, starts = _pretok(english_text[:8000])
+        oracle = _oracle(data, starts, 330)
+        tpu = TPUTrainer().train(data, starts, target_vocab_size=330, dedup=dedup)
+        assert tpu.merges == oracle.merges
+        assert tpu.merge_counts == oracle.merge_counts
+        assert tpu.vocab == oracle.vocab
+
+    def test_no_word_boundaries(self):
+        data = b"abracadabra " * 50
+        oracle = _oracle(data, None, 300)
+        tpu = TPUTrainer().train(data, None, target_vocab_size=300)
+        assert tpu.merges == oracle.merges
+
+    def test_overlap_quirk_conformance(self):
+        data = b"aaaa bbbb aaaa cccc aaaa"
+        oracle = _oracle(data, None, 280)
+        tpu = TPUTrainer().train(data, None, target_vocab_size=280, dedup=False)
+        assert tpu.merges == oracle.merges
+        assert tpu.merge_counts == oracle.merge_counts
+
+    def test_early_stop(self):
+        data = b"abcdefgh"  # no pair repeats
+        tpu = TPUTrainer().train(data, None, target_vocab_size=300)
+        assert tpu.merges == []
+
+    def test_nul_bytes(self):
+        data = b"\x00\x00ab\x00ab\x00\x00"
+        oracle = _oracle(data, None, 280)
+        tpu = TPUTrainer().train(data, None, target_vocab_size=280)
+        assert tpu.merges == oracle.merges
+
+    def test_tie_break(self):
+        # NUL separators never form pairs: only (a,b) and (c,d), tied at 2;
+        # the smaller packed pair id must win everywhere
+        data = b"ab\x00cd\x00ab\x00cd"
+        oracle = _oracle(data, None, 258)
+        tpu = TPUTrainer().train(data, None, target_vocab_size=258)
+        assert tpu.merges == oracle.merges
+        assert tpu.merges[0][:2] == (ord("a"), ord("b"))
+
+    def test_multibatch(self, english_text):
+        # >128 merges forces multiple device round trips + capacity shrink
+        data, starts = _pretok(english_text[:12000])
+        oracle = _oracle(data, starts, 256 + 200)
+        tpu = TPUTrainer().train(data, starts, target_vocab_size=256 + 200)
+        assert tpu.merges == oracle.merges
+
+    def test_empty_raises(self):
+        with pytest.raises(ValueError):
+            TPUTrainer().train(b"", None)
+
+    def test_progress_schema(self, english_text):
+        data, starts = _pretok(english_text[:5000])
+        events = []
+        TPUTrainer().train(data, starts, target_vocab_size=300, on_progress=events.append)
+        assert events
+        assert {"mergeIndex", "totalMerges", "mergeString", "bestCount", "symbolCount",
+                "mergesPerSecond"} <= set(events[0])
+
+
+class TestDeviceKernels:
+    def test_find_best_pair_weighted(self):
+        import jax.numpy as jnp
+
+        from gpu_bpe_tpu.ops import find_best_pair
+
+        sym = jnp.asarray(bytes_to_symbols(b"ab" + b"cd"), jnp.uint32)
+        w = jnp.asarray([5, 5, 1, 1], jnp.int32)
+        pair, count = find_best_pair(sym, w, jnp.asarray(4))
+        # weighted: (a,b)=5, (b,c)=5, (c,d)=1 — tie broken by smaller pair id
+        assert int(count) == 5
+        assert int(pair) == pack_pair(ord("a"), ord("b"))
