@@ -1,0 +1,147 @@
+"""High-level API: train / encode / decode / export.
+
+The programmatic equivalent of the reference's UI flows (train tab →
+TrainingManager, tokenizer tab → TokenizerManager, pre-tokenize tab →
+ExportController), with backend selection:
+
+* ``backend="tpu"``   single-chip device-resident training (ops/)
+* ``backend="dist"``  data-parallel over all devices (parallel/)
+* ``backend="cpu"``   the exact-semantics oracle (core/)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .core.model_io import BPEModel
+from .core.trainer_ref import ProgressFn, ReferenceTrainer, TrainingResult, bytes_to_symbols, tag_word_boundaries
+from .models.bpe import BPETokenizer
+from .pretok import PreTokenizer
+from .utils.logging import get_logger, log_progress
+
+logger = get_logger()
+
+
+@dataclass
+class TrainConfig:
+    """Training configuration (the reference's UI knobs + TPU additions)."""
+
+    vocab_size: int = 4096  # chips 512..65536 in the reference UI
+    backend: str = "tpu"  # tpu | dist | cpu
+    pre_tokenize: bool = True  # Unicode word boundaries (vs byte-heuristic)
+    dedup: bool = True  # unique-word multiset (exact, faster)
+    shuffle: bool = False  # paragraph shuffle at ingest (file-manager.js:108)
+    batch_merges: int = 128
+    seed: int = 0
+    show_progress: bool = True
+    extra: dict = field(default_factory=dict)
+
+
+def build_corpus(files: list[bytes], shuffle: bool = False, seed: int = 0) -> bytes:
+    """Concatenate file contents with \\n\\n separators; optional paragraph
+    shuffle (file-manager.js:90-126)."""
+    corpus = b"\n\n".join(bytes(f) for f in files)
+    if shuffle:
+        paragraphs = [p for p in corpus.split(b"\n\n") if p]
+        rng = np.random.default_rng(seed)
+        rng.shuffle(paragraphs)
+        corpus = b"\n\n".join(paragraphs)
+    return corpus
+
+
+def train(
+    corpus: bytes | str | list[bytes],
+    config: TrainConfig | None = None,
+    on_progress: ProgressFn | None = None,
+) -> tuple[BPETokenizer, TrainingResult]:
+    """Train a BPE tokenizer. Returns (tokenizer, full training result)."""
+    config = config or TrainConfig()
+    if isinstance(corpus, list):
+        corpus = build_corpus(corpus, config.shuffle, config.seed)
+    if isinstance(corpus, str):
+        corpus = corpus.encode("utf-8")
+
+    if config.pre_tokenize:
+        data, starts = PreTokenizer().pre_tokenize_bytes(corpus)
+    else:
+        data, starts = corpus, None
+
+    if on_progress is None and config.show_progress:
+        on_progress = log_progress
+
+    if config.backend == "cpu":
+        symbols = bytes_to_symbols(data)
+        if starts is not None:
+            symbols = tag_word_boundaries(symbols, starts)
+        else:
+            from .pretok import tag_word_boundaries_bytes
+
+            symbols = tag_word_boundaries_bytes(symbols)
+        result = ReferenceTrainer().train(symbols, config.vocab_size, on_progress)
+    elif config.backend == "dist":
+        from .parallel import DistributedTrainer
+
+        result = DistributedTrainer(batch_merges=config.batch_merges).train(
+            data, starts, config.vocab_size, config.dedup, on_progress
+        )
+    else:
+        from .ops import TPUTrainer
+
+        if starts is None:
+            from .pretok import tag_word_boundaries_bytes
+
+            symbols = tag_word_boundaries_bytes(bytes_to_symbols(data))
+            from .ops.ingest import SymbolStream
+
+            stream = SymbolStream(
+                symbols=symbols,
+                weights=np.ones(len(symbols), np.int32),
+                n=len(symbols),
+                total_bytes=len(symbols),
+            )
+            result = TPUTrainer(batch_merges=config.batch_merges).train_stream(
+                stream, config.vocab_size, on_progress
+            )
+        else:
+            result = TPUTrainer(batch_merges=config.batch_merges).train(
+                data, starts, config.vocab_size, config.dedup, on_progress
+            )
+
+    tokenizer = BPETokenizer.from_training_result(result, backend="tpu" if config.backend != "cpu" else "cpu")
+    return tokenizer, result
+
+
+def load_model(path: str, backend: str = "tpu") -> BPETokenizer:
+    return BPETokenizer.load(path, backend=backend)
+
+
+def encode(tokenizer: BPETokenizer, text: str) -> list[int]:
+    """Interactive encode — exact merge-order BPE semantics."""
+    return tokenizer.encode(text)
+
+
+def encode_bulk(tokenizer: BPETokenizer, data: bytes) -> np.ndarray:
+    """Bulk greedy tokenization (chunked longest-match)."""
+    return tokenizer.encode_bytes_greedy(data)
+
+
+def decode(tokenizer: BPETokenizer, tokens) -> str:
+    return tokenizer.decode_text(tokens)
+
+
+def export_bin(tokenizer: BPETokenizer, data: bytes, path: str | None = None) -> bytes:
+    blob = tokenizer.export_bin(data)
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def export_trie(tokenizer: BPETokenizer, path: str | None = None) -> bytes:
+    blob = tokenizer.compile_trie()
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob

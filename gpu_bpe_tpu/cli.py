@@ -1,0 +1,172 @@
+"""Command-line interface.
+
+The framework's replacement for the reference's browser UI (src/ui/):
+
+  python -m gpu_bpe_tpu.cli train   corpus1.txt corpus2.txt -o model.json \\
+      --vocab-size 8192 --backend tpu --shuffle
+  python -m gpu_bpe_tpu.cli encode  model.json "some text"
+  python -m gpu_bpe_tpu.cli decode  model.json 104 105
+  python -m gpu_bpe_tpu.cli export-bin  model.json corpus.txt -o tokens.bin
+  python -m gpu_bpe_tpu.cli export-trie model.json -o model.trie
+  python -m gpu_bpe_tpu.cli vocab   model.json
+  python -m gpu_bpe_tpu.cli inspect tokens.bin
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .api import TrainConfig, export_bin, export_trie, load_model, train
+from .utils.timing import format_size
+
+
+def _read_files(paths: list[str]) -> list[bytes]:
+    out = []
+    for p in paths:
+        with open(p, "rb") as f:
+            out.append(f.read())
+    return out
+
+
+def cmd_train(args) -> int:
+    files = _read_files(args.files)
+    total = sum(len(f) for f in files)
+    print(f"corpus: {len(files)} file(s), {format_size(total)} · vocab target: {args.vocab_size}",
+          file=sys.stderr)
+    config = TrainConfig(
+        vocab_size=args.vocab_size,
+        backend=args.backend,
+        pre_tokenize=not args.byte_level,
+        dedup=not args.no_dedup,
+        shuffle=args.shuffle,
+        batch_merges=args.batch_merges,
+    )
+    t0 = time.perf_counter()
+    tokenizer, result = train(files, config)
+    dt = time.perf_counter() - t0
+    print(f"✓ {len(result.merges)} merges, vocab {result.vocab_size}, "
+          f"{dt:.1f}s ({len(result.merges) / max(dt, 1e-9):.1f} merges/s)", file=sys.stderr)
+    tokenizer.save(args.output)
+    print(f"→ {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_encode(args) -> int:
+    tok = load_model(args.model, backend="cpu")
+    if args.greedy:
+        tokens = tok.encode_bytes_greedy(args.text.encode()).tolist()
+    else:
+        tokens = tok.encode(args.text)
+    print(" ".join(str(t) for t in tokens))
+    data = args.text.encode()
+    if tokens:
+        print(f"# {len(tokens)} tokens · {len(data) / len(tokens):.2f} bytes/token", file=sys.stderr)
+    return 0
+
+
+def cmd_decode(args) -> int:
+    tok = load_model(args.model, backend="cpu")
+    sys.stdout.write(tok.decode_text([int(t) for t in args.tokens]))
+    sys.stdout.write("\n")
+    return 0
+
+
+def cmd_export_bin(args) -> int:
+    tok = load_model(args.model, backend=args.backend)
+    data = b"\n\n".join(_read_files(args.files))
+    t0 = time.perf_counter()
+    blob = export_bin(tok, data, args.output)
+    dt = time.perf_counter() - t0
+    n_tokens = (len(blob) - 16) // 4  # approximation ignoring vocab JSON tail
+    print(f"→ {args.output}: {format_size(len(blob))} in {dt:.2f}s "
+          f"({len(data) / (1 << 20) / max(dt, 1e-9):.1f} MB/s)", file=sys.stderr)
+    return 0
+
+
+def cmd_export_trie(args) -> int:
+    tok = load_model(args.model, backend="cpu")
+    blob = export_trie(tok, args.output)
+    from .trie import parse_header
+
+    h = parse_header(blob)
+    print(f"→ {args.output}: {h.node_count} nodes, {h.edge_count} edges, "
+          f"maxTokenLen={h.max_token_len} ({format_size(len(blob))})", file=sys.stderr)
+    return 0
+
+
+def cmd_vocab(args) -> int:
+    tok = load_model(args.model, backend="cpu")
+    sys.stdout.write(tok.export_vocab_text())
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    with open(args.file, "rb") as f:
+        data = f.read()
+    from .core.model_io import read_dxft
+
+    tokens, model, header = read_dxft(data)
+    print(f"DXFT v2: vocabSize={header['vocabSize']} tokens={header['tokenCount']}")
+    if model:
+        print(f"embedded model: {model.vocab_size} tokens, {len(model.merges)} merges")
+    print("first tokens:", tokens[:16].tolist())
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gpu_bpe_tpu", description="TPU-native BPE training & tokenization")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a BPE vocabulary")
+    t.add_argument("files", nargs="+")
+    t.add_argument("-o", "--output", default="model.json")
+    t.add_argument("--vocab-size", type=int, default=4096)
+    t.add_argument("--backend", choices=["tpu", "dist", "cpu"], default="tpu")
+    t.add_argument("--byte-level", action="store_true", help="skip Unicode pre-tokenization")
+    t.add_argument("--no-dedup", action="store_true")
+    t.add_argument("--shuffle", action="store_true", help="paragraph shuffle at ingest")
+    t.add_argument("--batch-merges", type=int, default=128)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("encode", help="encode text (merge-order semantics)")
+    e.add_argument("model")
+    e.add_argument("text")
+    e.add_argument("--greedy", action="store_true", help="use the bulk greedy path")
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode", help="decode token ids to text")
+    d.add_argument("model")
+    d.add_argument("tokens", nargs="+")
+    d.set_defaults(fn=cmd_decode)
+
+    b = sub.add_parser("export-bin", help="tokenize files into a .bin (DXFT)")
+    b.add_argument("model")
+    b.add_argument("files", nargs="+")
+    b.add_argument("-o", "--output", default="tokens.bin")
+    b.add_argument("--backend", choices=["tpu", "cpu"], default="tpu")
+    b.set_defaults(fn=cmd_export_bin)
+
+    tr = sub.add_parser("export-trie", help="compile the v3 binary trie artifact")
+    tr.add_argument("model")
+    tr.add_argument("-o", "--output", default="model.trie")
+    tr.set_defaults(fn=cmd_export_trie)
+
+    v = sub.add_parser("vocab", help="dump vocabulary as text")
+    v.add_argument("model")
+    v.set_defaults(fn=cmd_vocab)
+
+    i = sub.add_parser("inspect", help="inspect a .bin artifact")
+    i.add_argument("file")
+    i.set_defaults(fn=cmd_inspect)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

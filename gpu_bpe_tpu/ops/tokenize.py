@@ -1,0 +1,263 @@
+"""TPU bulk tokenization: greedy longest-match with chunk semantics.
+
+TPU-native re-design of the reference's three inference kernels
+(tokenize.wgsl: trie_tokenizer_chunked / trie_prefix_sum /
+trie_tokenizer_compact). The GPU walks a pointer-based trie one byte at a
+time per thread; pointer chasing is hostile to the TPU's (8,128) vector unit
+(measured XLA gathers: ~10 ns/element), so the work is restructured into
+dense passes:
+
+1. **Match table** (replaces the trie walk): for every input position p,
+   compute the longest token that matches at p AND ends within p's chunk —
+   all positions in parallel. Tokens are grouped by byte length; each length
+   is an exact vectorized join of packed substring key words against that
+   length's vocab keys, processed in position chunks so the [chunk, V]
+   equality tile stays on-chip.
+2. **Chunk walk** (replaces per-thread greedy scan): all chunks advance in
+   lockstep, one emitted token per step per chunk — exactly the reference's
+   greedy semantics, including the token-split-at-chunk-boundary artifact
+   and the raw-byte fallback (tokenize.wgsl:167-172).
+3. **Compaction** (replaces prefix-sum + compact kernels): per-chunk counts,
+   host-side concatenation (tokens are read back to the host regardless).
+
+Conformance anchor: core/encoder_ref.py GreedyTrieEncoder (tested equal).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..constants import adaptive_chunk_size
+
+_POS_CHUNK = 16384  # positions per join tile
+
+
+def _pack_keys(token: bytes) -> np.ndarray:
+    """Big-endian packed u32 key words for a token's bytes (host side)."""
+    ln = len(token)
+    n_words = (ln + 3) // 4
+    padded = np.zeros(n_words * 4, dtype=np.uint32)
+    padded[:ln] = np.frombuffer(token, dtype=np.uint8)
+    w = padded.reshape(n_words, 4)
+    return ((w[:, 0] << 24) | (w[:, 1] << 16) | (w[:, 2] << 8) | w[:, 3]).astype(np.uint32)
+
+
+@dataclass
+class MatchTables:
+    """Per-length vocab key tables for the vectorized longest-match join."""
+
+    lengths: list[int]
+    keys: dict[int, np.ndarray]  # length -> [V_l, n_words] u32
+    ids: dict[int, np.ndarray]  # length -> [V_l] i32
+    max_token_len: int
+    byte_ids: np.ndarray  # [256] id of the single-byte token or -1
+    byte_ids_identity: bool  # True when byte_ids[b] == b for all b
+
+    @classmethod
+    def from_vocab(cls, vocab: list[bytes]) -> "MatchTables":
+        by_len: dict[int, dict[bytes, int]] = {}
+        max_len = 1
+        byte_ids = np.full(256, -1, dtype=np.int32)
+        for token_id, entry in enumerate(vocab):
+            entry = bytes(entry)
+            if not entry:
+                continue
+            max_len = max(max_len, len(entry))
+            if len(entry) == 1:
+                byte_ids[entry[0]] = token_id  # later duplicates overwrite (trie.js:56)
+            else:
+                by_len.setdefault(len(entry), {})[entry] = token_id
+        lengths = sorted(by_len)
+        keys = {ln: np.stack([_pack_keys(t) for t in ents]) for ln, ents in by_len.items()}
+        ids = {ln: np.array(list(ents.values()), dtype=np.int32) for ln, ents in by_len.items()}
+        return cls(
+            lengths=lengths,
+            keys=keys,
+            ids=ids,
+            max_token_len=max_len,
+            byte_ids=byte_ids,
+            byte_ids_identity=bool((byte_ids == np.arange(256)).all()),
+        )
+
+
+def build_match_table(
+    data: jax.Array,
+    tables: MatchTables,
+    input_len: jax.Array,
+    chunk_size: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Longest in-chunk match per position: (match_id i32 [N], match_len i32 [N]).
+
+    ``match_id`` is -1 where nothing (not even a single-byte token) matches —
+    the walk then emits the raw byte (reference fallback).
+    """
+    n = data.shape[0]
+    assert n % _POS_CHUNK == 0 or n < _POS_CHUNK, "pad input to the position-chunk size"
+    data_u32 = data.astype(jnp.uint32)
+    iota = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    chunk_end = jnp.minimum((iota // chunk_size + 1) * chunk_size, input_len)
+
+    # ── length-1 matches ──
+    if tables.byte_ids_identity:
+        match_id = jnp.where(iota < input_len, data_u32.astype(jnp.int32), -1)
+    else:
+        # rare (imported vocab missing byte tokens): 256-way select via join
+        bids = jnp.asarray(tables.byte_ids)
+        eq = data_u32[:, None] == jnp.arange(256, dtype=jnp.uint32)[None, :]
+        match_id = jnp.where(iota < input_len, jnp.max(jnp.where(eq, bids[None, :], -1), axis=1), -1)
+    match_len = jnp.where(match_id >= 0, 1, 0)
+
+    if not tables.lengths:
+        return match_id, match_len
+
+    # ── packed substring key words (shift-based, no gather) ──
+    max_words = (max(tables.lengths) + 3) // 4
+    shifted = [jnp.roll(data_u32, -k) for k in range(max_words * 4)]
+    sub_words = jnp.stack(
+        [
+            (shifted[w * 4] << 24) | (shifted[w * 4 + 1] << 16) | (shifted[w * 4 + 2] << 8) | shifted[w * 4 + 3]
+            for w in range(max_words)
+        ],
+        axis=1,
+    )  # [N, max_words]
+
+    # ── per-length exact joins, chunked over positions ──
+    vkeys = {ln: jnp.asarray(tables.keys[ln]) for ln in tables.lengths}
+    vids = {ln: jnp.asarray(tables.ids[ln]) for ln in tables.lengths}
+
+    def join_chunk(args):
+        sub_c, id_c, len_c, iota_c, cend_c = args
+        for ln in tables.lengths:  # ascending: longer matches overwrite
+            n_words = (ln + 3) // 4
+            rem = ln - (n_words - 1) * 4
+            eq = sub_c[:, 0][:, None] == vkeys[ln][None, :, 0] if n_words >= 1 else None
+            for w in range(1, n_words):
+                sw = sub_c[:, w]
+                if w == n_words - 1 and rem < 4:
+                    sw = sw & jnp.uint32(0xFFFFFFFF << ((4 - rem) * 8) & 0xFFFFFFFF)
+                eq &= sw[:, None] == vkeys[ln][None, :, w]
+            if n_words == 1 and rem < 4:
+                sw = sub_c[:, 0] & jnp.uint32(0xFFFFFFFF << ((4 - rem) * 8) & 0xFFFFFFFF)
+                eq = sw[:, None] == vkeys[ln][None, :, 0]
+            hit = eq.any(axis=1)
+            hit_id = jnp.max(jnp.where(eq, vids[ln][None, :], -1), axis=1)
+            hit &= iota_c + ln <= cend_c  # must end within the chunk AND input
+            id_c = jnp.where(hit, hit_id, id_c)
+            len_c = jnp.where(hit, ln, len_c)
+        return id_c, len_c
+
+    if n <= _POS_CHUNK:
+        return join_chunk((sub_words, match_id, match_len, iota, chunk_end))
+
+    shape = (n // _POS_CHUNK, _POS_CHUNK)
+    out_id, out_len = lax.map(
+        join_chunk,
+        (
+            sub_words.reshape(shape + (max_words,)),
+            match_id.reshape(shape),
+            match_len.reshape(shape),
+            iota.reshape(shape),
+            chunk_end.reshape(shape),
+        ),
+    )
+    return out_id.reshape(n), out_len.reshape(n)
+
+
+def chunk_walk(
+    match_id: jax.Array,
+    match_len: jax.Array,
+    data: jax.Array,
+    input_len: jax.Array,
+    chunk_size: int,
+):
+    """Greedy emission per chunk, vectorized across chunks.
+
+    Returns (tokens [C, chunk_size] u32, counts [C] i32).
+    """
+    n = match_id.shape[0]
+    num_chunks = n // chunk_size
+    c_iota = lax.broadcasted_iota(jnp.int32, (num_chunks,), 0)
+    chunk_start = c_iota * chunk_size
+    chunk_end = jnp.minimum(chunk_start + chunk_size, input_len)
+
+    def cond(st):
+        pos, _, _ = st
+        return jnp.any(pos < chunk_end)
+
+    def body(st):
+        pos, cnt, toks = st
+        active = pos < chunk_end
+        safe = jnp.minimum(pos, n - 1)
+        mid = match_id[safe]
+        mlen = match_len[safe]
+        matched = mid >= 0
+        tok = jnp.where(matched, mid, data[safe].astype(jnp.int32)).astype(jnp.uint32)
+        step = jnp.maximum(jnp.where(matched, mlen, 1), 1)
+        slot = jnp.minimum(cnt, chunk_size - 1)
+        toks = toks.at[c_iota, slot].set(jnp.where(active, tok, toks[c_iota, slot]))
+        return (
+            jnp.where(active, pos + step, pos),
+            jnp.where(active, cnt + 1, cnt),
+            toks,
+        )
+
+    init = (chunk_start, jnp.zeros((num_chunks,), jnp.int32), jnp.zeros((num_chunks, chunk_size), jnp.uint32))
+    _, counts, tokens = lax.while_loop(cond, body, init)
+    return tokens, counts
+
+
+class TPUTokenizer:
+    """Bulk greedy tokenizer: match table + chunk walk on device.
+
+    API parity with TrieTokenizer (tokenizer.js): adaptive chunk size
+    ``max(512, min(2048, maxTokenLen*8))``, identical chunk-boundary
+    behavior, raw-byte fallback, multi-pass slicing aligned to chunk size.
+    """
+
+    def __init__(self, vocab: list[bytes], chunk_size: int | None = None, max_pass_bytes: int = 1 << 25):
+        self.vocab = [bytes(v) for v in vocab]
+        self.tables = MatchTables.from_vocab(self.vocab)
+        self.chunk_size = chunk_size or adaptive_chunk_size(self.tables.max_token_len)
+        slice_bytes = max(max_pass_bytes, self.chunk_size)
+        self.max_pass_bytes = (slice_bytes // self.chunk_size) * self.chunk_size
+        self._encode_pass = jax.jit(self._encode_pass_impl)
+
+    @classmethod
+    def from_model(cls, model, **kw) -> "TPUTokenizer":
+        return cls(model.vocab, **kw)
+
+    def _encode_pass_impl(self, data_padded: jax.Array, input_len: jax.Array):
+        mid, mlen = build_match_table(data_padded, self.tables, input_len, self.chunk_size)
+        return chunk_walk(mid, mlen, data_padded, input_len, self.chunk_size)
+
+    def encode_bytes(self, data: bytes) -> np.ndarray:
+        data = bytes(data)
+        if not data:
+            return np.zeros(0, dtype=np.uint32)
+        parts = [
+            self._encode_single_pass(data[off : off + self.max_pass_bytes])
+            for off in range(0, len(data), self.max_pass_bytes)
+        ]
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+    def _encode_single_pass(self, data: bytes) -> np.ndarray:
+        n = len(data)
+        align = np.lcm(self.chunk_size, _POS_CHUNK)
+        cap = max(((n + align - 1) // align) * align, align)
+        buf = np.zeros(cap, dtype=np.uint8)
+        buf[:n] = np.frombuffer(data, dtype=np.uint8)
+        tokens, counts = self._encode_pass(jnp.asarray(buf), jnp.asarray(n, jnp.int32))
+        tokens = np.asarray(tokens)
+        counts = np.asarray(counts)
+        mask = np.arange(tokens.shape[1])[None, :] < counts[:, None]
+        return tokens[mask].astype(np.uint32)
+
+    def decode(self, tokens) -> bytes:
+        from ..core.encoder_ref import decode_tokens
+
+        return decode_tokens(tokens, self.vocab)

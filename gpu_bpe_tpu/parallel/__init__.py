@@ -1,0 +1,19 @@
+"""Multi-chip parallelism: meshes, sharded training, exact global argmax."""
+
+from .dist_train import (
+    DistState,
+    init_dist_state,
+    make_dist_train_batch,
+    shard_stream,
+)
+from .mesh import make_mesh
+from .trainer import DistributedTrainer
+
+__all__ = [
+    "DistState",
+    "DistributedTrainer",
+    "init_dist_state",
+    "make_dist_train_batch",
+    "make_mesh",
+    "shard_stream",
+]

@@ -1,0 +1,108 @@
+"""Distributed trainer: host loop around the sharded batch step."""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..constants import BATCH_MERGES, TOKEN_MASK
+from ..core.trainer_ref import ProgressFn, TrainingResult
+from ..core.vocab import Vocab
+from ..ops.ingest import SymbolStream, make_stream
+from .dist_train import init_dist_state, make_dist_train_batch, shard_stream
+from .mesh import make_mesh
+
+logger = logging.getLogger(__name__)
+
+
+class DistributedTrainer:
+    """Data-parallel BPE trainer over a 1-D device mesh.
+
+    Same host protocol as the single-chip TPUTrainer: one readback per batch
+    of 128 merges, CPU vocab reconstruction from the replicated merge log.
+    The merge list is provably identical across shard counts (exact global
+    argmax — see parallel/dist_train.py).
+    """
+
+    def __init__(self, mesh: Mesh | None = None, vocab: Vocab | None = None,
+                 batch_merges: int = BATCH_MERGES):
+        self.mesh = mesh or make_mesh()
+        self.vocab = vocab or Vocab()
+        self.batch_merges = min(batch_merges, BATCH_MERGES)
+        self._batch = None
+
+    def train(
+        self,
+        data: bytes,
+        word_starts: np.ndarray | None = None,
+        target_vocab_size: int = 4096,
+        dedup: bool = True,
+        on_progress: ProgressFn | None = None,
+    ) -> TrainingResult:
+        stream = make_stream(data, word_starts, dedup=dedup)
+        return self.train_stream(stream, target_vocab_size, on_progress)
+
+    def train_stream(
+        self,
+        stream: SymbolStream,
+        target_vocab_size: int = 4096,
+        on_progress: ProgressFn | None = None,
+    ) -> TrainingResult:
+        if stream.n == 0:
+            raise ValueError("No symbols to train on — corpus is empty after pre-processing")
+        axis = self.mesh.axis_names[0]
+        n_dev = self.mesh.shape[axis]
+        sym, w, n = shard_stream(stream.symbols[: stream.n], stream.weights[: stream.n], n_dev)
+        state = init_dist_state(self.mesh, sym, w, n, self.vocab.next_token_id, axis)
+        if self._batch is None:
+            import jax
+
+            self._batch = jax.jit(make_dist_train_batch(self.mesh, axis), donate_argnums=(0,))
+
+        merges: list[tuple[int, int, int]] = []
+        merge_counts: list[int] = []
+        merges_needed = max(target_vocab_size - self.vocab.size, 0)
+        start = time.perf_counter()
+        total_done = 0
+        early_stop = False
+
+        while total_done < merges_needed and not early_stop:
+            batch = min(self.batch_merges, merges_needed - total_done)
+            state = self._batch(state, jnp.asarray(batch, jnp.int32))
+            log = np.asarray(state.merge_log)
+            merges_done = int(state.merges_done)
+            early_stop = bool(state.early_stop)
+            for i in range(merges_done):
+                pair, new_id, count = int(log[i, 0]), int(log[i, 1]), int(log[i, 2])
+                a, b = pair >> 16, pair & TOKEN_MASK
+                got = self.vocab.add_merge(a, b)
+                assert got == new_id
+                merges.append((a, b, new_id))
+                merge_counts.append(count)
+            total_done += merges_done
+
+            if on_progress and merges_done:
+                elapsed = time.perf_counter() - start
+                on_progress(
+                    {
+                        "mergeIndex": total_done,
+                        "totalMerges": merges_needed,
+                        "mergeString": self.vocab.strings[-1],
+                        "bestCount": merge_counts[-1],
+                        "symbolCount": int(np.asarray(state.n).sum()),
+                        "mergesPerSecond": total_done / max(elapsed, 1e-9),
+                    }
+                )
+
+        return TrainingResult(
+            vocab=list(self.vocab.entries),
+            vocab_strings=list(self.vocab.strings),
+            vocab_size=self.vocab.size,
+            merges=merges,
+            merge_counts=merge_counts,
+            training_time_s=time.perf_counter() - start,
+        )

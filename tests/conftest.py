@@ -1,19 +1,29 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh.
 
 Multi-chip sharding code paths run against a faked device topology
-(`xla_force_host_platform_device_count`) exactly as they would on a pod
+(``xla_force_host_platform_device_count``) exactly as they would on a pod
 slice — same psum/shard_map code, no TPU required.
+
+Note: this environment's sitecustomize imports jax at interpreter start
+(with JAX_PLATFORMS=axon), so plain env vars are too late; we override via
+jax.config before any backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert len(jax.devices()) == 8, f"expected 8 virtual CPU devices, got {jax.devices()}"
 
 
 @pytest.fixture(scope="session")

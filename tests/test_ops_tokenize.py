@@ -1,0 +1,101 @@
+"""TPU tokenizer conformance vs the CPU greedy reference encoder."""
+
+import numpy as np
+import pytest
+
+from gpu_bpe_tpu.core import GreedyTrieEncoder, ReferenceTrainer, bytes_to_symbols, tag_word_boundaries
+from gpu_bpe_tpu.ops.tokenize import MatchTables, TPUTokenizer
+from gpu_bpe_tpu.pretok import PreTokenizer
+
+
+@pytest.fixture(scope="module")
+def model(english_text):
+    pt = PreTokenizer()
+    data, starts = pt.pre_tokenize(english_text[:15000])
+    sym = tag_word_boundaries(bytes_to_symbols(data), starts)
+    return ReferenceTrainer().train(sym, target_vocab_size=400)
+
+
+def _base_vocab():
+    return [bytes([i]) for i in range(256)]
+
+
+class TestMatchTables:
+    def test_lengths_and_keys(self):
+        vocab = _base_vocab() + [b"ab", b"abc", b" the", b"abcdef"]
+        t = MatchTables.from_vocab(vocab)
+        assert t.lengths == [2, 3, 4, 6]
+        assert t.max_token_len == 6
+        assert t.byte_ids_identity
+
+    def test_byte_ids_non_identity(self):
+        vocab = [b"x", b"y"]
+        t = MatchTables.from_vocab(vocab)
+        assert not t.byte_ids_identity
+        assert t.byte_ids[ord("x")] == 0
+        assert t.byte_ids[ord("a")] == -1
+
+
+class TestConformance:
+    def _check(self, vocab, data: bytes, chunk_size=None):
+        ref = GreedyTrieEncoder(vocab, chunk_size=chunk_size)
+        tpu = TPUTokenizer(vocab, chunk_size=chunk_size)
+        assert tpu.chunk_size == ref.chunk_size
+        expected = ref.encode(data)
+        got = tpu.encode_bytes(data)
+        assert got.tolist() == expected.tolist()
+
+    def test_base_vocab_identity(self):
+        data = b"hello world"
+        self._check(_base_vocab(), data)
+
+    def test_trained_vocab(self, model, english_text):
+        self._check(model.vocab, english_text[:6000].encode())
+
+    def test_longest_match_priority(self):
+        vocab = _base_vocab() + [b"ab", b"abc", b"abcd"]
+        self._check(vocab, b"abcd abc ab a abcdabcd")
+
+    def test_chunk_boundary_artifact(self):
+        vocab = _base_vocab() + [b"ab"]
+        # chunk=512: place "ab" straddling the 512 boundary
+        data = b"x" * 511 + b"ab" + b"x" * 100
+        self._check(vocab, data, chunk_size=512)
+
+    def test_in_chunk_shorter_match_fallback(self):
+        # "abcd" would match but crosses the chunk end; reference then takes "ab"
+        vocab = _base_vocab() + [b"ab", b"abcd"]
+        data = b"x" * 510 + b"abcd" + b"y" * 50
+        self._check(vocab, data, chunk_size=512)
+
+    def test_missing_byte_token_fallback(self):
+        # vocab without base bytes: raw byte values emitted
+        vocab = [b"ab"]
+        ref = GreedyTrieEncoder(vocab, chunk_size=512)
+        tpu = TPUTokenizer(vocab, chunk_size=512)
+        data = b"abxab"
+        assert tpu.encode_bytes(data).tolist() == ref.encode(data).tolist() == [0, ord("x"), 0]
+
+    def test_long_tokens(self):
+        vocab = _base_vocab() + [b"internationalization", b"internation", b"tion"]
+        self._check(vocab, b"internationalization internation nation tion")
+
+    def test_empty(self):
+        assert TPUTokenizer(_base_vocab()).encode_bytes(b"").tolist() == []
+
+    def test_multipass_slicing(self):
+        vocab = _base_vocab() + [b"ab"]
+        tpu = TPUTokenizer(vocab, chunk_size=512, max_pass_bytes=2048)
+        ref = GreedyTrieEncoder(vocab, chunk_size=512)
+        data = (b"ab" * 3000)[:5000]
+        assert tpu.encode_bytes(data).tolist() == ref.encode(data).tolist()
+
+    def test_decode_roundtrip(self, model):
+        tpu = TPUTokenizer(model.vocab)
+        data = "the quick brown fox don't stop".encode()
+        tokens = tpu.encode_bytes(data)
+        assert tpu.decode(tokens) == data
+
+    def test_nul_and_high_bytes(self, model):
+        data = bytes(range(256)) * 4
+        self._check(model.vocab, data)
