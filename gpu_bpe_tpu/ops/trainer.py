@@ -84,10 +84,15 @@ class TPUTrainer:
                 merge_counts.append(count)
             total_done += merges_done
 
-            # ── capacity shrink: re-pad to half when stream has compacted ──
+            # ── capacity shrink: re-pad when the stream has compacted ──
+            # Each new capacity costs a compile (tens of seconds on TPU), so
+            # shrink only when plenty of merges remain to amortize it, and
+            # only on a 4x shrink (halving churns through too many levels).
+            remaining = merges_needed - total_done
             new_cap = cap
-            while new_cap > _MIN_CAP and n_now + 1 <= new_cap // 2:
-                new_cap //= 2
+            if remaining >= 1024 or early_stop:
+                while new_cap > _MIN_CAP and n_now + 1 <= new_cap // 4:
+                    new_cap //= 2
             if new_cap != cap:
                 state = TrainState(
                     symbols=state.symbols[:new_cap],

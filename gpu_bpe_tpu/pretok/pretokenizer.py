@@ -62,6 +62,22 @@ class PreTokenizer:
         data = bytes(data)
         if not data:
             return _EMPTY
+
+        # Fused native path (C++ decoder): NFC + classify + byte offsets in
+        # one pass; identical results to the staged path below.
+        prepare = getattr(self.backend, "pretokenize_prepare", None)
+        if prepare is not None:
+            try:
+                normalized, cps, classes, offsets = prepare(data)
+                if normalized:
+                    cp_starts = find_word_boundaries(cps, classes)
+                    word_starts = np.zeros(len(normalized), dtype=np.uint8)
+                    sel = offsets[cp_starts.astype(bool)]
+                    word_starts[sel[sel < len(normalized)]] = 1
+                    return normalized, word_starts
+            except UnicodeDecodeError:
+                pass  # invalid UTF-8 → staged path with raw-bytes fallback
+
         try:
             normalized = self.backend.normalize_bytes(data, "NFC")
         except Exception as e:  # noqa: BLE001

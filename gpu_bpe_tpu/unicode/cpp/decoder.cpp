@@ -1,0 +1,412 @@
+// decoder.cpp — native Unicode processing library (C ABI).
+//
+// The framework's equivalent of the reference's decoder.wasm (Emscripten C,
+// 71 exports — /root/reference/src/wasm/decoder.js): codepoint property
+// predicates, NFC/NFD normalization over UTF-8 byte streams, batch
+// codepoint classification, case mapping, and segmentation counts. Built as
+// a shared library and loaded via ctypes (pybind11 is not available in this
+// image); gpu_bpe_tpu/unicode/cpp_backend.py is the Python binding.
+//
+// Hot paths (consumed by the pre-tokenizer, pre_tokenizer.mjs:459-509
+// equivalents): decoder_normalize_utf8, decoder_classify_codepoints.
+//
+// Tables are generated from CPython's unicodedata by gen_tables.py.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+#include "unicode_tables.h"
+
+namespace {
+
+constexpr uint32_t kMaxCp = 0x110000;
+
+// ── table lookups ───────────────────────────────────────────────────
+
+inline uint8_t category_of(uint32_t cp) {
+  if (cp >= kMaxCp) return 0;  // Cn
+  // binary search over RLE ranges
+  uint32_t lo = 0, hi = kCatRangeCount;
+  while (hi - lo > 1) {
+    uint32_t mid = (lo + hi) >> 1;
+    if (kCatRangeStart[mid] <= cp) lo = mid; else hi = mid;
+  }
+  return kCatRangeValue[lo];
+}
+
+inline uint8_t class_of(uint32_t cp) {
+  if (cp >= kMaxCp) return 6;  // OTHER
+  return kClassPages[kClassPageIndex[cp >> 8]][cp & 0xFF];
+}
+
+inline uint8_t ccc_of(uint32_t cp) {
+  const uint32_t* end = kCccCp + kCccCount;
+  const uint32_t* it = std::lower_bound(kCccCp, end, cp);
+  if (it != end && *it == cp) return kCccValue[it - kCccCp];
+  return 0;
+}
+
+inline int32_t sparse_map(const uint32_t* keys, const uint32_t* vals,
+                          uint32_t count, uint32_t cp) {
+  const uint32_t* end = keys + count;
+  const uint32_t* it = std::lower_bound(keys, end, cp);
+  if (it != end && *it == cp) return (int32_t)vals[it - keys];
+  return -1;
+}
+
+// category group helpers (indices into CATEGORIES in gen_tables.py)
+inline bool cat_in(uint8_t c, uint8_t lo, uint8_t hi) { return c >= lo && c <= hi; }
+inline bool is_letter_cat(uint8_t c) { return cat_in(c, 1, 5); }       // Lu..Lo
+inline bool is_mark_cat(uint8_t c) { return cat_in(c, 6, 8); }          // Mn..Me
+inline bool is_number_cat(uint8_t c) { return cat_in(c, 9, 11); }       // Nd..No
+inline bool is_punct_cat(uint8_t c) { return cat_in(c, 12, 18); }       // Pc..Po
+inline bool is_symbol_cat(uint8_t c) { return cat_in(c, 19, 22); }      // Sm..So
+inline bool is_sep_cat(uint8_t c) { return cat_in(c, 23, 25); }         // Zs..Zp
+
+// ── UTF-8 ───────────────────────────────────────────────────────────
+
+// Strict UTF-8 decode; returns codepoint count or -1 on invalid input.
+int64_t utf8_decode(const uint8_t* in, int64_t len, uint32_t* out) {
+  int64_t n = 0;
+  int64_t i = 0;
+  while (i < len) {
+    uint8_t b = in[i];
+    uint32_t cp;
+    int size;
+    if (b < 0x80) { cp = b; size = 1; }
+    else if ((b & 0xE0) == 0xC0) {
+      if (i + 1 >= len || (in[i+1] & 0xC0) != 0x80) return -1;
+      cp = ((b & 0x1F) << 6) | (in[i+1] & 0x3F);
+      if (cp < 0x80) return -1;
+      size = 2;
+    } else if ((b & 0xF0) == 0xE0) {
+      if (i + 2 >= len || (in[i+1] & 0xC0) != 0x80 || (in[i+2] & 0xC0) != 0x80) return -1;
+      cp = ((b & 0x0F) << 12) | ((in[i+1] & 0x3F) << 6) | (in[i+2] & 0x3F);
+      if (cp < 0x800 || (cp >= 0xD800 && cp <= 0xDFFF)) return -1;
+      size = 3;
+    } else if ((b & 0xF8) == 0xF0) {
+      if (i + 3 >= len || (in[i+1] & 0xC0) != 0x80 || (in[i+2] & 0xC0) != 0x80 ||
+          (in[i+3] & 0xC0) != 0x80) return -1;
+      cp = ((b & 0x07) << 18) | ((in[i+1] & 0x3F) << 12) | ((in[i+2] & 0x3F) << 6) | (in[i+3] & 0x3F);
+      if (cp < 0x10000 || cp > 0x10FFFF) return -1;
+      size = 4;
+    } else {
+      return -1;
+    }
+    if (out) out[n] = cp;
+    n++;
+    i += size;
+  }
+  return n;
+}
+
+inline int utf8_encode_one(uint32_t cp, uint8_t* out) {
+  if (cp <= 0x7F) { out[0] = (uint8_t)cp; return 1; }
+  if (cp <= 0x7FF) {
+    out[0] = 0xC0 | (cp >> 6); out[1] = 0x80 | (cp & 0x3F); return 2;
+  }
+  if (cp <= 0xFFFF) {
+    out[0] = 0xE0 | (cp >> 12); out[1] = 0x80 | ((cp >> 6) & 0x3F);
+    out[2] = 0x80 | (cp & 0x3F); return 3;
+  }
+  out[0] = 0xF0 | (cp >> 18); out[1] = 0x80 | ((cp >> 12) & 0x3F);
+  out[2] = 0x80 | ((cp >> 6) & 0x3F); out[3] = 0x80 | (cp & 0x3F); return 4;
+}
+
+// ── normalization (NFC / NFD over codepoints) ───────────────────────
+
+constexpr uint32_t kSBase = 0xAC00, kLBase = 0x1100, kVBase = 0x1161, kTBase = 0x11A7;
+constexpr uint32_t kLCount = 19, kVCount = 21, kTCount = 28;
+constexpr uint32_t kNCount = kVCount * kTCount, kSCount = kLCount * kNCount;
+
+void decompose_cp(uint32_t cp, std::vector<uint32_t>& out) {
+  if (cp >= kSBase && cp < kSBase + kSCount) {  // Hangul (UAX #15 §3.12)
+    uint32_t s = cp - kSBase;
+    out.push_back(kLBase + s / kNCount);
+    out.push_back(kVBase + (s % kNCount) / kTCount);
+    uint32_t t = s % kTCount;
+    if (t) out.push_back(kTBase + t);
+    return;
+  }
+  const uint32_t* end = kDecompCp + kDecompCount;
+  const uint32_t* it = std::lower_bound(kDecompCp, end, cp);
+  if (it != end && *it == cp) {
+    uint32_t ol = kDecompOffLen[it - kDecompCp];
+    uint32_t off = ol >> 8, len = ol & 0xFF;
+    for (uint32_t k = 0; k < len; k++) out.push_back(kDecompPool[off + k]);
+    return;
+  }
+  out.push_back(cp);
+}
+
+void canonical_order(std::vector<uint32_t>& cps) {
+  // stable bubble over combining sequences (sequences are short)
+  size_t n = cps.size();
+  for (size_t i = 1; i < n; i++) {
+    uint8_t cc = ccc_of(cps[i]);
+    if (cc == 0) continue;
+    size_t j = i;
+    while (j > 0 && ccc_of(cps[j - 1]) > cc) {
+      std::swap(cps[j - 1], cps[j]);
+      j--;
+    }
+  }
+}
+
+inline int64_t compose_pair(uint32_t a, uint32_t b) {
+  // Hangul algorithmic composition
+  if (a >= kLBase && a < kLBase + kLCount && b >= kVBase && b < kVBase + kVCount) {
+    return kSBase + ((a - kLBase) * kVCount + (b - kVBase)) * kTCount;
+  }
+  if (a >= kSBase && a < kSBase + kSCount && ((a - kSBase) % kTCount) == 0 &&
+      b > kTBase && b < kTBase + kTCount) {
+    return a + (b - kTBase);
+  }
+  uint64_t key = ((uint64_t)a << 21) | b;
+  const uint64_t* end = kCompKey + kCompCount;
+  const uint64_t* it = std::lower_bound(kCompKey, end, key);
+  if (it != end && *it == key) return (int64_t)kCompValue[it - kCompKey];
+  return -1;
+}
+
+void compose(std::vector<uint32_t>& cps) {
+  // UAX #15 canonical composition
+  if (cps.empty()) return;
+  size_t last_starter = (size_t)-1;
+  int last_starter_cc = -1;  // cc of last combining char seen after starter
+  std::vector<uint32_t> out;
+  out.reserve(cps.size());
+  for (size_t i = 0; i < cps.size(); i++) {
+    uint32_t cp = cps[i];
+    uint8_t cc = ccc_of(cp);
+    if (last_starter != (size_t)-1 && last_starter_cc < (int)cc) {
+      int64_t comp = compose_pair(out[last_starter], cp);
+      if (comp >= 0) { out[last_starter] = (uint32_t)comp; continue; }
+    }
+    if (cc == 0) {
+      // starter: can it compose with previous starter when adjacent?
+      if (last_starter != (size_t)-1 && last_starter_cc == -1 &&
+          last_starter == out.size() - 1) {
+        int64_t comp = compose_pair(out[last_starter], cp);
+        if (comp >= 0) { out[last_starter] = (uint32_t)comp; continue; }
+      }
+      out.push_back(cp);
+      last_starter = out.size() - 1;
+      last_starter_cc = -1;
+    } else {
+      out.push_back(cp);
+      last_starter_cc = cc;
+    }
+  }
+  cps.swap(out);
+}
+
+void normalize_cps(std::vector<uint32_t>& cps, int form) {
+  // form: 0=NFC, 1=NFD (compatibility forms use canonical tables here;
+  // full NFKC/NFKD planned — documented in docs/CONFORMANCE.md)
+  std::vector<uint32_t> decomposed;
+  decomposed.reserve(cps.size() + 16);
+  for (uint32_t cp : cps) decompose_cp(cp, decomposed);
+  canonical_order(decomposed);
+  if (form == 0 || form == 2) compose(decomposed);
+  cps.swap(decomposed);
+}
+
+}  // namespace
+
+extern "C" {
+
+// ── lifecycle ────────────────────────────────────────────────────────
+int decoder_init() { return 0; }
+void decoder_cleanup() {}
+const char* decoder_get_unicode_version() { return kUnicodeVersion; }
+
+// ── properties ───────────────────────────────────────────────────────
+int decoder_get_category(uint32_t cp) { return category_of(cp); }
+int decoder_is_valid(uint32_t cp) { return cp < kMaxCp && !(cp >= 0xD800 && cp <= 0xDFFF); }
+int decoder_is_assigned(uint32_t cp) { return category_of(cp) != 0; }
+int decoder_is_surrogate(uint32_t cp) { return cp >= 0xD800 && cp <= 0xDFFF; }
+int decoder_is_noncharacter(uint32_t cp) {
+  return (cp >= 0xFDD0 && cp <= 0xFDEF) || ((cp & 0xFFFE) == 0xFFFE && cp < kMaxCp);
+}
+int decoder_is_private_use(uint32_t cp) { return category_of(cp) == 29; }
+int decoder_is_letter(uint32_t cp) { return is_letter_cat(category_of(cp)); }
+int decoder_is_mark(uint32_t cp) { return is_mark_cat(category_of(cp)); }
+int decoder_is_digit(uint32_t cp) { return category_of(cp) == 9; }
+int decoder_is_number(uint32_t cp) { return is_number_cat(category_of(cp)); }
+int decoder_is_punctuation(uint32_t cp) { return is_punct_cat(category_of(cp)); }
+int decoder_is_symbol(uint32_t cp) { return is_symbol_cat(category_of(cp)); }
+int decoder_is_separator(uint32_t cp) { return is_sep_cat(category_of(cp)); }
+int decoder_is_control(uint32_t cp) { return category_of(cp) == 26; }
+int decoder_is_format(uint32_t cp) { return category_of(cp) == 27; }
+int decoder_is_uppercase(uint32_t cp) { return category_of(cp) == 1; }
+int decoder_is_lowercase(uint32_t cp) { return category_of(cp) == 2; }
+int decoder_is_titlecase(uint32_t cp) { return category_of(cp) == 3; }
+int decoder_is_whitespace(uint32_t cp) { return class_of(cp) == 2 || class_of(cp) == 5; }
+int decoder_is_alphanumeric(uint32_t cp) {
+  uint8_t c = category_of(cp);
+  return is_letter_cat(c) || is_number_cat(c);
+}
+int decoder_is_combining(uint32_t cp) { return ccc_of(cp) != 0; }
+int decoder_get_combining_class(uint32_t cp) { return ccc_of(cp); }
+
+// ── case mapping (simple) ────────────────────────────────────────────
+uint32_t decoder_to_upper(uint32_t cp) {
+  int32_t m = sparse_map(kUpperCp, kUpperMap, kUpperCount, cp);
+  return m >= 0 ? (uint32_t)m : cp;
+}
+uint32_t decoder_to_lower(uint32_t cp) {
+  int32_t m = sparse_map(kLowerCp, kLowerMap, kLowerCount, cp);
+  return m >= 0 ? (uint32_t)m : cp;
+}
+uint32_t decoder_to_title(uint32_t cp) {
+  int32_t m = sparse_map(kTitleCp, kTitleMap, kTitleCount, cp);
+  return m >= 0 ? (uint32_t)m : cp;
+}
+uint32_t decoder_case_fold(uint32_t cp) {
+  int32_t m = sparse_map(kFoldCp, kFoldMap, kFoldCount, cp);
+  return m >= 0 ? (uint32_t)m : cp;
+}
+
+// ── composition / decomposition ──────────────────────────────────────
+int64_t decoder_compose(uint32_t a, uint32_t b) { return compose_pair(a, b); }
+int decoder_decompose(uint32_t cp, uint32_t* out, int cap) {
+  std::vector<uint32_t> v;
+  decompose_cp(cp, v);
+  if (v.size() == 1 && v[0] == cp) return 0;
+  int n = (int)std::min((size_t)cap, v.size());
+  for (int i = 0; i < n; i++) out[i] = v[i];
+  return n;
+}
+
+// ── UTF-8 validation / transcoding ───────────────────────────────────
+int decoder_is_valid_utf8(const uint8_t* in, int64_t len) {
+  return utf8_decode(in, len, nullptr) >= 0;
+}
+int64_t decoder_utf8_char_count(const uint8_t* in, int64_t len) {
+  return utf8_decode(in, len, nullptr);
+}
+int64_t decoder_utf8_to_utf32(const uint8_t* in, int64_t len, uint32_t* out, int64_t cap) {
+  // caller guarantees cap >= char count (<= len)
+  (void)cap;
+  return utf8_decode(in, len, out);
+}
+
+// ── normalization over UTF-8 bytes (the hot path) ────────────────────
+// form: 0=NFC 1=NFD 2=NFKC 3=NFKD (K-forms currently use canonical tables).
+// Returns 0 on success, -3 on invalid UTF-8, -2 if out buffer too small.
+int decoder_normalize_utf8(const uint8_t* in, int64_t len, int form,
+                           uint8_t* out, int64_t cap, int64_t* out_len) {
+  std::vector<uint32_t> cps((size_t)len);
+  int64_t n = utf8_decode(in, len, cps.data());
+  if (n < 0) return -3;
+  cps.resize((size_t)n);
+  normalize_cps(cps, form);
+  int64_t pos = 0;
+  for (uint32_t cp : cps) {
+    if (pos + 4 > cap) return -2;
+    pos += utf8_encode_one(cp, out + pos);
+  }
+  *out_len = pos;
+  return 0;
+}
+
+int decoder_is_normalized_utf8(const uint8_t* in, int64_t len, int form) {
+  std::vector<uint8_t> buf((size_t)len * 4 + 4);
+  int64_t out_len = 0;
+  if (decoder_normalize_utf8(in, len, form, buf.data(), (int64_t)buf.size(), &out_len) != 0)
+    return 0;
+  return out_len == len && std::memcmp(in, buf.data(), (size_t)len) == 0;
+}
+
+// ── batch classification (pre-tokenizer hot path) ────────────────────
+// UTF-8 bytes -> per-codepoint CharClass. Returns 0, -3 on invalid UTF-8.
+int decoder_classify_codepoints(const uint8_t* in, int64_t len,
+                                uint8_t* classes, int64_t cap, int64_t* count) {
+  std::vector<uint32_t> cps((size_t)len);
+  int64_t n = utf8_decode(in, len, cps.data());
+  if (n < 0 || n > cap) return -3;
+  for (int64_t i = 0; i < n; i++) classes[i] = class_of(cps[i]);
+  *count = n;
+  return 0;
+}
+
+// classify an array of codepoints directly
+void decoder_classify_utf32(const uint32_t* cps, int64_t n, uint8_t* classes) {
+  for (int64_t i = 0; i < n; i++) classes[i] = class_of(cps[i]);
+}
+
+// ── fused pre-tokenization kernel (normalize + classify + decode) ────
+// NFC-normalizes UTF-8 bytes and emits (normalized bytes, per-codepoint
+// classes, per-codepoint byte offsets) in one pass — everything the word
+// boundary pass needs. Returns 0, -3 invalid, -2 buffer too small.
+int decoder_pretokenize_prepare(const uint8_t* in, int64_t len,
+                                uint8_t* out, int64_t out_cap, int64_t* out_len,
+                                uint32_t* cps_out, uint8_t* classes, uint32_t* offsets,
+                                int64_t cp_cap, int64_t* cp_count) {
+  std::vector<uint32_t> cps((size_t)len);
+  int64_t n = utf8_decode(in, len, cps.data());
+  if (n < 0) return -3;
+  cps.resize((size_t)n);
+  normalize_cps(cps, 0);
+  if ((int64_t)cps.size() > cp_cap) return -2;
+  int64_t pos = 0;
+  for (size_t i = 0; i < cps.size(); i++) {
+    if (pos + 4 > out_cap) return -2;
+    cps_out[i] = cps[i];
+    classes[i] = class_of(cps[i]);
+    offsets[i] = (uint32_t)pos;
+    pos += utf8_encode_one(cps[i], out + pos);
+  }
+  *out_len = pos;
+  *cp_count = (int64_t)cps.size();
+  return 0;
+}
+
+// ── segmentation counts ──────────────────────────────────────────────
+int64_t decoder_count_graphemes(const uint32_t* cps, int64_t n) {
+  if (n <= 0) return 0;
+  int64_t count = 1;
+  for (int64_t i = 1; i < n; i++) {
+    uint32_t prev = cps[i - 1], cur = cps[i];
+    if (prev == 0x0D && cur == 0x0A) continue;
+    if (prev == 0x0A || prev == 0x0D || cur == 0x0A || cur == 0x0D) { count++; continue; }
+    if (ccc_of(cur) != 0 || is_mark_cat(category_of(cur)) || cur == 0x200D ||
+        cur == 0xFE0F || cur == 0xFE0E || (cur >= 0x1F3FB && cur <= 0x1F3FF)) continue;
+    if (prev == 0x200D) continue;
+    count++;
+  }
+  return count;
+}
+
+int64_t decoder_count_words(const uint32_t* cps, int64_t n) {
+  int64_t count = 0;
+  bool in_word = false;
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t c = category_of(cps[i]);
+    bool wordish = is_letter_cat(c) || is_number_cat(c) ||
+                   cps[i] == '\'' || cps[i] == 0x2019 || cps[i] == '_';
+    if (wordish && !in_word) count++;
+    in_word = wordish;
+  }
+  return count;
+}
+
+int64_t decoder_count_sentences(const uint32_t* cps, int64_t n) {
+  int64_t count = 0;
+  bool pending = false;
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t cp = cps[i];
+    bool term = cp == '.' || cp == '!' || cp == '?' || cp == 0x203C || cp == 0x203D ||
+                cp == 0x2047 || cp == 0x2048 || cp == 0x2049 || cp == 0x3002 ||
+                cp == 0xFF01 || cp == 0xFF0E || cp == 0xFF1F;
+    if (term) { if (pending) count++; pending = false; }
+    else if (class_of(cp) != 2 && class_of(cp) != 5) pending = true;
+  }
+  if (pending) count++;
+  return count;
+}
+
+}  // extern "C"

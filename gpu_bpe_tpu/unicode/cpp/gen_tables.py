@@ -1,0 +1,230 @@
+"""Generate C++ Unicode property tables from CPython's unicodedata.
+
+Produces ``unicode_tables.h`` consumed by decoder.cpp. Tables:
+
+* category: per-codepoint general category (5-bit), run-length encoded into
+  (start, category) ranges, binary-searched at runtime behind a two-level
+  page index for O(1) lookups.
+* char class: the pre-tokenizer's 7-class mapping (CharClass) as a direct
+  page-indexed table.
+* canonical decomposition: cp -> (first, second) pairs (fully expanded to
+  NFD at generation time so runtime decomposition is one lookup).
+* canonical composition: (first, second) -> composite, with composition
+  exclusions handled by verifying each pair against unicodedata.normalize
+  at generation time.
+* combining class (CCC) for canonical ordering.
+* simple case maps (upper/lower/title/fold) as sparse delta tables.
+
+Unicode version = the interpreter's (15.0 here; the reference WASM is 17.0 —
+drift affects only codepoints assigned after 15.0, documented in
+docs/CONFORMANCE.md).
+"""
+
+from __future__ import annotations
+
+import sys
+import unicodedata
+from pathlib import Path
+
+MAX_CP = 0x110000
+
+CATEGORIES = [
+    "Cn", "Lu", "Ll", "Lt", "Lm", "Lo", "Mn", "Mc", "Me", "Nd", "Nl", "No",
+    "Pc", "Pd", "Ps", "Pe", "Pi", "Pf", "Po", "Sm", "Sc", "Sk", "So",
+    "Zs", "Zl", "Zp", "Cc", "Cf", "Cs", "Co",
+]
+CAT_INDEX = {c: i for i, c in enumerate(CATEGORIES)}
+
+WHITESPACE = set(
+    list(range(0x09, 0x0E)) + [0x20, 0x85, 0xA0, 0x1680]
+    + list(range(0x2000, 0x200B)) + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+)
+NEWLINES = {0x0A, 0x0D, 0x85, 0x2028, 0x2029}
+
+# CharClass (must match gpu_bpe_tpu.unicode.fallback.CharClass)
+LETTER, DIGIT, WS, PUNCT, SYM, NL, OTHER = range(7)
+
+
+def char_class(cp: int, cat: str) -> int:
+    if cp in NEWLINES:
+        return NL
+    h = cat[0]
+    if h in ("L", "M"):
+        return LETTER
+    if h == "N":
+        return DIGIT
+    if cp in WHITESPACE:
+        return WS
+    if h == "P":
+        return PUNCT
+    if h == "S":
+        return SYM
+    return OTHER
+
+
+def full_canonical_decomposition(cp: int) -> list[int]:
+    """Fully expanded canonical (NFD) decomposition, excluding Hangul."""
+    if 0xAC00 <= cp <= 0xD7A3:
+        return []  # Hangul handled algorithmically at runtime
+    d = unicodedata.decomposition(chr(cp))
+    if not d or d.startswith("<"):
+        return []
+    out: list[int] = []
+    for part in d.split():
+        sub = int(part, 16)
+        expanded = full_canonical_decomposition(sub)
+        out.extend(expanded if expanded else [sub])
+    return out
+
+
+def main(out_path: str) -> None:
+    cats = []
+    classes = []
+    for cp in range(MAX_CP):
+        cat = unicodedata.category(chr(cp))
+        cats.append(CAT_INDEX[cat])
+        classes.append(char_class(cp, cat))
+
+    # RLE category ranges
+    cat_ranges = []
+    prev = cats[0]
+    start = 0
+    for cp in range(1, MAX_CP):
+        if cats[cp] != prev:
+            cat_ranges.append((start, prev))
+            start, prev = cp, cats[cp]
+    cat_ranges.append((start, prev))
+
+    # class pages: 256-cp pages with dedup
+    PAGE = 256
+    pages = []
+    page_map = {}
+    page_index = []
+    for base in range(0, MAX_CP, PAGE):
+        key = bytes(classes[base : base + PAGE])
+        if key not in page_map:
+            page_map[key] = len(pages)
+            pages.append(key)
+        page_index.append(page_map[key])
+
+    # decomposition + CCC
+    decomp_entries = []  # (cp, offset, len)
+    decomp_pool: list[int] = []
+    ccc_entries = []
+    for cp in range(MAX_CP):
+        if 0xAC00 <= cp <= 0xD7A3:
+            continue
+        d = full_canonical_decomposition(cp)
+        if d:
+            decomp_entries.append((cp, len(decomp_pool), len(d)))
+            decomp_pool.extend(d)
+        c = unicodedata.combining(chr(cp))
+        if c:
+            ccc_entries.append((cp, c))
+
+    # canonical composition pairs (exclusions handled by verification)
+    comp_entries = []
+    for cp in range(MAX_CP):
+        if 0xAC00 <= cp <= 0xD7A3:
+            continue
+        d = unicodedata.decomposition(chr(cp))
+        if not d or d.startswith("<"):
+            continue
+        parts = [int(x, 16) for x in d.split()]
+        if len(parts) != 2:
+            continue
+        a, b = parts
+        if unicodedata.normalize("NFC", chr(a) + chr(b)) == chr(cp):
+            comp_entries.append(((a << 21) | b, cp))
+    comp_entries.sort()
+
+    # simple case maps as (cp, mapped) sparse sorted tables
+    def case_table(fn):
+        out = []
+        for cp in range(MAX_CP):
+            try:
+                m = fn(chr(cp))
+            except Exception:  # noqa: BLE001
+                continue
+            if len(m) == 1 and ord(m) != cp:
+                out.append((cp, ord(m)))
+        return out
+
+    upper = case_table(str.upper)
+    lower = case_table(str.lower)
+    title = case_table(lambda c: c.title()[0] if c.title() else c)
+    fold = case_table(str.casefold)
+
+    def fmt_u32(vals, per_line=12):
+        lines = []
+        for i in range(0, len(vals), per_line):
+            lines.append(",".join(str(v) for v in vals[i : i + per_line]))
+        return ",\n".join(lines)
+
+    with open(out_path, "w") as f:
+        w = f.write
+        w("// Auto-generated by gen_tables.py — do not edit.\n")
+        w(f'// Source: CPython unicodedata {unicodedata.unidata_version}\n')
+        w("#pragma once\n#include <cstdint>\n\n")
+        w(f'inline constexpr const char* kUnicodeVersion = "{unicodedata.unidata_version}";\n\n')
+
+        w(f"inline constexpr uint32_t kCatRangeCount = {len(cat_ranges)};\n")
+        w("inline constexpr uint32_t kCatRangeStart[] = {\n")
+        w(fmt_u32([s for s, _ in cat_ranges]))
+        w("};\n")
+        w("inline constexpr uint8_t kCatRangeValue[] = {\n")
+        w(fmt_u32([v for _, v in cat_ranges]))
+        w("};\n\n")
+
+        w(f"inline constexpr uint32_t kClassPageCount = {len(pages)};\n")
+        w("inline constexpr uint8_t kClassPages[][256] = {\n")
+        for pg in pages:
+            w("{" + ",".join(str(b) for b in pg) + "},\n")
+        w("};\n")
+        w("inline constexpr uint16_t kClassPageIndex[] = {\n")
+        w(fmt_u32(page_index, per_line=20))
+        w("};\n\n")
+
+        w(f"inline constexpr uint32_t kDecompCount = {len(decomp_entries)};\n")
+        w("inline constexpr uint32_t kDecompCp[] = {\n")
+        w(fmt_u32([e[0] for e in decomp_entries]))
+        w("};\n")
+        w("inline constexpr uint32_t kDecompOffLen[] = {\n")  # offset<<8 | len
+        w(fmt_u32([(e[1] << 8) | e[2] for e in decomp_entries]))
+        w("};\n")
+        w(f"inline constexpr uint32_t kDecompPoolSize = {len(decomp_pool)};\n")
+        w("inline constexpr uint32_t kDecompPool[] = {\n")
+        w(fmt_u32(decomp_pool))
+        w("};\n\n")
+
+        w(f"inline constexpr uint32_t kCccCount = {len(ccc_entries)};\n")
+        w("inline constexpr uint32_t kCccCp[] = {\n")
+        w(fmt_u32([e[0] for e in ccc_entries]))
+        w("};\n")
+        w("inline constexpr uint8_t kCccValue[] = {\n")
+        w(fmt_u32([e[1] for e in ccc_entries]))
+        w("};\n\n")
+
+        w(f"inline constexpr uint32_t kCompCount = {len(comp_entries)};\n")
+        w("inline constexpr uint64_t kCompKey[] = {\n")
+        w(fmt_u32([e[0] for e in comp_entries]))
+        w("};\n")
+        w("inline constexpr uint32_t kCompValue[] = {\n")
+        w(fmt_u32([e[1] for e in comp_entries]))
+        w("};\n\n")
+
+        for name, tab in (("Upper", upper), ("Lower", lower), ("Title", title), ("Fold", fold)):
+            w(f"inline constexpr uint32_t k{name}Count = {len(tab)};\n")
+            w(f"inline constexpr uint32_t k{name}Cp[] = {{\n")
+            w(fmt_u32([e[0] for e in tab]))
+            w("};\n")
+            w(f"inline constexpr uint32_t k{name}Map[] = {{\n")
+            w(fmt_u32([e[1] for e in tab]))
+            w("};\n\n")
+
+    print(f"wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else str(Path(__file__).parent / "unicode_tables.h")
+    main(out)

@@ -1,0 +1,135 @@
+"""Native decoder library vs Python unicodedata: exact agreement."""
+
+import unicodedata
+
+import numpy as np
+import pytest
+
+from gpu_bpe_tpu.unicode.fallback import MAX_CODEPOINT, PyUnicodeBackend, class_table
+
+
+@pytest.fixture(scope="module")
+def cpp():
+    from gpu_bpe_tpu.unicode.cpp_backend import CppUnicodeBackend
+
+    return CppUnicodeBackend()
+
+
+NFC_SAMPLES = [
+    "hello world",
+    "étude déjà-vu naïve",
+    "étude",  # decomposed acute
+    "ä́",  # multiple combining marks (ordering)
+    "ḍ̇",  # ḋ + dot below → reorder + compose
+    "한국어 조합",  # precomposed Hangul
+    "각",  # Hangul jamo L+V+T → composes to 각
+    "ağır ğışçöü İstanbul",
+    "北京 москва الشرق",
+    "🙂👨‍👩‍👧‍👦",
+    "Ǻx",  # A + ring + acute
+    "ﬁle",  # fi ligature (compat char, NFC-invariant)
+    "q̣̇",  # q + dot above + dot below (canonical ordering swap)
+    "ཷ",  # NFC-stable odd codepoint
+    "Å",  # Angstrom sign → Å under NFC
+]
+
+
+class TestNFC:
+    @pytest.mark.parametrize("s", NFC_SAMPLES)
+    def test_nfc_matches_unicodedata(self, cpp, s):
+        expected = unicodedata.normalize("NFC", s)
+        assert cpp.normalize(s, "NFC") == expected
+
+    @pytest.mark.parametrize("s", NFC_SAMPLES)
+    def test_nfd_matches_unicodedata(self, cpp, s):
+        expected = unicodedata.normalize("NFD", s)
+        assert cpp.normalize(s, "NFD") == expected
+
+    def test_nfc_random_bmp(self, cpp, rng):
+        # random BMP strings (excluding surrogates)
+        for _ in range(50):
+            cps = rng.integers(0x20, 0xD7FF, size=64)
+            s = "".join(chr(int(c)) for c in cps)
+            assert cpp.normalize(s, "NFC") == unicodedata.normalize("NFC", s)
+
+    def test_invalid_utf8_raises(self, cpp):
+        with pytest.raises(UnicodeDecodeError):
+            cpp.normalize_bytes(b"\xff\xfe")
+
+    def test_is_normalized(self, cpp):
+        assert cpp._lib.decoder_is_normalized_utf8(b"abc", 3, 0)
+        assert not cpp._lib.decoder_is_normalized_utf8("é".encode(), 3, 0)
+
+
+class TestClassification:
+    def test_all_codepoints_match_python_table(self, cpp):
+        table = class_table()
+        cps = np.arange(MAX_CODEPOINT, dtype=np.uint32)
+        native = cpp.classify_codepoints(cps)
+        mismatches = np.flatnonzero(native != table)
+        assert len(mismatches) == 0, f"first mismatches: {mismatches[:10]}"
+
+    def test_classify_bytes(self, cpp):
+        py = PyUnicodeBackend()
+        data = "ağır café 123, \n🙂".encode()
+        c1, n1 = cpp.classify_bytes(data)
+        c2, n2 = py.classify_bytes(data)
+        assert n1 == n2
+        assert c1.tolist() == c2.tolist()
+
+
+class TestProperties:
+    def test_predicates_sample(self, cpp):
+        py = PyUnicodeBackend()
+        sample = list(range(0, 0x500)) + [0x2019, 0x4E2D, 0x1F600, 0x10FFFF]
+        for cp in sample:
+            for pred in ("is_letter", "is_mark", "is_digit", "is_number",
+                         "is_punctuation", "is_symbol", "is_whitespace"):
+                assert getattr(cpp, pred)(cp) == getattr(py, pred)(cp), (pred, hex(cp))
+
+    def test_case_mapping_sample(self, cpp):
+        for cp in list(range(0x41, 0x7B)) + [0xE9, 0x130, 0x131, 0x410, 0x3B1]:
+            c = chr(cp)
+            up = c.upper()
+            lo = c.lower()
+            if len(up) == 1:
+                assert cpp.to_upper(cp) == ord(up)
+            if len(lo) == 1:
+                assert cpp.to_lower(cp) == ord(lo)
+
+    def test_compose(self, cpp):
+        assert cpp.compose(ord("e"), 0x301) == ord("é")
+        assert cpp.compose(ord("q"), 0x301) == -1
+
+    def test_version(self, cpp):
+        assert cpp.unicode_version == unicodedata.unidata_version
+
+
+class TestPretokenizePrepare:
+    def test_fused_matches_separate(self, cpp):
+        py = PyUnicodeBackend()
+        data = "étude don't 1234 ağır\ncafé".encode()
+        out, cps, classes, offsets = cpp.pretokenize_prepare(data)
+        assert out == unicodedata.normalize("NFC", data.decode()).encode()
+        assert cps.tolist() == [ord(c) for c in out.decode()]
+        c2, _ = py.classify_bytes(out)
+        assert classes.tolist() == c2.tolist()
+        # offsets are the byte positions of each codepoint
+        lead = [i for i in range(len(out)) if (out[i] & 0xC0) != 0x80]
+        assert offsets.tolist() == lead
+
+
+class TestSegmentation:
+    def test_counts(self, cpp):
+        assert cpp.count_graphemes("hello") == 5
+        assert cpp.count_graphemes("é") == 1
+        assert cpp.count_words("hello world, again") == 3
+        assert cpp.count_sentences("One. Two! Three?") == 3
+
+
+def test_backend_selection_prefers_cpp():
+    import gpu_bpe_tpu.unicode as u
+
+    u._BACKEND = None
+    backend = u.get_backend()
+    assert backend.name == "cpp-decoder"
