@@ -40,6 +40,8 @@ class TPUTrainer:
         stream: SymbolStream,
         target_vocab_size: int = 4096,
         on_progress: ProgressFn | None = None,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 8,  # batches (= 1024 merges at default batch)
     ) -> TrainingResult:
         if stream.n == 0:
             raise ValueError("No symbols to train on — corpus is empty after pre-processing")
@@ -49,20 +51,57 @@ class TPUTrainer:
                 "shard across devices (gpu_bpe_tpu.parallel) or reduce the shard size"
             )
 
-        padded = pad_stream(stream)
-        state = init_state(
-            jnp.asarray(padded.symbols),
-            jnp.asarray(padded.weights),
-            stream.n,
-            self.vocab.next_token_id,
-        )
-
         merges: list[tuple[int, int, int]] = []
         merge_counts: list[int] = []
+        fingerprint = None
+
+        # ── resume from checkpoint: deterministic replay of the merge list ──
+        import os
+
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            from .checkpoint import TrainingCheckpoint, fingerprint_stream, resume_stream
+
+            ckpt = TrainingCheckpoint.load(checkpoint_path)
+            fingerprint = fingerprint_stream(stream)
+            if ckpt.corpus_fingerprint == fingerprint and self.vocab.size == 256:
+                state, vocab = resume_stream(stream, ckpt, strict=False)
+                self.vocab = vocab
+                merges = list(ckpt.merges)
+                merge_counts = list(ckpt.merge_counts)
+                logger.info("resumed from %s at %d merges", checkpoint_path, len(merges))
+            else:
+                logger.warning("checkpoint %s does not match corpus/vocab; ignoring", checkpoint_path)
+                state = None
+        else:
+            state = None
+
+        if state is None:
+            padded = pad_stream(stream)
+            state = init_state(
+                jnp.asarray(padded.symbols),
+                jnp.asarray(padded.weights),
+                stream.n,
+                self.vocab.next_token_id,
+            )
         merges_needed = max(target_vocab_size - self.vocab.size, 0)
         start = time.perf_counter()
         total_done = 0
         early_stop = False
+        batches_run = 0
+
+        def _write_checkpoint():
+            from .checkpoint import TrainingCheckpoint, fingerprint_stream
+
+            nonlocal fingerprint
+            if fingerprint is None:
+                fingerprint = fingerprint_stream(stream)
+            TrainingCheckpoint(
+                merges=merges,
+                merge_counts=merge_counts,
+                next_token_id=self.vocab.next_token_id,
+                corpus_fingerprint=fingerprint,
+                target_vocab_size=target_vocab_size,
+            ).save(checkpoint_path)
 
         while total_done < merges_needed and not early_stop:
             batch = min(self.batch_merges, merges_needed - total_done)
@@ -118,6 +157,13 @@ class TPUTrainer:
                 )
             if early_stop:
                 logger.info("early stop after %d merges", total_done)
+
+            batches_run += 1
+            if checkpoint_path and batches_run % checkpoint_every == 0:
+                _write_checkpoint()
+
+        if checkpoint_path:
+            _write_checkpoint()
 
         elapsed = time.perf_counter() - start
         return TrainingResult(
