@@ -365,6 +365,68 @@ int decoder_pretokenize_prepare(const uint8_t* in, int64_t len,
   return 0;
 }
 
+// ── scripts / blocks / identifier security ──────────────────────────
+static int range_value_u16(const uint32_t* starts, const uint16_t* values,
+                           uint32_t count, uint32_t cp) {
+  if (cp >= kMaxCp || count == 0) return 0;
+  uint32_t lo = 0, hi = count;
+  while (hi - lo > 1) {
+    uint32_t mid = (lo + hi) >> 1;
+    if (starts[mid] <= cp) lo = mid; else hi = mid;
+  }
+  return values[lo];
+}
+
+static int in_range_set(const uint32_t* starts, const uint32_t* ends,
+                        uint32_t count, uint32_t cp) {
+  if (count == 0) return 0;
+  uint32_t lo = 0, hi = count;
+  while (lo < hi) {
+    uint32_t mid = (lo + hi) >> 1;
+    if (ends[mid] <= cp) lo = mid + 1; else hi = mid;
+  }
+  return lo < count && starts[lo] <= cp;
+}
+
+int decoder_get_script(uint32_t cp) {
+  return range_value_u16(kScriptRangeStart, kScriptRangeValue, kScriptRangeCount, cp);
+}
+int decoder_get_block(uint32_t cp) {
+  return range_value_u16(kBlockRangeStart, kBlockRangeValue, kBlockRangeCount, cp);
+}
+int decoder_is_in_block(uint32_t cp, int block) { return decoder_get_block(cp) == block; }
+
+int decoder_is_identifier_start(uint32_t cp) {
+  return in_range_set(kXidStartStart, kXidStartEnd, kXidStartCount, cp);
+}
+int decoder_is_identifier_continue(uint32_t cp) {
+  return in_range_set(kXidContinueStart, kXidContinueEnd, kXidContinueCount, cp);
+}
+int decoder_is_pattern_syntax(uint32_t cp) {
+  return in_range_set(kPatternSyntaxStart, kPatternSyntaxEnd, kPatternSyntaxCount, cp);
+}
+int decoder_is_pattern_whitespace(uint32_t cp) {
+  return in_range_set(kPatternWsStart, kPatternWsEnd, kPatternWsCount, cp);
+}
+
+// Mixed-script detection (UTS #39 style): suspicious when a single "word"
+// mixes multiple non-Common/Inherited scripts (excluding sanctioned CJK
+// combinations). Basis of the reference's decoder_is_suspicious.
+int decoder_is_suspicious(const uint32_t* cps, int64_t n) {
+  int base = 0;  // 0=unknown/common
+  for (int64_t i = 0; i < n; i++) {
+    int s = decoder_get_script(cps[i]);
+    if (s <= 2) continue;  // UNKNOWN / COMMON / INHERITED
+    // Han(37) combines with Hiragana(34)/Katakana(35)/Hangul(26)/Bopomofo(36)
+    bool cjk = (s == 37 || s == 34 || s == 35 || s == 26 || s == 36);
+    if (base == 0) { base = cjk ? 37 : s; continue; }
+    bool base_cjk = (base == 37);
+    if (cjk && base_cjk) continue;
+    if (s != base) return 1;
+  }
+  return 0;
+}
+
 // ── segmentation counts ──────────────────────────────────────────────
 int64_t decoder_count_graphemes(const uint32_t* cps, int64_t n) {
   if (n <= 0) return 0;

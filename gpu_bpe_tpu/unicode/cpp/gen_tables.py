@@ -77,6 +77,106 @@ def full_canonical_decomposition(cp: int) -> list[int]:
     return out
 
 
+# Reference script enum (decoder.mjs:57-94) — ids must match for API parity.
+REFERENCE_SCRIPTS = (
+    "UNKNOWN COMMON INHERITED LATIN GREEK CYRILLIC ARMENIAN HEBREW ARABIC SYRIAC "
+    "THAANA DEVANAGARI BENGALI GURMUKHI GUJARATI ORIYA TAMIL TELUGU KANNADA "
+    "MALAYALAM SINHALA THAI LAO TIBETAN MYANMAR GEORGIAN HANGUL ETHIOPIC CHEROKEE "
+    "CANADIAN_ABORIGINAL OGHAM RUNIC KHMER MONGOLIAN HIRAGANA KATAKANA BOPOMOFO "
+    "HAN YI OLD_ITALIC GOTHIC DESERET TAGALOG HANUNOO BUHID TAGBANWA LIMBU TAI_LE "
+    "LINEAR_B UGARITIC SHAVIAN OSMANYA CYPRIOT BRAILLE BUGINESE COPTIC NEW_TAI_LUE "
+    "GLAGOLITIC TIFINAGH SYLOTI_NAGRI OLD_PERSIAN KHAROSHTHI BALINESE CUNEIFORM "
+    "PHOENICIAN PHAGS_PA NKO SUNDANESE LEPCHA OL_CHIKI VAI SAURASHTRA KAYAH_LI "
+    "REJANG LYCIAN CARIAN LYDIAN CHAM TAI_THAM TAI_VIET AVESTAN "
+    "EGYPTIAN_HIEROGLYPHS SAMARITAN LISU BAMUM JAVANESE MEETEI_MAYEK "
+    "IMPERIAL_ARAMAIC OLD_SOUTH_ARABIAN INSCRIPTIONAL_PARTHIAN "
+    "INSCRIPTIONAL_PAHLAVI OLD_TURKIC KAITHI BATAK BRAHMI MANDAIC CHAKMA "
+    "MEROITIC_CURSIVE MEROITIC_HIEROGLYPHS MIAO SHARADA SORA_SOMPENG TAKRI "
+    "CAUCASIAN_ALBANIAN BASSA_VAH DUPLOYAN ELBASAN GRANTHA KHOJKI KHUDAWADI "
+    "LINEAR_A MAHAJANI MANICHAEAN MENDE_KIKAKUI MODI MRO NABATAEAN "
+    "OLD_NORTH_ARABIAN OLD_PERMIC PAHAWH_HMONG PALMYRENE PAU_CIN_HAU "
+    "PSALTER_PAHLAVI SIDDHAM TIRHUTA WARANG_CITI AHOM ANATOLIAN_HIEROGLYPHS "
+    "HATRAN MULTANI OLD_HUNGARIAN SIGNWRITING ADLAM BHAIKSUKI MARCHEN NEWA "
+    "OSAGE TANGUT MASARAM_GONDI NUSHU SOYOMBO ZANABAZAR_SQUARE DOGRA "
+    "GUNJALA_GONDI HANIFI_ROHINGYA MAKASAR MEDEFAIDRIN OLD_SOGDIAN SOGDIAN "
+    "ELYMAIC NANDINAGARI NYIAKENG_PUACHUE_HMONG WANCHO CHORASMIAN DIVES_AKURU "
+    "KHITAN_SMALL_SCRIPT YEZIDI CYPRO_MINOAN OLD_UYGHUR TANGSA TOTO VITHKUQI "
+    "KATAKANA_OR_HIRAGANA KAWI NAG_MUNDARI OL_ONAL TITUS TOLONG_SIKI SUNUWAR "
+    "TODHRI ARA_NAUZ GARAY GURUNG_KHEMA KIRAT_RAI ONEY TULU_TIGALARI SIDETIC "
+    "BERIA_ERFE TAI_YO"
+).split()
+
+
+def _property_ranges(pattern: str, all_text: str) -> list[tuple[int, int]]:
+    """[start, end) codepoint ranges matching a regex property class."""
+    import regex
+
+    pat = regex.compile(pattern + "+", regex.V1)
+    return [(m.start(), m.end()) for m in pat.finditer(all_text)]
+
+
+def generate_script_tables():
+    """Per-codepoint script ids (reference enum) as RLE ranges, plus
+    identifier-property sets, derived from the `regex` module's Unicode data."""
+    import regex
+
+    all_text = "".join(chr(cp) for cp in range(MAX_CP))
+    script_ids = [0] * MAX_CP  # UNKNOWN
+    available = 0
+    for sid, name in enumerate(REFERENCE_SCRIPTS):
+        if sid == 0 or name == "KATAKANA_OR_HIRAGANA":
+            continue
+        try:
+            ranges = _property_ranges(rf"\p{{Script={name}}}", all_text)
+        except regex.error:
+            continue  # script newer than the regex module's Unicode version
+        available += 1
+        for s, e in ranges:
+            for cp in range(s, e):
+                script_ids[cp] = sid
+
+    ident = {}
+    for key, pat in (
+        ("xid_start", r"\p{XID_Start}"),
+        ("xid_continue", r"\p{XID_Continue}"),
+        ("pattern_syntax", r"\p{Pattern_Syntax}"),
+        ("pattern_ws", r"\p{Pattern_White_Space}"),
+    ):
+        ident[key] = _property_ranges(pat, all_text)
+
+    # block ids from the regex module's enumeration (canonical names only)
+    import regex._regex_core as rc
+
+    block_map = rc.PROPERTIES["BLOCK"][1]
+    block_ids = [0] * MAX_CP
+    seen_ids = {}
+    for name, bid in block_map.items():
+        if bid in seen_ids or bid == 0:
+            continue
+        seen_ids[bid] = name
+        try:
+            ranges = _property_ranges(rf"\p{{Block={name}}}", all_text)
+        except regex.error:
+            continue
+        for s, e in ranges:
+            for cp in range(s, e):
+                block_ids[cp] = bid
+
+    return script_ids, block_ids, ident, available
+
+
+def rle(values) -> list[tuple[int, int]]:
+    out = []
+    prev = values[0]
+    start = 0
+    for cp in range(1, len(values)):
+        if values[cp] != prev:
+            out.append((start, prev))
+            start, prev = cp, values[cp]
+    out.append((start, prev))
+    return out
+
+
 def main(out_path: str) -> None:
     cats = []
     classes = []
@@ -155,6 +255,15 @@ def main(out_path: str) -> None:
     title = case_table(lambda c: c.title()[0] if c.title() else c)
     fold = case_table(str.casefold)
 
+    try:
+        script_ids, block_ids, ident, n_scripts = generate_script_tables()
+    except ImportError:
+        script_ids = block_ids = None
+        ident = {}
+        n_scripts = 0
+    script_ranges = rle(script_ids) if script_ids else [(0, 0)]
+    block_ranges = rle(block_ids) if block_ids else [(0, 0)]
+
     def fmt_u32(vals, per_line=12):
         lines = []
         for i in range(0, len(vals), per_line):
@@ -212,6 +321,38 @@ def main(out_path: str) -> None:
         w("inline constexpr uint32_t kCompValue[] = {\n")
         w(fmt_u32([e[1] for e in comp_entries]))
         w("};\n\n")
+
+        w(f"// scripts: {n_scripts} of {len(REFERENCE_SCRIPTS)} reference scripts resolved\n")
+        w(f"inline constexpr uint32_t kScriptRangeCount = {len(script_ranges)};\n")
+        w("inline constexpr uint32_t kScriptRangeStart[] = {\n")
+        w(fmt_u32([s for s, _ in script_ranges]))
+        w("};\n")
+        w("inline constexpr uint16_t kScriptRangeValue[] = {\n")
+        w(fmt_u32([v for _, v in script_ranges]))
+        w("};\n\n")
+
+        w(f"inline constexpr uint32_t kBlockRangeCount = {len(block_ranges)};\n")
+        w("inline constexpr uint32_t kBlockRangeStart[] = {\n")
+        w(fmt_u32([s for s, _ in block_ranges]))
+        w("};\n")
+        w("inline constexpr uint16_t kBlockRangeValue[] = {\n")
+        w(fmt_u32([v for _, v in block_ranges]))
+        w("};\n\n")
+
+        for key, cname in (
+            ("xid_start", "XidStart"),
+            ("xid_continue", "XidContinue"),
+            ("pattern_syntax", "PatternSyntax"),
+            ("pattern_ws", "PatternWs"),
+        ):
+            ranges = ident.get(key, [])
+            w(f"inline constexpr uint32_t k{cname}Count = {len(ranges)};\n")
+            w(f"inline constexpr uint32_t k{cname}Start[] = {{\n")
+            w(fmt_u32([s for s, _ in ranges] or [0]))
+            w("};\n")
+            w(f"inline constexpr uint32_t k{cname}End[] = {{\n")
+            w(fmt_u32([e for _, e in ranges] or [0]))
+            w("};\n\n")
 
         for name, tab in (("Upper", upper), ("Lower", lower), ("Title", title), ("Fold", fold)):
             w(f"inline constexpr uint32_t k{name}Count = {len(tab)};\n")

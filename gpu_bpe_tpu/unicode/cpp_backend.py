@@ -68,6 +68,18 @@ def _load():
         fn = getattr(lib, name)
         fn.argtypes = [C.POINTER(C.c_uint32), C.c_int64]
         fn.restype = C.c_int64
+    for name in (
+        "decoder_get_script decoder_get_block decoder_is_identifier_start "
+        "decoder_is_identifier_continue decoder_is_pattern_syntax "
+        "decoder_is_pattern_whitespace"
+    ).split():
+        fn = getattr(lib, name)
+        fn.argtypes = [C.c_uint32]
+        fn.restype = C.c_int
+    lib.decoder_is_in_block.argtypes = [C.c_uint32, C.c_int]
+    lib.decoder_is_in_block.restype = C.c_int
+    lib.decoder_is_suspicious.argtypes = [C.POINTER(C.c_uint32), C.c_int64]
+    lib.decoder_is_suspicious.restype = C.c_int
     lib.decoder_init()
     return lib
 
@@ -214,6 +226,36 @@ class CppUnicodeBackend(PyUnicodeBackend):
     def is_valid_utf8(self, data: bytes) -> bool:
         data = bytes(data)
         return bool(self._lib.decoder_is_valid_utf8(data, len(data)))
+
+    # ── scripts / blocks / identifier security (decoder.mjs:368-383) ──
+    def get_script(self, cp: int) -> int:
+        return self._lib.decoder_get_script(cp)
+
+    def get_block(self, cp: int) -> int:
+        return self._lib.decoder_get_block(cp)
+
+    def is_in_block(self, cp: int, block: int) -> bool:
+        return bool(self._lib.decoder_is_in_block(cp, block))
+
+    def is_identifier_start(self, cp: int) -> bool:
+        return bool(self._lib.decoder_is_identifier_start(cp))
+
+    def is_identifier_continue(self, cp: int) -> bool:
+        return bool(self._lib.decoder_is_identifier_continue(cp))
+
+    def is_pattern_syntax(self, cp: int) -> bool:
+        return bool(self._lib.decoder_is_pattern_syntax(cp))
+
+    def is_pattern_whitespace(self, cp: int) -> bool:
+        return bool(self._lib.decoder_is_pattern_whitespace(cp))
+
+    def is_suspicious(self, s: str) -> bool:
+        cps = np.array([ord(c) for c in s], dtype=np.uint32)
+        if not len(cps):
+            return False
+        return bool(
+            self._lib.decoder_is_suspicious(cps.ctypes.data_as(C.POINTER(C.c_uint32)), len(cps))
+        )
 
     def count_graphemes(self, s: str) -> int:
         cps = np.array([ord(c) for c in s], dtype=np.uint32)

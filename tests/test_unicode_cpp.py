@@ -133,3 +133,37 @@ def test_backend_selection_prefers_cpp():
     u._BACKEND = None
     backend = u.get_backend()
     assert backend.name == "cpp-decoder"
+
+
+class TestScriptsAndIdentifiers:
+    def test_scripts_match_regex_module(self, cpp):
+        import regex
+
+        from gpu_bpe_tpu.unicode.enums import Script
+
+        assert cpp.get_script(ord("a")) == Script.LATIN
+        assert cpp.get_script(ord("α")) == Script.GREEK
+        assert cpp.get_script(ord("ж")) == Script.CYRILLIC
+        assert cpp.get_script(ord("中")) == Script.HAN
+        assert cpp.get_script(ord("あ")) == Script.HIRAGANA
+        assert cpp.get_script(ord(" ")) == Script.COMMON
+        assert cpp.get_script(0x0301) == Script.INHERITED
+        assert cpp.get_script(0xE000) == Script.UNKNOWN  # private use
+
+    def test_blocks(self, cpp):
+        assert cpp.get_block(ord("a")) == cpp.get_block(ord("z"))
+        assert cpp.get_block(ord("a")) != cpp.get_block(0x0400)
+        assert cpp.is_in_block(ord("a"), cpp.get_block(ord("b")))
+
+    def test_identifier_properties(self, cpp):
+        assert cpp.is_identifier_start(ord("a"))
+        assert not cpp.is_identifier_start(ord("1"))
+        assert cpp.is_identifier_continue(ord("1"))
+        assert cpp.is_pattern_syntax(ord("+"))
+        assert cpp.is_pattern_whitespace(ord(" "))
+        assert not cpp.is_pattern_whitespace(ord("a"))
+
+    def test_suspicious_mixed_script(self, cpp):
+        assert cpp.is_suspicious("pаypal")  # Cyrillic 'а' in Latin word
+        assert not cpp.is_suspicious("paypal")
+        assert not cpp.is_suspicious("日本語です")  # Han+Hiragana sanctioned
