@@ -92,8 +92,13 @@ def make_stream(
 
 
 def pad_stream(stream: SymbolStream, multiple: int = 1024) -> SymbolStream:
-    """Pad to a static capacity (tail symbols = 0, which never form pairs)."""
-    cap = max(((stream.n + multiple - 1) // multiple) * multiple, multiple)
+    """Pad to a static capacity (tail symbols = 0, which never form pairs).
+
+    Headroom of at least COMPACT_EVERY+2 zeros past the stream guarantees the
+    hole-skipping roll chains in ops/train_step.py never wrap onto live data.
+    """
+    headroom = 16
+    cap = max(((stream.n + headroom + multiple - 1) // multiple) * multiple, multiple)
     symbols = np.zeros(cap, dtype=np.uint32)
     weights = np.zeros(cap, dtype=np.int32)
     symbols[: stream.n] = stream.symbols[: stream.n]

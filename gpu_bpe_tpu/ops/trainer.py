@@ -133,14 +133,11 @@ class TPUTrainer:
                 while new_cap > _MIN_CAP and n_now + 1 <= new_cap // 4:
                     new_cap //= 2
             if new_cap != cap:
-                state = TrainState(
+                # train_batch ends compacted (dirty=0, extent=n), so slicing
+                # the zero tail is safe.
+                state = state._replace(
                     symbols=state.symbols[:new_cap],
                     weights=state.weights[:new_cap],
-                    n=state.n,
-                    next_id=state.next_id,
-                    early_stop=state.early_stop,
-                    merges_done=state.merges_done,
-                    merge_log=state.merge_log,
                 )
 
             elapsed = time.perf_counter() - start

@@ -124,3 +124,31 @@ class TestDeviceKernels:
         # weighted: (a,b)=5, (b,c)=5, (c,d)=1 — tie broken by smaller pair id
         assert int(count) == 5
         assert int(pair) == pack_pair(ord("a"), ord("b"))
+
+
+class TestHoleRunStress:
+    """Overlapping-occurrence merges create hole runs longer than the
+    next-valid lookahead in a single merge; the emergency compaction must
+    keep counts exact."""
+
+    def test_long_identical_runs(self):
+        data = b"xy" + b"a" * 64 + b"xy" + b"a" * 64 + b"zz" + b"a" * 32
+        oracle = _oracle(data, None, 300)
+        tpu = TPUTrainer().train(data, None, target_vocab_size=300, dedup=False)
+        assert tpu.merges == oracle.merges
+        assert tpu.merge_counts == oracle.merge_counts
+
+    def test_space_runs_realistic(self, english_text):
+        # long whitespace runs (indentation-like) inside real text
+        text = english_text[:3000] + "\n" + " " * 100 + "code\n" + " " * 100 + "more"
+        data, starts = _pretok(text)
+        oracle = _oracle(data, starts, 310)
+        tpu = TPUTrainer().train(data, starts, target_vocab_size=310)
+        assert tpu.merges == oracle.merges
+
+    def test_alternating_overlap(self):
+        # "ababab..." — merging (a,b) then (Z,Z) exercises chained removals
+        data = b"ab" * 100 + b"\x00" + b"cd" * 50
+        oracle = _oracle(data, None, 300)
+        tpu = TPUTrainer().train(data, None, target_vocab_size=300, dedup=False)
+        assert tpu.merges == oracle.merges
