@@ -11,10 +11,15 @@ Where the reference uses an open-addressing atomic hash table + two-pass max
 reduction + Blelloch scan/scatter compaction (all GPU idioms), this
 implementation uses TPU idioms:
 
-* pair counting  — one ``lax.sort`` of (pair_id, weight) + segmented run
-  totals via cumsum/cummax scans (no scatter: TPU has no fast scatter).
-* winner         — two-pass reduction: max count, then min pair id among
-  ties. Identical deterministic ordering to ``is_better``
+* pair counting  — lazy-candidate windows: a full count is one ``lax.sort``
+  of (pair_id, weight) + segmented run totals via cumsum/cummax scans (no
+  scatter: TPU has no fast scatter). Between full counts, the winner is
+  certified from a top-K candidate set whose counts are recomputed exactly
+  every merge with a [N, K] masked compare (~50x cheaper than the sort);
+  the certificate (see ``_one_merge``) proves the candidate winner equals
+  the global argmax, else the step falls back to a full recount. The merge
+  list is bitwise-identical to recounting every merge.
+* winner         — deterministic ordering identical to ``is_better``
   (train.wgsl:83-85): count desc, pair id asc.
 * merge          — fully vectorized elementwise rule computed from the
   original array (same read-all-before-write semantics as
@@ -50,6 +55,12 @@ _HOLE = jnp.uint32(0xFFFFFFFF)  # removed-symbol sentinel (never a valid symbol)
 # merges since the last compaction, so lookahead depth == COMPACT_EVERY.
 COMPACT_EVERY = 8
 
+# Lazy-candidate window: number of tracked top pairs between full recounts.
+K_CANDIDATES = 64
+# Hash bins for the new-pair upper-bound histogram: 32x32 one-hot matmul.
+_UB_SIDE = 32
+_I32_MAX = 2**31 - 1  # plain int: a shared jax array would die under donation
+
 
 class TrainState(NamedTuple):
     """Device-side iteration state (the reference's IterState, train.wgsl:45-58)."""
@@ -63,6 +74,13 @@ class TrainState(NamedTuple):
     early_stop: jax.Array  # bool scalar
     merges_done: jax.Array  # i32 scalar — merges done this batch
     merge_log: jax.Array  # u32 [BATCH_MERGES, 3] — (pair, new_id, count)
+    # Lazy-candidate window (see _one_merge): tracked top pairs, the count
+    # ceiling for every untracked old pair, and the count ceiling for every
+    # pair containing a token created since the last full recount.
+    cand: jax.Array  # u32 [K_CANDIDATES]
+    theta: jax.Array  # i32 scalar
+    ub_new: jax.Array  # i32 scalar
+    recounts: jax.Array  # i32 scalar — full recounts performed (diagnostics)
 
 
 def init_state(symbols: jax.Array, weights: jax.Array, n, next_id) -> TrainState:
@@ -76,6 +94,10 @@ def init_state(symbols: jax.Array, weights: jax.Array, n, next_id) -> TrainState
         early_stop=jnp.asarray(False),
         merges_done=jnp.asarray(0, jnp.int32),
         merge_log=jnp.zeros((BATCH_MERGES, 3), _U32),
+        cand=jnp.zeros((K_CANDIDATES,), _U32),
+        theta=jnp.asarray(_I32_MAX, jnp.int32),  # forces a recount first
+        ub_new=jnp.asarray(0, jnp.int32),
+        recounts=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -137,18 +159,45 @@ def _pair_ids(symbols: jax.Array, n: jax.Array, iota: jax.Array):
     return pair, valid
 
 
-def _best_of_runs(sp: jax.Array, sw: jax.Array):
-    """Winner over a sorted pair stream: (pair, count) with the reference
-    tie-break (count desc, pair asc)."""
+def _run_totals(sp: jax.Array, sw: jax.Array) -> jax.Array:
+    """Per-run weight totals of a sorted pair stream, placed at run ends
+    (0 elsewhere and for the invalid pair id 0)."""
     is_end = jnp.concatenate([sp[:-1] != sp[1:], jnp.ones((1,), bool)])
     csum = jnp.cumsum(sw, dtype=jnp.int32)
     end_csum = jnp.where(is_end, csum, 0)
     prev_end = jnp.concatenate([jnp.zeros((1,), jnp.int32), lax.cummax(end_csum)[:-1]])
-    run_total = jnp.where(is_end & (sp != 0), csum - prev_end, 0)
+    return jnp.where(is_end & (sp != 0), csum - prev_end, 0)
+
+
+def _best_of_runs(sp: jax.Array, sw: jax.Array):
+    """Winner over a sorted pair stream: (pair, count) with the reference
+    tie-break (count desc, pair asc)."""
+    run_total = _run_totals(sp, sw)
     best_count = jnp.max(run_total)
     best_pair = jnp.min(jnp.where((run_total == best_count) & (sp != 0), sp, _INVALID))
     best_pair = jnp.where(best_count > 0, best_pair, _U32(0))
     return best_pair, best_count
+
+
+def _ub_histogram(toks: jax.Array, w_masked: jax.Array) -> jax.Array:
+    """Sound i32 upper bound on the weighted count of ANY single token value
+    in ``toks`` (positions with ``w_masked == 0`` excluded).
+
+    Hashes the 16-bit token into 1024 bins decomposed as a 32x32 one-hot
+    outer product, so the whole histogram is one [32, N] x [N, 32] matmul on
+    the MXU. Collisions only ever ADD mass to a bin, and the f32 matmul's
+    rounding error is compensated with a multiplicative + additive slack, so
+    the returned bound is conservative in the safe direction.
+    """
+    h = ((toks * _U32(2654435761)) >> _U32(16)) & _U32(1023)
+    hi = (h >> _U32(5)).astype(jnp.int32)
+    lo = (h & _U32(31)).astype(jnp.int32)
+    io = lax.broadcasted_iota(jnp.int32, (1, _UB_SIDE), 1)
+    a = jnp.where(hi[:, None] == io, w_masked[:, None].astype(jnp.float32), 0.0)
+    c = jnp.where(lo[:, None] == io, 1.0, 0.0)
+    bins = lax.dot_general(a, c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    mx = jnp.max(bins) * (1.0 + 1e-5) + 2.0  # slack >> f32 accumulation error
+    return jnp.where(mx > 2e9, jnp.int32(_I32_MAX), mx.astype(jnp.int32))
 
 
 def find_best_pair(symbols: jax.Array, weights: jax.Array, n: jax.Array):
@@ -193,13 +242,51 @@ def _compact(symbols, weights, n, extent, iota):
 
 
 def _one_merge(state: TrainState) -> TrainState:
+    """One exact merge with lazy-candidate counting.
+
+    The winner is the global weighted argmax pair with the reference
+    tie-break. Proof of exactness of the candidate fast path: let R be the
+    last full recount. (1) Every pair present at R that is not in ``cand``
+    had count <= theta at R, and counts of pairs containing no post-R token
+    never increase (merges only destroy such pairs; every created pair
+    contains the token the merge created). (2) Every pair containing a
+    post-R token Z_j had, at its creation, count <= the max hash-bin of the
+    Z_j-position histograms (collisions only add), recorded in ``ub_new``;
+    such pairs never gain occurrences afterwards (new adjacencies always
+    involve a strictly newer token, which carries its own bound). (3)
+    Candidate counts are recomputed exactly from the live stream every
+    iteration. Hence if max-candidate-count m > max(theta, ub_new), the
+    candidate winner is the global winner; ties need strict inequality,
+    which the certificate enforces. Otherwise fall back to a full recount.
+    """
     cap = state.symbols.shape[0]
     iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
     lookahead = COMPACT_EVERY
 
     pair, w, nxt = _masked_pairs(state.symbols, state.weights, state.extent, iota, lookahead)
-    sp, sw = lax.sort((pair, w), num_keys=1)
-    best_pair, count = _best_of_runs(sp, sw)
+
+    # ── exact candidate recount: [N, K] masked compare, no sort ──
+    eq = pair[:, None] == state.cand[None, :]
+    cand_counts = jnp.sum(jnp.where(eq, w[:, None], 0), axis=0)
+    m = jnp.max(cand_counts)
+    cand_winner = jnp.min(jnp.where(cand_counts == m, state.cand, _INVALID))
+    certified = (m > state.theta) & (m > state.ub_new) & (m >= 2)
+
+    def from_candidates(_):
+        return cand_winner, m, state.cand, state.theta, state.ub_new
+
+    def full_recount(_):
+        sp, sw = lax.sort((pair, w), num_keys=1)
+        run_total = _run_totals(sp, sw)
+        # top-(K+1) run totals; lax.top_k breaks ties toward the lower index,
+        # and sp is ascending in pair id, so equal counts prefer the smaller
+        # pair — exactly the reference's is_better ordering (train.wgsl:83-85)
+        vals, idx = lax.top_k(run_total, K_CANDIDATES + 1)
+        new_cand = sp[idx[: K_CANDIDATES]]
+        return new_cand[0], vals[0], new_cand, vals[K_CANDIDATES], jnp.asarray(0, jnp.int32)
+
+    best_pair, count, cand, theta, ub_new = lax.cond(certified, from_candidates, full_recount, None)
+    recounts = state.recounts + jnp.where(certified, 0, 1)
     stop = (count < 2) | (state.next_id > _TOKEN_MASK)
 
     def do_merge(st: TrainState) -> TrainState:
@@ -246,24 +333,44 @@ def _one_merge(state: TrainState) -> TrainState:
 
         # Hole runs grow by more than 1 per merge when occurrences overlap
         # (e.g. "aaaa" under (a,a) removes adjacent symbols); compact as soon
-        # as any run would exceed the next-valid lookahead.
-        is_hole = merged == _HOLE
-        last_valid = lax.cummax(jnp.where(~is_hole, iota, -1))
-        max_run = jnp.max(jnp.where(is_hole & (iota < st.extent), iota - last_valid, 0))
+        # as any run exceeds the next-valid lookahead. A run in the interior
+        # longer than the lookahead is exactly a valid position whose
+        # next-valid chain exhausted (returned HOLE); trailing runs that
+        # bleed into the zero padding are harmless (tok 0 never pairs), so
+        # missing them is fine.
+        nxt_m = _next_valid(merged, lookahead)
+        prv_m = _prev_valid(merged, lookahead)
+        overflow = jnp.any((merged != _HOLE) & (nxt_m == _HOLE))
 
         def with_compact(args):
             sym, wts = _compact(args[0], args[1], n_new, st.extent, iota)
-            return sym, wts, n_new, jnp.asarray(0, jnp.int32)
+            # compacted stream has no holes: neighbors are single rolls
+            return sym, wts, n_new, jnp.asarray(0, jnp.int32), jnp.roll(sym, 1), jnp.roll(sym, -1)
 
         def no_compact(args):
-            return args[0], args[1], st.extent, dirty
+            return args[0], args[1], st.extent, dirty, prv_m, nxt_m
 
-        sym2, w2, extent2, dirty2 = lax.cond(
-            (dirty >= COMPACT_EVERY) | (max_run > lookahead),
+        sym2, w2, extent2, dirty2, prev2, next2 = lax.cond(
+            (dirty >= COMPACT_EVERY) | overflow,
             with_compact,
             no_compact,
             (merged, st.weights),
         )
+
+        # ── created-pair ceiling for the lazy-candidate certificate ──
+        # Every pair containing the token Z created by THIS merge sits at a
+        # Z position of the post-merge stream: (prev, Z) and (Z, next).
+        # Bound both sides with the hashed-bin histogram (sound under
+        # collisions; permissive masks only ever add mass).
+        tok2 = sym2 & _TOKEN_MASK
+        z_mask = (tok2 == (st.next_id & _TOKEN_MASK)) & (sym2 != _HOLE)
+        w_left = jnp.where(z_mask & ((sym2 & _WS_BIT) == 0), w2, 0)
+        w_right = jnp.where(z_mask & ((next2 & _WS_BIT) == 0), w2, 0)
+        ub_merge = jnp.maximum(
+            _ub_histogram(prev2 & _TOKEN_MASK, w_left),
+            _ub_histogram(next2 & _TOKEN_MASK, w_right),
+        )
+
         return TrainState(
             symbols=sym2,
             weights=w2,
@@ -274,6 +381,10 @@ def _one_merge(state: TrainState) -> TrainState:
             early_stop=st.early_stop,
             merges_done=st.merges_done + 1,
             merge_log=log,
+            cand=cand,
+            theta=theta,
+            ub_new=jnp.maximum(ub_new, ub_merge),
+            recounts=recounts,
         )
 
     def do_stop(st: TrainState) -> TrainState:
