@@ -32,9 +32,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..constants import adaptive_chunk_size
+from ..constants import INVALID_TOKEN, adaptive_chunk_size
 
-_POS_CHUNK = 16384  # positions per join tile
+_PAD_TOKEN = jnp.uint32(INVALID_TOKEN)  # never a real id (ids are 16-bit)
+_SCAN_UNROLL = 8  # chunk offsets consumed per scan step (amortizes loop overhead)
+_PAGE_TOKENS = 1 << 21  # u16 tokens per device->host fetch page (4 MB)
 
 
 def _pack_keys(token: bytes) -> np.ndarray:
@@ -97,7 +99,6 @@ def build_match_table(
     the walk then emits the raw byte (reference fallback).
     """
     n = data.shape[0]
-    assert n % _POS_CHUNK == 0 or n < _POS_CHUNK, "pad input to the position-chunk size"
     data_u32 = data.astype(jnp.uint32)
     iota = lax.broadcasted_iota(jnp.int32, (n,), 0)
     chunk_end = jnp.minimum((iota // chunk_size + 1) * chunk_size, input_len)
@@ -151,21 +152,11 @@ def build_match_table(
             len_c = jnp.where(hit, ln, len_c)
         return id_c, len_c
 
-    if n <= _POS_CHUNK:
-        return join_chunk((sub_words, match_id, match_len, iota, chunk_end))
-
-    shape = (n // _POS_CHUNK, _POS_CHUNK)
-    out_id, out_len = lax.map(
-        join_chunk,
-        (
-            sub_words.reshape(shape + (max_words,)),
-            match_id.reshape(shape),
-            match_len.reshape(shape),
-            iota.reshape(shape),
-            chunk_end.reshape(shape),
-        ),
-    )
-    return out_id.reshape(n), out_len.reshape(n)
+    # One fused pass over all positions: XLA folds the [N, V_l] equality
+    # tiles into the max-reductions without materializing them, and a single
+    # op avoids lax.map's ~0.2 ms/iteration loop overhead (which dominated
+    # at 1024 position chunks).
+    return join_chunk((sub_words, match_id, match_len, iota, chunk_end))
 
 
 def chunk_walk(
@@ -175,10 +166,72 @@ def chunk_walk(
     input_len: jax.Array,
     chunk_size: int,
 ):
-    """Greedy emission per chunk, vectorized across chunks.
+    """Greedy emission per chunk, all chunks in lockstep.
 
-    Returns (tokens [C, chunk_size] u32, counts [C] i32).
+    The per-thread trie walk of the reference (tokenize.wgsl:123-166) is a
+    chain of data-dependent jumps — poison for a vector unit if implemented
+    with gathers (measured ~5 MB/s). Instead: because every jump is at most
+    ``max_token_len`` bytes, the walk is a ``lax.scan`` over the chunk-local
+    offset t with one u32 carry per chunk, bit k meaning "an emission is
+    scheduled at offset t+k". Each step consumes bit 0, emits the
+    position-aligned token (or PAD), and schedules the next emission by
+    OR-ing ``1 << step`` — no gathers, no history, ~6 VPU ops per step on a
+    [C]-wide lane vector.
+
+    Returns (tokens [C, chunk_size] u32 position-aligned with PAD holes,
+    counts [C] i32). Flattening the non-PAD entries of ``tokens`` row-major
+    reproduces the reference's exact output order.
     """
+    n = match_id.shape[0]
+    num_chunks = n // chunk_size
+    assert match_len is not None
+
+    matched = match_id >= 0
+    tok = jnp.where(matched, match_id, data.astype(jnp.int32)).astype(jnp.uint32)
+    # jump distance, clamped to the u32 schedule window (callers guarantee
+    # max_token_len <= 31 — adaptive_chunk_size keeps real vocabs far below)
+    step = jnp.clip(jnp.where(matched, match_len, 1), 1, 31).astype(jnp.uint32)
+    allowed = lax.broadcasted_iota(jnp.int32, (n,), 0) < input_len
+
+    # [N] -> [chunk_size/U, U, C]: lax.scan feeds U offset-columns per step,
+    # the python loop below unrolls them (cuts loop-iteration overhead 8x)
+    u = _SCAN_UNROLL if chunk_size % _SCAN_UNROLL == 0 else 1
+
+    def cols(x):
+        return x.reshape(num_chunks, chunk_size // u, u).transpose(1, 2, 0)
+
+    def body(pending, xs):
+        tok_u, step_u, allowed_u, is_start_u = xs
+        outs = []
+        for k in range(u):
+            emit = (((pending & 1) == 1) | is_start_u[k]) & allowed_u[k]
+            sched = jnp.where(emit, jnp.uint32(1) << step_u[k], jnp.uint32(0))
+            pending = (pending | sched) >> 1
+            outs.append(jnp.where(emit, tok_u[k], _PAD_TOKEN))
+        return pending, jnp.stack(outs)
+
+    is_start = jnp.zeros((chunk_size // u, u, num_chunks), bool).at[0, 0].set(True)
+    _, out = lax.scan(
+        body,
+        jnp.zeros((num_chunks,), jnp.uint32),
+        (cols(tok), cols(step), cols(allowed), is_start),
+    )
+    # out: [chunk/U, U, C] -> [C, chunk_size] position-aligned
+    tokens = out.reshape(chunk_size, num_chunks).T
+    counts = jnp.sum(tokens != _PAD_TOKEN, axis=1, dtype=jnp.int32)
+    return tokens, counts
+
+
+def chunk_walk_gather(
+    match_id: jax.Array,
+    match_len: jax.Array,
+    data: jax.Array,
+    input_len: jax.Array,
+    chunk_size: int,
+):
+    """Fallback greedy walk for vocabs with tokens longer than 31 bytes
+    (outside the u32 schedule window of ``chunk_walk``). One gather-driven
+    jump per step; correct for any token length but much slower."""
     n = match_id.shape[0]
     num_chunks = n // chunk_size
     c_iota = lax.broadcasted_iota(jnp.int32, (num_chunks,), 0)
@@ -190,24 +243,25 @@ def chunk_walk(
         return jnp.any(pos < chunk_end)
 
     def body(st):
-        pos, cnt, toks = st
+        pos, step, toks = st
         active = pos < chunk_end
         safe = jnp.minimum(pos, n - 1)
         mid = match_id[safe]
         mlen = match_len[safe]
         matched = mid >= 0
         tok = jnp.where(matched, mid, data[safe].astype(jnp.int32)).astype(jnp.uint32)
-        step = jnp.maximum(jnp.where(matched, mlen, 1), 1)
-        slot = jnp.minimum(cnt, chunk_size - 1)
-        toks = toks.at[c_iota, slot].set(jnp.where(active, tok, toks[c_iota, slot]))
-        return (
-            jnp.where(active, pos + step, pos),
-            jnp.where(active, cnt + 1, cnt),
-            toks,
-        )
+        adv = jnp.maximum(jnp.where(matched, mlen, 1), 1)
+        col = jnp.where(active, tok, _PAD_TOKEN)
+        toks = lax.dynamic_update_slice(toks, col[:, None], (0, step))
+        return (jnp.where(active, pos + adv, pos), step + 1, toks)
 
-    init = (chunk_start, jnp.zeros((num_chunks,), jnp.int32), jnp.zeros((num_chunks, chunk_size), jnp.uint32))
-    _, counts, tokens = lax.while_loop(cond, body, init)
+    init = (
+        chunk_start,
+        jnp.asarray(0, jnp.int32),
+        jnp.full((num_chunks, chunk_size), _PAD_TOKEN, jnp.uint32),
+    )
+    _, _, tokens = lax.while_loop(cond, body, init)
+    counts = jnp.sum(tokens != _PAD_TOKEN, axis=1, dtype=jnp.int32)
     return tokens, counts
 
 
@@ -233,29 +287,56 @@ class TPUTokenizer:
 
     def _encode_pass_impl(self, data_padded: jax.Array, input_len: jax.Array):
         mid, mlen = build_match_table(data_padded, self.tables, input_len, self.chunk_size)
-        return chunk_walk(mid, mlen, data_padded, input_len, self.chunk_size)
+        walk = chunk_walk if self.tables.max_token_len <= 31 else chunk_walk_gather
+        tokens, _counts = walk(mid, mlen, data_padded, input_len, self.chunk_size)
+        # Device-side compaction (the reference's trie_prefix_sum +
+        # trie_tokenizer_compact, tokenize.wgsl:177-243): strip PAD holes
+        # with one stable sort so the host reads back only real tokens —
+        # as u16 (ids are 16-bit by design), halving the transfer.
+        flat = tokens.reshape(-1)
+        valid = flat != _PAD_TOKEN
+        total = jnp.sum(valid, dtype=jnp.int32)
+        n = flat.shape[0]
+        iot = lax.broadcasted_iota(jnp.uint32, (n,), 0)
+        key = jnp.where(valid, iot, jnp.uint32(0xFFFFFFFF))
+        _, compact = lax.sort((key, flat.astype(jnp.uint16)), num_keys=1)
+        pad = (-n) % _PAGE_TOKENS
+        if pad:
+            compact = jnp.concatenate([compact, jnp.zeros((pad,), jnp.uint16)])
+        return compact.reshape(-1, _PAGE_TOKENS), total
 
     def encode_bytes(self, data: bytes) -> np.ndarray:
         data = bytes(data)
         if not data:
             return np.zeros(0, dtype=np.uint32)
-        parts = [
+        # dispatch every pass first: pass k+1 computes while pass k's pages
+        # stream back over the (slow) host link
+        passes = [
             self._encode_single_pass(data[off : off + self.max_pass_bytes])
             for off in range(0, len(data), self.max_pass_bytes)
         ]
+        parts = [self._fetch_tokens(pages, total) for pages, total in passes]
         return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
-    def _encode_single_pass(self, data: bytes) -> np.ndarray:
+    def _encode_single_pass(self, data: bytes):
         n = len(data)
-        align = np.lcm(self.chunk_size, _POS_CHUNK)
-        cap = max(((n + align - 1) // align) * align, align)
+        # power-of-two capacity buckets: a handful of compiled shapes serve
+        # any input size (padding is masked out via input_len)
+        cap = 1 << 16
+        while cap < n:
+            cap <<= 1
+        cap = -(-cap // self.chunk_size) * self.chunk_size  # chunk-aligned
         buf = np.zeros(cap, dtype=np.uint8)
         buf[:n] = np.frombuffer(data, dtype=np.uint8)
-        tokens, counts = self._encode_pass(jnp.asarray(buf), jnp.asarray(n, jnp.int32))
-        tokens = np.asarray(tokens)
-        counts = np.asarray(counts)
-        mask = np.arange(tokens.shape[1])[None, :] < counts[:, None]
-        return tokens[mask].astype(np.uint32)
+        return self._encode_pass(jnp.asarray(buf), jnp.asarray(n, jnp.int32))
+
+    @staticmethod
+    def _fetch_tokens(pages: jax.Array, total: jax.Array) -> np.ndarray:
+        tot = int(total)
+        n_pages = -(-tot // _PAGE_TOKENS) if tot else 0
+        host = [np.asarray(pages[i]) for i in range(n_pages)]
+        out = np.concatenate(host)[:tot] if host else np.zeros(0, np.uint16)
+        return out.astype(np.uint32)
 
     def decode(self, tokens) -> bytes:
         from ..core.encoder_ref import decode_tokens
