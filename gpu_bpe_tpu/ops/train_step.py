@@ -179,15 +179,12 @@ def _best_of_runs(sp: jax.Array, sw: jax.Array):
     return best_pair, best_count
 
 
-def _ub_histogram(toks: jax.Array, w_masked: jax.Array) -> jax.Array:
-    """Sound i32 upper bound on the weighted count of ANY single token value
-    in ``toks`` (positions with ``w_masked == 0`` excluded).
+def _ub_bins(toks: jax.Array, w_masked: jax.Array) -> jax.Array:
+    """Hashed weighted histogram of 16-bit token values, [32, 32] f32 bins.
 
-    Hashes the 16-bit token into 1024 bins decomposed as a 32x32 one-hot
-    outer product, so the whole histogram is one [32, N] x [N, 32] matmul on
-    the MXU. Collisions only ever ADD mass to a bin, and the f32 matmul's
-    rounding error is compensated with a multiplicative + additive slack, so
-    the returned bound is conservative in the safe direction.
+    1024 bins decomposed as a 32x32 one-hot outer product, so the whole
+    histogram is one [32, N] x [N, 32] matmul on the MXU. Positions with
+    ``w_masked == 0`` contribute nothing; collisions only ever ADD mass.
     """
     h = ((toks * _U32(2654435761)) >> _U32(16)) & _U32(1023)
     hi = (h >> _U32(5)).astype(jnp.int32)
@@ -195,8 +192,13 @@ def _ub_histogram(toks: jax.Array, w_masked: jax.Array) -> jax.Array:
     io = lax.broadcasted_iota(jnp.int32, (1, _UB_SIDE), 1)
     a = jnp.where(hi[:, None] == io, w_masked[:, None].astype(jnp.float32), 0.0)
     c = jnp.where(lo[:, None] == io, 1.0, 0.0)
-    bins = lax.dot_general(a, c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    mx = jnp.max(bins) * (1.0 + 1e-5) + 2.0  # slack >> f32 accumulation error
+    return lax.dot_general(a, c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _ub_from_bins(bins: jax.Array) -> jax.Array:
+    """Sound i32 ceiling from f32 bins: the max bin inflated past any f32
+    accumulation error (safe direction: only ever over-estimates)."""
+    mx = jnp.max(bins) * (1.0 + 1e-5) + 2.0
     return jnp.where(mx > 2e9, jnp.int32(_I32_MAX), mx.astype(jnp.int32))
 
 
@@ -239,6 +241,85 @@ def _compact(symbols, weights, n, extent, iota):
     sym_c = jnp.where(iota < n, sym_c, _U32(0))
     w_c = jnp.where(iota < n, w_c, 0)
     return sym_c, w_c
+
+
+def apply_merge_with_holes(symbols, weights, n, extent, dirty, pair, new_id, nxt, lookahead):
+    """Apply one merge to a holed stream (deferred compaction) and measure
+    the created-pair histogram bins for the lazy-candidate certificate.
+
+    Shared by the single-chip step and the per-shard body of the
+    distributed step (which psums the bins across shards before taking the
+    ceiling). Returns (symbols', weights', n', extent', dirty', bins_left,
+    bins_right).
+    """
+    cap = symbols.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    tok = symbols & _TOKEN_MASK
+    ws = symbols & _WS_BIT
+    a = pair >> _U32(16)
+    b = pair & _TOKEN_MASK
+    valid = symbols != _HOLE
+    nxt_tok = nxt & _TOKEN_MASK
+
+    # A-side: position i whose next-valid matches (a,b) — rewrite to Z.
+    sites = (
+        valid
+        & (iota < extent - 1)
+        & (nxt != _HOLE)
+        & (tok == a)
+        & (nxt_tok == b)
+        & ((nxt & _WS_BIT) == 0)
+    )
+    # B-side: position j whose prev-valid is the A of the pair — remove.
+    prv = _prev_valid(symbols, lookahead)
+    removed = (
+        valid
+        & (iota > 0)
+        & (tok == b)
+        & ((symbols & _WS_BIT) == 0)
+        & (prv != _HOLE)
+        & ((prv & _TOKEN_MASK) == a)
+    )
+    merged = jnp.where(sites, new_id | ws, symbols)
+    merged = jnp.where(removed, _HOLE, merged)
+    n_new = n - jnp.sum(removed, dtype=jnp.int32)
+    dirty_new = dirty + 1
+
+    # Hole runs grow by more than 1 per merge when occurrences overlap
+    # (e.g. "aaaa" under (a,a) removes adjacent symbols); compact as soon
+    # as any run exceeds the next-valid lookahead. A run in the interior
+    # longer than the lookahead is exactly a valid position whose
+    # next-valid chain exhausted (returned HOLE); trailing runs that bleed
+    # into the zero padding are harmless (tok 0 never pairs).
+    nxt_m = _next_valid(merged, lookahead)
+    prv_m = _prev_valid(merged, lookahead)
+    overflow = jnp.any((merged != _HOLE) & (nxt_m == _HOLE))
+
+    def with_compact(args):
+        sym, wts = _compact(args[0], args[1], n_new, extent, iota)
+        return sym, wts, n_new, jnp.asarray(0, jnp.int32), jnp.roll(sym, 1), jnp.roll(sym, -1)
+
+    def no_compact(args):
+        return args[0], args[1], extent, dirty_new, prv_m, nxt_m
+
+    sym2, w2, extent2, dirty2, prev2, next2 = lax.cond(
+        (dirty_new >= COMPACT_EVERY) | overflow,
+        with_compact,
+        no_compact,
+        (merged, weights),
+    )
+
+    # ── created-pair bins for the lazy-candidate certificate ──
+    # Every pair containing the token Z created by THIS merge sits at a Z
+    # position of the post-merge stream: (prev, Z) and (Z, next). Histogram
+    # both sides (permissive masks only ever add mass — safe direction).
+    tok2 = sym2 & _TOKEN_MASK
+    z_mask = (tok2 == (new_id & _TOKEN_MASK)) & (sym2 != _HOLE)
+    w_left = jnp.where(z_mask & ((sym2 & _WS_BIT) == 0), w2, 0)
+    w_right = jnp.where(z_mask & ((next2 & _WS_BIT) == 0), w2, 0)
+    bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left)
+    bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right)
+    return sym2, w2, n_new, extent2, dirty2, bins_l, bins_r
 
 
 def _one_merge(state: TrainState) -> TrainState:
@@ -290,87 +371,16 @@ def _one_merge(state: TrainState) -> TrainState:
     stop = (count < 2) | (state.next_id > _TOKEN_MASK)
 
     def do_merge(st: TrainState) -> TrainState:
-        tok = st.symbols & _TOKEN_MASK
-        ws = st.symbols & _WS_BIT
-        a = best_pair >> _U32(16)
-        b = best_pair & _TOKEN_MASK
-        valid = st.symbols != _HOLE
-        nxt_tok = nxt & _TOKEN_MASK
-
-        # A-side: position i whose next-valid matches (a,b) — rewrite to Z.
-        sites = (
-            valid
-            & (iota < st.extent - 1)
-            & (nxt != _HOLE)
-            & (tok == a)
-            & (nxt_tok == b)
-            & ((nxt & _WS_BIT) == 0)
+        sym2, w2, n_new, extent2, dirty2, bins_l, bins_r = apply_merge_with_holes(
+            st.symbols, st.weights, st.n, st.extent, st.dirty,
+            best_pair, st.next_id, nxt, lookahead,
         )
-        # B-side: position j whose prev-valid is the A of the pair — remove.
-        prv = _prev_valid(st.symbols, lookahead)
-        removed = (
-            valid
-            & (iota > 0)
-            & (tok == b)
-            & ((st.symbols & _WS_BIT) == 0)
-            & (prv != _HOLE)
-            & ((prv & _TOKEN_MASK) == a)
-        )
-        # prev-valid wrap-around guard: position 0 has no predecessor and the
-        # roll could alias the array tail; (iota > 0) plus zero-padding past
-        # extent keeps this exact.
-        merged = jnp.where(sites, st.next_id | ws, st.symbols)
-        merged = jnp.where(removed, _HOLE, merged)
-        n_new = st.n - jnp.sum(removed, dtype=jnp.int32)
-
+        ub_merge = jnp.maximum(_ub_from_bins(bins_l), _ub_from_bins(bins_r))
         log = lax.dynamic_update_slice(
             st.merge_log,
             jnp.stack([best_pair, st.next_id, count.astype(_U32)])[None, :],
             (st.merges_done, 0),
         )
-
-        dirty = st.dirty + 1
-
-        # Hole runs grow by more than 1 per merge when occurrences overlap
-        # (e.g. "aaaa" under (a,a) removes adjacent symbols); compact as soon
-        # as any run exceeds the next-valid lookahead. A run in the interior
-        # longer than the lookahead is exactly a valid position whose
-        # next-valid chain exhausted (returned HOLE); trailing runs that
-        # bleed into the zero padding are harmless (tok 0 never pairs), so
-        # missing them is fine.
-        nxt_m = _next_valid(merged, lookahead)
-        prv_m = _prev_valid(merged, lookahead)
-        overflow = jnp.any((merged != _HOLE) & (nxt_m == _HOLE))
-
-        def with_compact(args):
-            sym, wts = _compact(args[0], args[1], n_new, st.extent, iota)
-            # compacted stream has no holes: neighbors are single rolls
-            return sym, wts, n_new, jnp.asarray(0, jnp.int32), jnp.roll(sym, 1), jnp.roll(sym, -1)
-
-        def no_compact(args):
-            return args[0], args[1], st.extent, dirty, prv_m, nxt_m
-
-        sym2, w2, extent2, dirty2, prev2, next2 = lax.cond(
-            (dirty >= COMPACT_EVERY) | overflow,
-            with_compact,
-            no_compact,
-            (merged, st.weights),
-        )
-
-        # ── created-pair ceiling for the lazy-candidate certificate ──
-        # Every pair containing the token Z created by THIS merge sits at a
-        # Z position of the post-merge stream: (prev, Z) and (Z, next).
-        # Bound both sides with the hashed-bin histogram (sound under
-        # collisions; permissive masks only ever add mass).
-        tok2 = sym2 & _TOKEN_MASK
-        z_mask = (tok2 == (st.next_id & _TOKEN_MASK)) & (sym2 != _HOLE)
-        w_left = jnp.where(z_mask & ((sym2 & _WS_BIT) == 0), w2, 0)
-        w_right = jnp.where(z_mask & ((next2 & _WS_BIT) == 0), w2, 0)
-        ub_merge = jnp.maximum(
-            _ub_histogram(prev2 & _TOKEN_MASK, w_left),
-            _ub_histogram(next2 & _TOKEN_MASK, w_right),
-        )
-
         return TrainState(
             symbols=sym2,
             weights=w2,

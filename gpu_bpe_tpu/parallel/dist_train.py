@@ -5,30 +5,35 @@ unique-word stream — is sharded across the ``data`` mesh axis with whole
 words per shard (words never straddle shard boundaries, so merges need no
 halo exchange). The merge decision must be a GLOBAL argmax over summed pair
 counts; the naive approach (psum a 2^21 hash table every merge, the
-reference's single-GPU structure) moves megabytes per merge over ICI. We
-instead use an exact sparse protocol:
+reference's single-GPU structure) moves megabytes per merge over ICI.
 
-1. each shard computes its local distinct-pair run totals (sort + scans,
-   same kernel as single-chip) and extracts its top-K (count desc, pair asc);
-2. the K candidates per shard are all-gathered (K·D·8 bytes over ICI);
-3. every shard computes its exact local count of every candidate (dense
-   masked sums — no gather), and candidates are psum-reduced to exact
-   global counts;
-4. winner = argmax with the reference tie-break. A pair missing from every
-   shard's top-K has global count ≤ Σ_d topk_min_d =: bound. If
-   winner_count > bound the winner is provably the true global argmax;
-   otherwise an exact fallback all-gathers the shard pair streams and
-   recounts globally (rare: only when counts are nearly uniform).
+Instead the distributed step runs the same **lazy-candidate window** as the
+single-chip step (ops/train_step.py), with every certificate quantity made
+global:
 
-Merges and compaction are purely shard-local. The merge log is replicated.
-Determinism: the result is the true global (count desc, pair asc) argmax,
-so the merge list is independent of shard count and layout — the same
-guarantee the reference gets from its deterministic reductions.
+* candidate counts — each shard recounts the K tracked pairs exactly from
+  its live stream ([N_shard, K] masked compare) and the counts are psum'd:
+  K integers over ICI per merge.
+* theta (ceiling for untracked old pairs) — at a full recount each shard
+  sorts locally and extracts its top-(K+1) runs; the union is all-gathered,
+  counted exactly everywhere, psum'd, and the new candidate set is the
+  global top-K. A pair absent from shard d's local top-(K+1) has local
+  count <= that shard's (K+1)-th best, so an untracked pair's global count
+  is bounded by max(sum_d local_(K+1)th, (K+1)-th union count).
+* ub_new (ceiling for pairs containing post-recount tokens) — the per-merge
+  created-pair histograms are computed shard-locally and the [32, 32] f32
+  bins psum'd before taking the inflated max: 8 KB over ICI per merge.
+
+Merges and compaction stay purely shard-local (holes + deferred compaction,
+shared code with the single-chip step). The merge log is replicated.
+Determinism: the winner is the true global (count desc, pair asc) argmax,
+so the merge list is bitwise-independent of shard count and layout — the
+same guarantee the reference gets from its deterministic reductions
+(train.wgsl:83-85), proven by the certificate instead of recount order.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -38,170 +43,165 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import BATCH_MERGES, TOKEN_MASK, WORD_START_BIT
-from ..ops.train_step import _pair_ids  # shared masking rules
+from ..ops.train_step import (
+    COMPACT_EVERY,
+    K_CANDIDATES,
+    _I32_MAX,
+    _masked_pairs,
+    _run_totals,
+    _ub_from_bins,
+    apply_merge_with_holes,
+)
 
 _U32 = jnp.uint32
 _TOKEN_MASK = jnp.uint32(TOKEN_MASK)
 _WS_BIT = jnp.uint32(WORD_START_BIT)
 _INVALID = jnp.uint32(0xFFFFFFFF)
 
-TOPK = 64  # candidates per shard per merge
-
 
 class DistState(NamedTuple):
     symbols: jax.Array  # u32 [D, CAP/D] — sharded along axis 0
     weights: jax.Array  # i32 [D, CAP/D]
     n: jax.Array  # i32 [D] — valid count per shard
+    extent: jax.Array  # i32 [D] — filled prefix (n + live holes) per shard
+    dirty: jax.Array  # i32 [D] — merges since last local compaction
     next_id: jax.Array  # u32 scalar (replicated)
     early_stop: jax.Array  # bool scalar
     merges_done: jax.Array  # i32 scalar
     merge_log: jax.Array  # u32 [BATCH_MERGES, 3]
-
-
-def _local_runs(symbols, weights, n):
-    """Sorted pair stream + per-run totals (run end marked). Local to a shard."""
-    cap = symbols.shape[0]
-    iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
-    pair, valid = _pair_ids(symbols, n, iota)
-    w = jnp.where(valid, weights, 0)
-    sp, sw = lax.sort((pair, w), num_keys=1)
-    is_end = jnp.concatenate([sp[:-1] != sp[1:], jnp.ones((1,), bool)])
-    csum = jnp.cumsum(sw, dtype=jnp.int32)
-    end_csum = jnp.where(is_end, csum, 0)
-    prev_end = jnp.concatenate([jnp.zeros((1,), jnp.int32), lax.cummax(end_csum)[:-1]])
-    run_total = jnp.where(is_end & (sp != 0), csum - prev_end, 0)
-    return sp, run_total
-
-
-def _local_topk(sp, run_total):
-    """Shard-local top-K distinct pairs by (count desc, pair asc)."""
-    counts, idx = lax.top_k(run_total, TOPK)
-    pairs = sp[idx]
-    pairs = jnp.where(counts > 0, pairs, _INVALID)
-    return pairs, counts
-
-
-def _exact_candidate_counts(symbols, weights, n, cand_pairs):
-    """Exact local counts of each candidate pair (dense masked sums)."""
-    cap = symbols.shape[0]
-    iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
-    pair, valid = _pair_ids(symbols, n, iota)
-    w = jnp.where(valid, weights, 0)
-    # [CAP, C] equality — C = D*TOPK is small; tile over positions via reshape
-    pos = pair.reshape(-1, 128)
-    wts = w.reshape(-1, 128)
-    eq = pos[..., None] == cand_pairs[None, None, :]
-    return jnp.sum(jnp.where(eq, wts[..., None], 0), axis=(0, 1)).astype(jnp.int32)
-
-
-def _apply_merge_local(symbols, weights, n, pair, new_id):
-    """Shard-local merge + stable-sort compaction (same as single-chip)."""
-    cap = symbols.shape[0]
-    iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
-    tok = symbols & _TOKEN_MASK
-    ws = symbols & _WS_BIT
-    nxt = jnp.roll(symbols, -1)
-    a = pair >> _U32(16)
-    b = pair & _TOKEN_MASK
-    sites = (iota < n - 1) & (tok == a) & ((nxt & _TOKEN_MASK) == b) & ((nxt & _WS_BIT) == 0)
-    merged = jnp.where(sites, new_id | ws, symbols)
-    removed = jnp.concatenate([jnp.zeros((1,), bool), sites[:-1]])
-    key = jnp.where(removed, _U32(cap) + iota.astype(_U32), iota.astype(_U32))
-    _, sym_c, w_c = lax.sort((key, merged, weights), num_keys=1)
-    n_new = n - jnp.sum(removed, dtype=jnp.int32)
-    sym_c = jnp.where(iota < n_new, sym_c, _U32(0))
-    w_c = jnp.where(iota < n_new, w_c, 0)
-    return sym_c, w_c, n_new
-
-
-def _global_best_pair(symbols, weights, n, axis: str):
-    """Exact global (pair, count) winner across the mesh axis."""
-    sp, run_total = _local_runs(symbols, weights, n)
-    loc_pairs, loc_counts = _local_topk(sp, run_total)
-
-    cand = lax.all_gather(loc_pairs, axis, tiled=True)  # [D*K]
-    # dedupe candidates so ties resolve once (duplicates are harmless for
-    # correctness but we keep them — counts are computed per slot identically)
-    my_counts = _exact_candidate_counts(symbols, weights, n, cand)
-    glob_counts = lax.psum(my_counts, axis)
-
-    valid = cand != _INVALID
-    best_count = jnp.max(jnp.where(valid, glob_counts, 0))
-    best_pair = jnp.min(jnp.where(valid & (glob_counts == best_count), cand, _INVALID))
-    best_pair = jnp.where(best_count > 0, best_pair, _U32(0))
-
-    # Soundness bound: any pair outside every shard's top-K sums to at most
-    # Σ_d (K-th best local count).
-    kth = jnp.min(loc_counts)  # counts sorted desc → last is K-th best
-    bound = lax.psum(kth, axis)
-    provable = best_count > bound
-
-    def fallback(_):
-        # Exact global recount: gather all shards' pair streams and re-run the
-        # run-total kernel over the concatenation. O(D·CAP) memory — only hit
-        # when count mass is nearly uniform (tiny corpora or exhausted merges).
-        all_sym = lax.all_gather(symbols, axis, tiled=True)
-        all_w = lax.all_gather(weights, axis, tiled=True)
-        # Rebuild per-shard masking: positions beyond each shard's n were
-        # zeroed, and zero symbols never pair, so one concatenated pass is
-        # exact — except the pair formed across shard edges, which is always
-        # masked because every shard starts with a word-start symbol (or 0).
-        n_tot = lax.psum(n, axis)
-        sp2, rt2 = _local_runs(all_sym, all_w, jnp.asarray(all_sym.shape[0], jnp.int32))
-        bc = jnp.max(rt2)
-        bp = jnp.min(jnp.where(rt2 == bc, sp2, _INVALID))
-        bp = jnp.where(bc > 0, bp, _U32(0))
-        del n_tot
-        return bp, bc
-
-    def fast(_):
-        return best_pair, best_count
-
-    return lax.cond(provable, fast, fallback, None)
+    cand: jax.Array  # u32 [K_CANDIDATES] (replicated) — tracked global top pairs
+    theta: jax.Array  # i32 scalar — ceiling for untracked old pairs
+    ub_new: jax.Array  # i32 scalar — ceiling for pairs with post-recount tokens
+    recounts: jax.Array  # i32 scalar — full recounts (diagnostics)
 
 
 def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
     """Build the sharded batched-merge step for a mesh."""
 
-    def shard_step(symbols, weights, n, next_id, early_stop, merges_done, merge_log, batch_merges):
-        # inside shard_map: symbols [CAP/D], n [1]
-        n_loc = n[0]
+    def shard_step(
+        symbols, weights, n, extent, dirty, next_id, early_stop,
+        merges_done, merge_log, cand, theta, ub_new, recounts, batch_merges,
+    ):
+        # inside shard_map: symbols [CAP/D]; n/extent/dirty [1] (this shard)
+        cap = symbols.shape[0]
+        iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+        lookahead = COMPACT_EVERY
 
         def one_merge(carry):
-            sym, w, n_l, nid, stop, md, log = carry
-            pair, count = _global_best_pair(sym, w, n_l, axis)
+            sym, w, n_l, ext_l, dirty_l, nid, stop, md, log, cnd, th, ub, rc = carry
+
+            pair_vec, w_vec, nxt = _masked_pairs(sym, w, ext_l, iota, lookahead)
+
+            # ── exact global candidate recount: K ints over ICI ──
+            eq = pair_vec[:, None] == cnd[None, :]
+            local_counts = jnp.sum(jnp.where(eq, w_vec[:, None], 0), axis=0)
+            cand_counts = lax.psum(local_counts, axis)
+            m = jnp.max(cand_counts)
+            cand_winner = jnp.min(jnp.where(cand_counts == m, cnd, _INVALID))
+            certified = (m > th) & (m > ub) & (m >= 2)
+
+            def from_candidates(_):
+                return cand_winner, m, cnd, th, ub
+
+            def full_recount(_):
+                sp, sw = lax.sort((pair_vec, w_vec), num_keys=1)
+                rt = _run_totals(sp, sw)
+                vals, idx = lax.top_k(rt, K_CANDIDATES + 1)
+                loc_pairs = jnp.where(vals > 0, sp[idx], _INVALID)
+                union = lax.all_gather(loc_pairs, axis, tiled=True)  # [D*(K+1)]
+                # dedupe (same pair can top several shards): sort by pair,
+                # invalidate repeats — tiny arrays, negligible cost
+                su = jnp.sort(union)
+                dup = jnp.concatenate([jnp.zeros((1,), bool), su[1:] == su[:-1]])
+                su = jnp.where(dup, _INVALID, su)
+                # exact global counts of the union
+                equ = pair_vec[:, None] == su[None, :]
+                uc_local = jnp.sum(jnp.where(equ, w_vec[:, None], 0), axis=0)
+                uc = lax.psum(uc_local, axis)
+                uc = jnp.where(su == _INVALID, 0, uc)
+                # global top-K with the reference tie-break (count desc,
+                # pair asc): sort by (-count, pair)
+                neg = -uc
+                _, sorted_pairs, sorted_counts = lax.sort((neg, su, uc), num_keys=2)
+                # Any pair absent from EVERY shard's local top-(K+1) has
+                # global count <= sum_d local_(K+1)th. The sparse result is
+                # exact only if the union winner strictly beats that bound
+                # (ties could hide a smaller pair id outside the union).
+                bound1 = lax.psum(jnp.maximum(vals[K_CANDIDATES], 0), axis)
+                provable = sorted_counts[0] > bound1
+
+                def sparse(_):
+                    new_theta = jnp.maximum(bound1, sorted_counts[K_CANDIDATES])
+                    return (sorted_pairs[:K_CANDIDATES], sorted_counts[0], new_theta)
+
+                def dense(_):
+                    # Exact global recount: all-gather the already-masked
+                    # pair streams (holes/extents/word-starts applied
+                    # shard-side; shards start at word boundaries so no
+                    # cross-shard pairs exist) and redo runs globally.
+                    # Yields a TIGHT theta, reviving the candidate window
+                    # in flat-count regimes where bound1 is useless.
+                    gp = lax.all_gather(pair_vec, axis, tiled=True)
+                    gw = lax.all_gather(w_vec, axis, tiled=True)
+                    sp2, sw2 = lax.sort((gp, gw), num_keys=1)
+                    rt2 = _run_totals(sp2, sw2)
+                    vals2, idx2 = lax.top_k(rt2, K_CANDIDATES + 1)
+                    cand2 = jnp.where(vals2[:K_CANDIDATES] > 0,
+                                      sp2[idx2[:K_CANDIDATES]], _INVALID)
+                    return (cand2, vals2[0], vals2[K_CANDIDATES])
+
+                new_cand, count, new_theta = lax.cond(provable, sparse, dense, None)
+                return new_cand[0], count, new_cand, new_theta, jnp.asarray(0, jnp.int32)
+
+            best_pair, count, cnd2, th2, ub2 = lax.cond(
+                certified, from_candidates, full_recount, None
+            )
+            rc2 = rc + jnp.where(certified, 0, 1)
             do_stop = (count < 2) | (nid > _TOKEN_MASK)
 
             def merge_branch(args):
-                sym, w, n_l, nid, md, log = args
-                sym2, w2, n2 = _apply_merge_local(sym, w, n_l, pair, nid)
-                log2 = lax.dynamic_update_slice(
-                    log, jnp.stack([pair, nid, count.astype(_U32)])[None, :], (md, 0)
+                sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2 = args
+                sym2, w2, n2, ext2, dirty2, bins_l, bins_r = apply_merge_with_holes(
+                    sym, w, n_l, ext_l, dirty_l, best_pair, nid, nxt, lookahead
                 )
-                return sym2, w2, n2, nid + _U32(1), md + 1, log2
+                ub_merge = jnp.maximum(
+                    _ub_from_bins(lax.psum(bins_l, axis)),
+                    _ub_from_bins(lax.psum(bins_r, axis)),
+                )
+                log2 = lax.dynamic_update_slice(
+                    log, jnp.stack([best_pair, nid, count.astype(_U32)])[None, :], (md, 0)
+                )
+                return sym2, w2, n2, ext2, dirty2, nid + _U32(1), md + 1, log2, jnp.maximum(ub2, ub_merge)
 
             def stop_branch(args):
                 return args
 
-            sym, w, n_l, nid, md, log = lax.cond(
-                do_stop, stop_branch, merge_branch, (sym, w, n_l, nid, md, log)
+            sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2 = lax.cond(
+                do_stop, stop_branch, merge_branch,
+                (sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2),
             )
-            return sym, w, n_l, nid, stop | do_stop, md, log
+            return sym, w, n_l, ext_l, dirty_l, nid, stop | do_stop, md, log, cnd2, th2, ub2, rc2
 
         def cond(carry):
-            _, _, _, _, stop, md, _ = carry
+            stop, md = carry[6], carry[7]
             return (md < batch_merges) & ~stop
 
-        sym, w, n_l, nid, stop, md, log = lax.while_loop(
-            cond, one_merge, (symbols, weights, n_loc, next_id, early_stop, merges_done, merge_log)
+        out = lax.while_loop(
+            cond,
+            one_merge,
+            (symbols, weights, n[0], extent[0], dirty[0], next_id, early_stop,
+             merges_done, merge_log, cand, theta, ub_new, recounts),
         )
-        return sym, w, n_l[None], nid, stop, md, log
+        sym, w, n_l, ext_l, dirty_l, nid, stop, md, log, cnd, th, ub, rc = out
+        return sym, w, n_l[None], ext_l[None], dirty_l[None], nid, stop, md, log, cnd, th, ub, rc
 
     sharded = jax.shard_map(
         shard_step,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P(), P()),
-        out_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                   P(), P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
 
@@ -212,21 +212,33 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
             state.symbols.reshape(-1),
             state.weights.reshape(-1),
             state.n,
+            state.extent,
+            state.dirty,
             state.next_id,
             state.early_stop,
             state.merges_done,
             state.merge_log,
+            state.cand,
+            state.theta,
+            state.ub_new,
+            state.recounts,
             batch_merges,
         )
-        sym, w, n, nid, stop, md, log = out
+        sym, w, n, ext, dirty, nid, stop, md, log, cnd, th, ub, rc = out
         return DistState(
             symbols=sym.reshape(d, -1),
             weights=w.reshape(d, -1),
             n=n,
+            extent=ext,
+            dirty=dirty,
             next_id=nid,
             early_stop=stop,
             merges_done=md,
             merge_log=log,
+            cand=cnd,
+            theta=th,
+            ub_new=ub,
+            recounts=rc,
         )
 
     return batch
@@ -269,15 +281,21 @@ def shard_stream(symbols: np.ndarray, weights: np.ndarray, n_devices: int):
 
 
 def init_dist_state(mesh: Mesh, symbols, weights, n, next_id, axis: str = "data") -> DistState:
-    d = mesh.shape[axis]
     sym_sh = jax.device_put(jnp.asarray(symbols, _U32), NamedSharding(mesh, P(axis, None)))
     w_sh = jax.device_put(jnp.asarray(weights, jnp.int32), NamedSharding(mesh, P(axis, None)))
+    n_arr = jnp.asarray(n, jnp.int32)
     return DistState(
         symbols=sym_sh,
         weights=w_sh,
-        n=jax.device_put(jnp.asarray(n, jnp.int32), NamedSharding(mesh, P(axis))),
+        n=jax.device_put(n_arr, NamedSharding(mesh, P(axis))),
+        extent=jax.device_put(n_arr, NamedSharding(mesh, P(axis))),
+        dirty=jax.device_put(jnp.zeros_like(n_arr), NamedSharding(mesh, P(axis))),
         next_id=jnp.asarray(next_id, _U32),
         early_stop=jnp.asarray(False),
         merges_done=jnp.asarray(0, jnp.int32),
         merge_log=jnp.zeros((BATCH_MERGES, 3), _U32),
+        cand=jnp.zeros((K_CANDIDATES,), _U32),
+        theta=jnp.asarray(_I32_MAX, jnp.int32),  # force a recount first
+        ub_new=jnp.asarray(0, jnp.int32),
+        recounts=jnp.asarray(0, jnp.int32),
     )

@@ -67,3 +67,25 @@ def test_dist_tiny_corpus_fallback_path(english_text):
     oracle = _oracle(data, None, 280)
     dist = DistributedTrainer(make_mesh(4)).train(data, None, target_vocab_size=280, dedup=False)
     assert dist.merges == oracle.merges
+
+
+def test_dist_flat_counts_tie_break_regression():
+    """Flat count distributions make the sparse union bound useless: every
+    shard's local top-(K+1) cutoff sums to more than the global max, and a
+    tied pair outside the union once won with the wrong (larger) pair id.
+    The dense all-gather fallback must kick in and keep the merge list
+    bitwise equal to the oracle (regression for the sparse-recount bug)."""
+    import random
+
+    rng = random.Random(7)
+    # hundreds of distinct words with identical frequencies -> tie storms
+    words = [a + b + c for a in "abcdef" for b in "uvwxyz" for c in "mnop"]
+    corpus = []
+    for w in words:
+        corpus += [w] * 4
+    rng.shuffle(corpus)
+    data, starts = _pretok(" ".join(corpus))
+    oracle = _oracle(data, starts, 256 + 120)
+    dist = DistributedTrainer(make_mesh(8)).train(data, starts, target_vocab_size=256 + 120)
+    assert dist.merges == oracle.merges
+    assert dist.merge_counts == oracle.merge_counts
