@@ -1,0 +1,298 @@
+"""Pallas TPU kernels for the BPE training hot path.
+
+``merge_compact`` fuses the reference's ``bpe_merge_reduce_b`` +
+``bpe_prefix_sum_scan_blocks_*`` + ``bpe_finalize_compact_b`` trio
+(train.wgsl:433-731) into ONE streaming kernel:
+
+* merge rule — read-all-before-write semantics on a +1/+2 lookahead window
+  (identical to train.wgsl:475-496 including the overlap-collapse quirk);
+* stable compaction — per-block in-VMEM log-shift network (displacement
+  bits processed LSB->MSB; valid elements provably never collide), instead
+  of the XLA sort the jnp path pays (~1.6 ms per compaction at 1M symbols);
+* global placement — the TPU grid is sequential, so a running output
+  offset lives in SMEM scratch and each block DMAs its compacted B
+  elements to ``out[offset:offset+B]``. Offsets are nondecreasing with
+  gaps < B, so a block's garbage tail is overwritten by its successor; a
+  trailing all-zero pad block scrubs the last tail.
+
+Everything runs in the VPU-native [rows, 128] layout; flat-order shifts
+are built from ``pltpu.roll`` (row rotate + lane rotate + previous-row
+borrow), since Mosaic does not lower misaligned 1-D concatenates.
+
+The kernel leaves the stream fully compacted after EVERY merge, so the
+single-chip step that uses it never materializes holes at all — the
+deferred-compaction machinery of the jnp path remains as the fallback for
+CPU execution.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import TOKEN_MASK, WORD_START_BIT
+
+_U32 = jnp.uint32
+
+BLOCK = 1 << 15  # 32K symbols per grid step
+_LANES = 128
+_ROWS = BLOCK // _LANES
+
+
+_TILE = 1024  # HBM tile granularity for i32/u32 (8 sublanes x 128 lanes)
+_BIG = BLOCK + _TILE  # staging window: carry tile + one block
+_BROWS = _BIG // _LANES
+
+
+def _fshift(x, s):
+    """Circular flat-order shift right by ``s``: y[j] = x[(j - s) mod B].
+
+    x is [ROWS, 128]; decomposes into a row rotate plus a lane rotate with
+    a previous-row borrow for the sub-lane remainder. ``s`` may be a traced
+    scalar (pltpu.roll lowers to dynamic rotates).
+    """
+    rows = x.shape[0]
+    if isinstance(s, int):
+        s = s % (rows * _LANES)
+        k, rem = divmod(s, _LANES)
+        y = pltpu.roll(x, k, axis=0) if k else x
+        if rem:
+            a = pltpu.roll(y, rem, axis=1)
+            b = pltpu.roll(a, 1, axis=0)
+            lane = lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+            y = jnp.where(lane >= rem, a, b)
+        return y
+    k = s // _LANES
+    rem = s % _LANES
+    y = pltpu.roll(x, k, axis=0)
+    a = pltpu.roll(y, rem, axis=1)
+    b = pltpu.roll(a, 1, axis=0)
+    lane = lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+    return jnp.where(lane >= rem, a, b)
+
+
+def _flat_index(rows=_ROWS):
+    r = lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
+    c = lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+    return r * _LANES + c
+
+
+def _shift_left_patched(cur, nxt, s, fi):
+    """y[j] = window[j + s] where window = cur ++ nxt (flat), s in {1, 2}."""
+    main = _fshift(cur, BLOCK - s)  # y[j] = cur[j+s] for j < B-s
+    patch = _fshift(nxt, BLOCK - s)  # at j >= B-s: nxt[j-(B-s)]
+    return jnp.where(fi < BLOCK - s, main, patch)
+
+
+def _merge_compact_kernel(
+    scalars_ref,  # SMEM [2] u32: packed pair, new token id
+    sym_ref,  # VMEM [ROWS, 128] u32 — this block (logical p-1 at flat t)
+    w_ref,  # VMEM [ROWS, 128] i32
+    sym_nxt_ref,  # VMEM [ROWS, 128] u32 — next block (halo source)
+    w_nxt_ref,  # VMEM [ROWS, 128] i32
+    out_sym_ref,  # ANY [NPAD+TILE] u32 — full output, manual DMA
+    out_w_ref,  # ANY [NPAD+TILE] i32
+    removed_ref,  # SMEM [1] i32 — total removed (written every step)
+    off_ref,  # SMEM scratch [1] i32 — aligned output offset (TILE multiple)
+    m_ref,  # SMEM scratch [1] i32 — carry length (0..TILE-1)
+    acc_ref,  # SMEM scratch [1] i32 — running removed count
+    stage_sym,  # VMEM scratch [BIG] u32 — DMA staging (flat)
+    stage_w,  # VMEM scratch [BIG] i32
+    carry_sym,  # VMEM scratch [TILE] u32 — partial-tile carry
+    carry_w,  # VMEM scratch [TILE] i32
+    sem,  # DMA semaphores (2)
+):
+    i = pl.program_id(0)
+    tok_mask = jnp.uint32(TOKEN_MASK)
+    ws_bit = jnp.uint32(WORD_START_BIT)
+    pair = scalars_ref[0]
+    new_id = scalars_ref[1]
+    a = pair >> jnp.uint32(16)
+    b = pair & tok_mask
+
+    @pl.when(i == 0)
+    def _():
+        off_ref[0] = 0
+        m_ref[0] = 0
+        acc_ref[0] = 0
+
+    fi = _flat_index()
+    # the input array is front-padded by one zero, so flat position t of
+    # this block holds the symbol at logical p-1; the +1/+2 shifts below
+    # expose the symbol at p and p+1 (train.wgsl reads raw_prev/raw/raw_next
+    # before any write — same trick, vectorized)
+    prev_s = sym_ref[:]
+    self_s = _shift_left_patched(prev_s, sym_nxt_ref[:], 1, fi)
+    next_s = _shift_left_patched(prev_s, sym_nxt_ref[:], 2, fi)
+    w_self = _shift_left_patched(w_ref[:], w_nxt_ref[:], 1, fi)
+
+    p_tok = prev_s & tok_mask
+    s_tok = self_s & tok_mask
+    n_tok = next_s & tok_mask
+
+    # site at p: pair (p, p+1) matches. removed at p: site at p-1.
+    site_here = (s_tok == a) & (n_tok == b) & ((next_s & ws_bit) == 0)
+    removed = (p_tok == a) & (s_tok == b) & ((self_s & ws_bit) == 0)
+    vals = jnp.where(site_here, new_id | (self_s & ws_bit), self_s)
+    wts = w_self
+    keep = ~removed
+
+    rem_i = removed.astype(jnp.int32)
+    n_rem = jnp.sum(rem_i)
+
+    # exclusive flat prefix sum of removals = leftward displacement
+    csum = rem_i
+    for kk in range(BLOCK.bit_length() - 1):
+        s = 1 << kk
+        csum = csum + jnp.where(fi >= s, _fshift(csum, s), 0)
+    disp = csum - rem_i
+
+    # stable log-shift compaction: valid movers never collide (see module
+    # docstring); garbage slots may be overwritten freely
+    for bit in range(BLOCK.bit_length() - 1):
+        s = 1 << bit
+        move = (((disp >> bit) & 1) == 1) & keep
+        in_range = fi < BLOCK - s
+        # shift an i32 mask (bool vectors don't survive pltpu.roll lowering)
+        src_m = jnp.where(in_range, _fshift(move.astype(jnp.int32), BLOCK - s), 0) == 1
+        src_v = _fshift(vals, BLOCK - s)
+        src_w = _fshift(wts, BLOCK - s)
+        src_d = _fshift(disp, BLOCK - s)
+        vals = jnp.where(src_m, src_v, vals)
+        wts = jnp.where(src_m, src_w, wts)
+        disp = jnp.where(src_m, src_d - s, disp)
+        keep = src_m | (keep & ~move)
+
+    # ── aligned-carry output: HBM tiles are TILE elements, so DMAs go to
+    # TILE-aligned offsets; the trailing partial tile rides in VMEM ──
+    cnt = BLOCK - n_rem
+    m = m_ref[0]
+    off = off_ref[0]
+    fib = _flat_index(_BROWS)
+    zpad = jnp.zeros((_TILE // _LANES, _LANES), jnp.int32)
+
+    def build_big(vals2d, carry_flat):
+        ext = jnp.concatenate([vals2d, zpad.astype(vals2d.dtype)], axis=0)
+        shifted = _fshift(ext, m)  # stream data at flat [m, m+cnt)
+        carry2d = jnp.concatenate(
+            [carry_flat[:].reshape(_TILE // _LANES, _LANES),
+             jnp.zeros((_BROWS - _TILE // _LANES, _LANES), vals2d.dtype)],
+            axis=0,
+        )
+        return jnp.where(fib < m, carry2d, shifted)
+
+    big_sym = build_big(vals, carry_sym)
+    big_w = build_big(wts, carry_w)
+    stage_sym[:] = big_sym.reshape(_BIG)
+    stage_w[:] = big_w.reshape(_BIG)
+
+    total = m + cnt
+    writable = (total // _TILE) * _TILE
+    new_m = total - writable
+
+    off_a = pl.multiple_of(off, _TILE)
+    cp1 = pltpu.make_async_copy(stage_sym, out_sym_ref.at[pl.ds(off_a, _BIG)], sem.at[0])
+    cp2 = pltpu.make_async_copy(stage_w, out_w_ref.at[pl.ds(off_a, _BIG)], sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    # carry := big[writable : writable + new_m] (garbage beyond new_m ok)
+    carry_sym[:] = _fshift(big_sym, _BIG - writable)[: _TILE // _LANES].reshape(_TILE)
+    carry_w[:] = _fshift(big_w, _BIG - writable)[: _TILE // _LANES].reshape(_TILE)
+
+    off_ref[0] = off + writable
+    m_ref[0] = new_m
+    acc_ref[0] = acc_ref[0] + n_rem
+    removed_ref[0] = acc_ref[0]
+
+    # final flush: write the last partial tile (aligned, full-tile DMA)
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        off2 = pl.multiple_of(off_ref[0], _TILE)
+        cp3 = pltpu.make_async_copy(carry_sym, out_sym_ref.at[pl.ds(off2, _TILE)], sem.at[0])
+        cp4 = pltpu.make_async_copy(carry_w, out_w_ref.at[pl.ds(off2, _TILE)], sem.at[1])
+        cp3.start()
+        cp4.start()
+        cp3.wait()
+        cp4.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
+    npad = sym_padded.shape[0]
+    grid = npad // BLOCK
+    sym2 = sym_padded.reshape(grid * _ROWS, _LANES)
+    w2 = w_padded.reshape(grid * _ROWS, _LANES)
+    out_sym, out_w, removed = pl.pallas_call(
+        _merge_compact_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0)),
+                pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0)),
+                # halo source: next block; the last (all-zero pad) block
+                # reads itself, which is still all zeros — harmless
+                pl.BlockSpec(
+                    (_ROWS, _LANES),
+                    lambda i, s: (jnp.minimum(i + 1, pl.num_programs(0) - 1), 0),
+                ),
+                pl.BlockSpec(
+                    (_ROWS, _LANES),
+                    lambda i, s: (jnp.minimum(i + 1, pl.num_programs(0) - 1), 0),
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.VMEM((_BIG,), jnp.uint32),
+                pltpu.VMEM((_BIG,), jnp.int32),
+                pltpu.VMEM((_TILE,), jnp.uint32),
+                pltpu.VMEM((_TILE,), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((npad + _TILE,), jnp.uint32),
+            jax.ShapeDtypeStruct((npad + _TILE,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(scalars, sym2, w2, sym2, w2)
+    return out_sym, out_w, removed
+
+
+def merge_compact(symbols, weights, n, pair, new_id, interpret=False):
+    """One merge + full stable compaction of a hole-free stream.
+
+    symbols/weights are CAP-sized with zeros past ``n`` (zeros never pair:
+    the winning pair never has a zero member). Returns (symbols', weights',
+    n') with the same CAP, compacted and zero-tailed.
+
+    Semantics identical to ops.train_step.apply_merge_device (tested
+    against it); replaces the kernel trio at train.wgsl:433-731.
+    """
+    cap = symbols.shape[0]
+    # +1 front zero (shifts the window so flat t holds logical p-1) and
+    # enough back zeros for (a) the +1/+2 lookahead, (b) BLOCK alignment,
+    # (c) one full all-zero pad block that scrubs the final garbage tail.
+    npad = ((cap + 1 + BLOCK - 1) // BLOCK + 1) * BLOCK
+    sym_p = jnp.zeros((npad,), _U32).at[1 : cap + 1].set(symbols)
+    w_p = jnp.zeros((npad,), jnp.int32).at[1 : cap + 1].set(weights)
+    scalars = jnp.stack([pair, new_id]).astype(_U32)
+    out_sym, out_w, removed = _merge_compact_call(sym_p, w_p, scalars, interpret=interpret)
+    return out_sym[:cap], out_w[:cap], n - removed[0]

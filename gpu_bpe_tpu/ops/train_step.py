@@ -55,6 +55,27 @@ _HOLE = jnp.uint32(0xFFFFFFFF)  # removed-symbol sentinel (never a valid symbol)
 # merges since the last compaction, so lookahead depth == COMPACT_EVERY.
 COMPACT_EVERY = 8
 
+
+import functools as _functools
+import os as _os
+
+
+@_functools.cache
+def _use_pallas() -> bool:
+    """Use the fused Pallas merge+compact kernel (TPU only).
+
+    On TPU the stream is recompacted after EVERY merge by
+    ops.pallas_kernels.merge_compact, so holes never materialize and the
+    deferred-compaction machinery below is bypassed. The jnp path remains
+    for CPU execution and as an escape hatch (GPU_BPE_TPU_NO_PALLAS=1).
+    """
+    if _os.environ.get("GPU_BPE_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
 # Lazy-candidate window: number of tracked top pairs between full recounts.
 K_CANDIDATES = 64
 # Hash bins for the new-pair upper-bound histogram: 32x32 one-hot matmul.
@@ -342,7 +363,9 @@ def _one_merge(state: TrainState) -> TrainState:
     """
     cap = state.symbols.shape[0]
     iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
-    lookahead = COMPACT_EVERY
+    # Pallas path: the stream is compacted after every merge, so there are
+    # never holes and the next/prev-valid chains collapse to single rolls.
+    lookahead = 0 if _use_pallas() else COMPACT_EVERY
 
     pair, w, nxt = _masked_pairs(state.symbols, state.weights, state.extent, iota, lookahead)
 
@@ -371,10 +394,28 @@ def _one_merge(state: TrainState) -> TrainState:
     stop = (count < 2) | (state.next_id > _TOKEN_MASK)
 
     def do_merge(st: TrainState) -> TrainState:
-        sym2, w2, n_new, extent2, dirty2, bins_l, bins_r = apply_merge_with_holes(
-            st.symbols, st.weights, st.n, st.extent, st.dirty,
-            best_pair, st.next_id, nxt, lookahead,
-        )
+        if _use_pallas():
+            from .pallas_kernels import merge_compact
+
+            sym2, w2, n_new = merge_compact(
+                st.symbols, st.weights, st.n, best_pair, st.next_id
+            )
+            extent2, dirty2 = n_new, jnp.asarray(0, jnp.int32)
+            # created-pair bins on the compacted stream: neighbors are
+            # single rolls (no holes)
+            tok2 = sym2 & _TOKEN_MASK
+            z_mask = tok2 == (st.next_id & _TOKEN_MASK)
+            prev2 = jnp.roll(sym2, 1)
+            next2 = jnp.roll(sym2, -1)
+            w_left = jnp.where(z_mask & ((sym2 & _WS_BIT) == 0), w2, 0)
+            w_right = jnp.where(z_mask & ((next2 & _WS_BIT) == 0), w2, 0)
+            bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left)
+            bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right)
+        else:
+            sym2, w2, n_new, extent2, dirty2, bins_l, bins_r = apply_merge_with_holes(
+                st.symbols, st.weights, st.n, st.extent, st.dirty,
+                best_pair, st.next_id, nxt, lookahead,
+            )
         ub_merge = jnp.maximum(_ub_from_bins(bins_l), _ub_from_bins(bins_r))
         log = lax.dynamic_update_slice(
             st.merge_log,

@@ -1,0 +1,92 @@
+"""Pallas merge+compact kernel vs the jnp reference (interpret mode on CPU).
+
+The kernel is the TPU production path for the single-chip trainer
+(ops/train_step.py do_merge); these tests pin its semantics to
+apply_merge_device, which is itself conformance-tested against the CPU
+oracle. Runs in Pallas interpret mode so CI needs no TPU.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from gpu_bpe_tpu.constants import pack_pair
+from gpu_bpe_tpu.ops.pallas_kernels import BLOCK, merge_compact
+from gpu_bpe_tpu.ops.train_step import apply_merge_device
+
+
+def _random_stream(rng, n, alphabet=6, ws_p=0.15):
+    cap = ((n + 1023) // 1024) * 1024 + 1024
+    toks = rng.integers(1, alphabet, size=n).astype(np.uint32)
+    ws = rng.random(n) < ws_p
+    sym = toks | (ws.astype(np.uint32) << 16)
+    sym[0] |= 1 << 16
+    w = rng.integers(1, 9, size=n).astype(np.int32)
+    symf = np.zeros(cap, np.uint32)
+    symf[:n] = sym
+    wf = np.zeros(cap, np.int32)
+    wf[:n] = w
+    return symf, wf
+
+
+def _check(symf, wf, n, pair, new_id=300):
+    ref = apply_merge_device(
+        jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n), jnp.uint32(pair), jnp.uint32(new_id)
+    )
+    got = merge_compact(
+        jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n), jnp.uint32(pair), jnp.uint32(new_id),
+        interpret=True,
+    )
+    for r, g in zip(ref, got):
+        assert np.array_equal(np.asarray(r), np.asarray(g))
+
+
+@pytest.mark.parametrize("n", [16, 2771, 40_000, 70_000])
+def test_random_streams(n):
+    rng = np.random.default_rng(n)
+    symf, wf = _random_stream(rng, n)
+    _check(symf, wf, n, pack_pair(2, 3))
+
+
+def test_overlap_quirk_identical_run():
+    # "aaaa..." merging (a,a): adjacent sites collapse (train.wgsl quirk)
+    n = 300
+    symf = np.zeros(2048, np.uint32)
+    symf[:n] = 1
+    symf[0] |= 1 << 16
+    wf = np.zeros(2048, np.int32)
+    wf[:n] = 1
+    _check(symf, wf, n, pack_pair(1, 1))
+
+
+def test_sites_straddling_block_boundary():
+    # place pair occurrences right at the BLOCK edges to exercise the halo
+    n = BLOCK * 2 + 100
+    cap = ((n + 1023) // 1024) * 1024 + 1024
+    symf = np.zeros(cap, np.uint32)
+    symf[:n] = 7
+    symf[0] |= 1 << 16
+    for p in (BLOCK - 2, BLOCK - 1, BLOCK, 2 * BLOCK - 1, 2 * BLOCK):
+        symf[p] = 2
+        symf[p + 1] = 3
+    wf = np.zeros(cap, np.int32)
+    wf[:n] = 1
+    _check(symf, wf, n, pack_pair(2, 3))
+
+
+def test_word_start_blocks_merge():
+    n = 64
+    symf = np.zeros(2048, np.uint32)
+    symf[:n] = np.tile([2, 3], n // 2)
+    symf[0] |= 1 << 16
+    symf[33] |= 1 << 16  # word start on a 'b' — that site must not merge
+    wf = np.zeros(2048, np.int32)
+    wf[:n] = 1
+    _check(symf, wf, n, pack_pair(2, 3))
+
+
+def test_weights_follow_survivors():
+    rng = np.random.default_rng(5)
+    symf, wf = _random_stream(rng, 10_000, alphabet=4)
+    _check(symf, wf, 10_000, pack_pair(1, 2), new_id=999)
