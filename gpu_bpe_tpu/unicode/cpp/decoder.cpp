@@ -249,6 +249,12 @@ int decoder_is_alphanumeric(uint32_t cp) {
   uint8_t c = category_of(cp);
   return is_letter_cat(c) || is_number_cat(c);
 }
+int decoder_is_alphabetic(uint32_t cp) {
+  // Alphabetic ~= L* + Nl (Other_Alphabetic marks approximated out)
+  uint8_t c = category_of(cp);
+  return is_letter_cat(c) || c == 10;  // Nl
+}
+int decoder_is_numeric(uint32_t cp) { return is_number_cat(category_of(cp)); }
 int decoder_is_combining(uint32_t cp) { return ccc_of(cp) != 0; }
 int decoder_get_combining_class(uint32_t cp) { return ccc_of(cp); }
 
@@ -268,6 +274,82 @@ uint32_t decoder_to_title(uint32_t cp) {
 uint32_t decoder_case_fold(uint32_t cp) {
   int32_t m = sparse_map(kFoldCp, kFoldMap, kFoldCount, cp);
   return m >= 0 ? (uint32_t)m : cp;
+}
+
+// ── case mapping (full, possibly multi-codepoint) ───────────────────
+// Writes the full mapping into out (cap >= 3 covers all of Unicode);
+// returns the mapped length. Falls back to the simple map.
+static int full_case(uint32_t cp, const uint32_t* cps, const uint32_t* offlen,
+                     uint32_t count, uint32_t simple, uint32_t* out, int cap) {
+  const uint32_t* end = cps + count;
+  const uint32_t* it = std::lower_bound(cps, end, cp);
+  if (it != end && *it == cp) {
+    uint32_t ol = offlen[it - cps];
+    uint32_t off = ol >> 8, len = ol & 0xFF;
+    int n = (int)std::min((uint32_t)cap, len);
+    for (int i = 0; i < n; i++) out[i] = kFullCasePool[off + i];
+    return n;
+  }
+  if (cap >= 1) { out[0] = simple; return 1; }
+  return 0;
+}
+
+int decoder_to_upper_full(uint32_t cp, uint32_t* out, int cap) {
+  return full_case(cp, kFullUpperCp, kFullUpperOffLen, kFullUpperCount,
+                   decoder_to_upper(cp), out, cap);
+}
+int decoder_to_lower_full(uint32_t cp, uint32_t* out, int cap) {
+  return full_case(cp, kFullLowerCp, kFullLowerOffLen, kFullLowerCount,
+                   decoder_to_lower(cp), out, cap);
+}
+int decoder_to_title_full(uint32_t cp, uint32_t* out, int cap) {
+  return full_case(cp, kFullTitleCp, kFullTitleOffLen, kFullTitleCount,
+                   decoder_to_title(cp), out, cap);
+}
+int decoder_case_fold_full(uint32_t cp, uint32_t* out, int cap) {
+  return full_case(cp, kFullFoldCp, kFullFoldOffLen, kFullFoldCount,
+                   decoder_case_fold(cp), out, cap);
+}
+
+// Caseless compare of two codepoint strings (full case folding).
+// Returns <0, 0, >0 like strcmp.
+int decoder_case_compare(const uint32_t* a, int64_t an, const uint32_t* b, int64_t bn) {
+  std::vector<uint32_t> fa, fb;
+  uint32_t buf[4];
+  for (int64_t i = 0; i < an; i++) {
+    int n = decoder_case_fold_full(a[i], buf, 4);
+    fa.insert(fa.end(), buf, buf + n);
+  }
+  for (int64_t i = 0; i < bn; i++) {
+    int n = decoder_case_fold_full(b[i], buf, 4);
+    fb.insert(fb.end(), buf, buf + n);
+  }
+  size_t m = std::min(fa.size(), fb.size());
+  for (size_t i = 0; i < m; i++) {
+    if (fa[i] != fb[i]) return fa[i] < fb[i] ? -1 : 1;
+  }
+  if (fa.size() == fb.size()) return 0;
+  return fa.size() < fb.size() ? -1 : 1;
+}
+
+// string-level simple case conversion (codepoint arrays, 1:1)
+void decoder_string_to_upper(const uint32_t* in, int64_t n, uint32_t* out) {
+  for (int64_t i = 0; i < n; i++) out[i] = decoder_to_upper(in[i]);
+}
+void decoder_string_to_lower(const uint32_t* in, int64_t n, uint32_t* out) {
+  for (int64_t i = 0; i < n; i++) out[i] = decoder_to_lower(in[i]);
+}
+void decoder_string_to_title(const uint32_t* in, int64_t n, uint32_t* out) {
+  bool word_start = true;
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t c = category_of(in[i]);
+    bool cased = is_letter_cat(c);
+    out[i] = word_start && cased ? decoder_to_title(in[i])
+             : cased             ? decoder_to_lower(in[i])
+                                 : in[i];
+    if (cased || is_number_cat(c)) word_start = false;
+    else word_start = true;
+  }
 }
 
 // ── composition / decomposition ──────────────────────────────────────
@@ -319,6 +401,156 @@ int decoder_is_normalized_utf8(const uint8_t* in, int64_t len, int form) {
   if (decoder_normalize_utf8(in, len, form, buf.data(), (int64_t)buf.size(), &out_len) != 0)
     return 0;
   return out_len == len && std::memcmp(in, buf.data(), (size_t)len) == 0;
+}
+
+// ── normalization over codepoint arrays ─────────────────────────────
+// Returns the normalized length, or -2 if out is too small.
+int64_t decoder_normalize(const uint32_t* in, int64_t n, int form,
+                          uint32_t* out, int64_t cap) {
+  std::vector<uint32_t> cps(in, in + n);
+  normalize_cps(cps, form);
+  if ((int64_t)cps.size() > cap) return -2;
+  std::copy(cps.begin(), cps.end(), out);
+  return (int64_t)cps.size();
+}
+
+int decoder_is_normalized(const uint32_t* in, int64_t n, int form) {
+  std::vector<uint32_t> cps(in, in + n);
+  normalize_cps(cps, form);
+  return (int64_t)cps.size() == n && std::equal(cps.begin(), cps.end(), in);
+}
+
+// Normalization quick check: 1 = YES (already normalized), 0 = NO.
+// (Computed by normalizing — no MAYBE; the tri-state NFC_QC property is
+// not exposed by the table source, so this is exact but not "quick".)
+int decoder_quick_check(const uint32_t* in, int64_t n, int form) {
+  return decoder_is_normalized(in, n, form);
+}
+
+// ── UTF-8 sanitization (lossy decode, U+FFFD for invalid sequences) ──
+// Returns 0; out must hold up to 3x len bytes.
+int decoder_sanitize(const uint8_t* in, int64_t len,
+                     uint8_t* out, int64_t cap, int64_t* out_len) {
+  int64_t pos = 0;
+  int64_t i = 0;
+  auto put = [&](uint32_t cp) -> bool {
+    if (pos + 4 > cap) return false;
+    pos += utf8_encode_one(cp, out + pos);
+    return true;
+  };
+  while (i < len) {
+    uint8_t b = in[i];
+    uint32_t cp = 0xFFFD;
+    int size = 1;
+    if (b < 0x80) { cp = b; }
+    else if ((b & 0xE0) == 0xC0 && i + 1 < len && (in[i+1] & 0xC0) == 0x80) {
+      uint32_t c = ((b & 0x1F) << 6) | (in[i+1] & 0x3F);
+      if (c >= 0x80) { cp = c; size = 2; }
+    } else if ((b & 0xF0) == 0xE0 && i + 2 < len && (in[i+1] & 0xC0) == 0x80 &&
+               (in[i+2] & 0xC0) == 0x80) {
+      uint32_t c = ((b & 0x0F) << 12) | ((in[i+1] & 0x3F) << 6) | (in[i+2] & 0x3F);
+      if (c >= 0x800 && !(c >= 0xD800 && c <= 0xDFFF)) { cp = c; size = 3; }
+    } else if ((b & 0xF8) == 0xF0 && i + 3 < len && (in[i+1] & 0xC0) == 0x80 &&
+               (in[i+2] & 0xC0) == 0x80 && (in[i+3] & 0xC0) == 0x80) {
+      uint32_t c = ((b & 0x07) << 18) | ((in[i+1] & 0x3F) << 12) |
+                   ((in[i+2] & 0x3F) << 6) | (in[i+3] & 0x3F);
+      if (c >= 0x10000 && c <= 0x10FFFF) { cp = c; size = 4; }
+    }
+    if (!put(cp)) return -2;
+    i += size;
+  }
+  *out_len = pos;
+  return 0;
+}
+
+int decoder_is_well_formed(const uint8_t* in, int64_t len) {
+  return utf8_decode(in, len, nullptr) >= 0;
+}
+
+// ── UTF-16 / UTF-32 transcoding ──────────────────────────────────────
+int decoder_is_valid_utf16(const uint16_t* in, int64_t n) {
+  for (int64_t i = 0; i < n; i++) {
+    uint16_t u = in[i];
+    if (u >= 0xD800 && u <= 0xDBFF) {
+      if (i + 1 >= n || in[i+1] < 0xDC00 || in[i+1] > 0xDFFF) return 0;
+      i++;
+    } else if (u >= 0xDC00 && u <= 0xDFFF) {
+      return 0;
+    }
+  }
+  return 1;
+}
+
+int64_t decoder_utf16_to_utf32(const uint16_t* in, int64_t n, uint32_t* out, int64_t cap) {
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t cp;
+    uint16_t u = in[i];
+    if (u >= 0xD800 && u <= 0xDBFF) {
+      if (i + 1 >= n || in[i+1] < 0xDC00 || in[i+1] > 0xDFFF) return -3;
+      cp = 0x10000 + (((uint32_t)(u - 0xD800) << 10) | (in[i+1] - 0xDC00));
+      i++;
+    } else if (u >= 0xDC00 && u <= 0xDFFF) {
+      return -3;
+    } else {
+      cp = u;
+    }
+    if (m >= cap) return -2;
+    out[m++] = cp;
+  }
+  return m;
+}
+
+int64_t decoder_utf32_to_utf16(const uint32_t* in, int64_t n, uint16_t* out, int64_t cap) {
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t cp = in[i];
+    if (cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) return -3;
+    if (cp >= 0x10000) {
+      if (m + 2 > cap) return -2;
+      cp -= 0x10000;
+      out[m++] = (uint16_t)(0xD800 + (cp >> 10));
+      out[m++] = (uint16_t)(0xDC00 + (cp & 0x3FF));
+    } else {
+      if (m + 1 > cap) return -2;
+      out[m++] = (uint16_t)cp;
+    }
+  }
+  return m;
+}
+
+int64_t decoder_utf32_to_utf8(const uint32_t* in, int64_t n, uint8_t* out, int64_t cap) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; i++) {
+    if (in[i] > 0x10FFFF || (in[i] >= 0xD800 && in[i] <= 0xDFFF)) return -3;
+    if (pos + 4 > cap) return -2;
+    pos += utf8_encode_one(in[i], out + pos);
+  }
+  return pos;
+}
+
+int64_t decoder_utf8_to_utf16(const uint8_t* in, int64_t len, uint16_t* out, int64_t cap) {
+  std::vector<uint32_t> cps((size_t)len);
+  int64_t n = utf8_decode(in, len, cps.data());
+  if (n < 0) return -3;
+  return decoder_utf32_to_utf16(cps.data(), n, out, cap);
+}
+
+int64_t decoder_utf16_to_utf8(const uint16_t* in, int64_t n, uint8_t* out, int64_t cap) {
+  std::vector<uint32_t> cps((size_t)n);
+  int64_t m = decoder_utf16_to_utf32(in, n, cps.data(), n);
+  if (m < 0) return m;
+  return decoder_utf32_to_utf8(cps.data(), m, out, cap);
+}
+
+// UTF-8 byte length a codepoint array would encode to.
+int64_t decoder_utf8_length(const uint32_t* in, int64_t n) {
+  int64_t len = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t cp = in[i];
+    len += cp <= 0x7F ? 1 : cp <= 0x7FF ? 2 : cp <= 0xFFFF ? 3 : 4;
+  }
+  return len;
 }
 
 // ── batch classification (pre-tokenizer hot path) ────────────────────
@@ -396,6 +628,41 @@ int decoder_get_block(uint32_t cp) {
 }
 int decoder_is_in_block(uint32_t cp, int block) { return decoder_get_block(cp) == block; }
 
+const char* decoder_get_script_name(int script_id) {
+  if (script_id < 0 || (uint32_t)script_id >= kScriptNameCount) return "";
+  return kScriptNames[script_id];
+}
+const char* decoder_get_block_name(int block_id) {
+  if (block_id < 0 || (uint32_t)block_id >= kBlockNameCount) return "";
+  return kBlockNames[block_id];
+}
+
+// ── confusables (curated homoglyph skeleton, UTS #39 subset) ─────────
+static uint32_t skeleton_cp(uint32_t cp) {
+  int32_t m = sparse_map(kConfusableCp, kConfusableSkel, kConfusableCount, cp);
+  return m >= 0 ? (uint32_t)m : cp;
+}
+
+int decoder_is_confusable(uint32_t cp) {
+  return sparse_map(kConfusableCp, kConfusableSkel, kConfusableCount, cp) >= 0;
+}
+
+// 1 if the two strings are confusable (equal skeletons after case fold).
+int decoder_check_confusables(const uint32_t* a, int64_t an,
+                              const uint32_t* b, int64_t bn) {
+  std::vector<uint32_t> sa, sb;
+  uint32_t buf[4];
+  for (int64_t i = 0; i < an; i++) {
+    int n = decoder_case_fold_full(skeleton_cp(a[i]), buf, 4);
+    for (int k = 0; k < n; k++) sa.push_back(skeleton_cp(buf[k]));
+  }
+  for (int64_t i = 0; i < bn; i++) {
+    int n = decoder_case_fold_full(skeleton_cp(b[i]), buf, 4);
+    for (int k = 0; k < n; k++) sb.push_back(skeleton_cp(buf[k]));
+  }
+  return sa == sb;
+}
+
 int decoder_is_identifier_start(uint32_t cp) {
   return in_range_set(kXidStartStart, kXidStartEnd, kXidStartCount, cp);
 }
@@ -427,18 +694,68 @@ int decoder_is_suspicious(const uint32_t* cps, int64_t n) {
   return 0;
 }
 
-// ── segmentation counts ──────────────────────────────────────────────
+// ── segmentation ─────────────────────────────────────────────────────
+static bool grapheme_boundary(uint32_t prev, uint32_t cur) {
+  if (prev == 0x0D && cur == 0x0A) return false;
+  if (prev == 0x0A || prev == 0x0D || cur == 0x0A || cur == 0x0D) return true;
+  if (ccc_of(cur) != 0 || is_mark_cat(category_of(cur)) || cur == 0x200D ||
+      cur == 0xFE0F || cur == 0xFE0E || (cur >= 0x1F3FB && cur <= 0x1F3FF)) return false;
+  if (prev == 0x200D) return false;
+  return true;
+}
+
+static bool wordish_cp(uint32_t cp) {
+  uint8_t c = category_of(cp);
+  return is_letter_cat(c) || is_number_cat(c) || cp == '\'' || cp == 0x2019 || cp == '_';
+}
+
+// boundary BEFORE index pos (pos in [0, n]; 0 and n are always boundaries)
+int decoder_is_grapheme_boundary(const uint32_t* cps, int64_t n, int64_t pos) {
+  if (pos <= 0 || pos >= n) return 1;
+  return grapheme_boundary(cps[pos - 1], cps[pos]);
+}
+
+int decoder_is_word_boundary(const uint32_t* cps, int64_t n, int64_t pos) {
+  if (pos <= 0 || pos >= n) return 1;
+  return wordish_cp(cps[pos - 1]) != wordish_cp(cps[pos]);
+}
+
+int decoder_is_sentence_boundary(const uint32_t* cps, int64_t n, int64_t pos) {
+  if (pos <= 0 || pos >= n) return 1;
+  uint32_t p = cps[pos - 1];
+  bool term = p == '.' || p == '!' || p == '?' || p == 0x203C || p == 0x203D ||
+              p == 0x2047 || p == 0x2048 || p == 0x2049 || p == 0x3002 ||
+              p == 0xFF01 || p == 0xFF0E || p == 0xFF1F;
+  return term;
+}
+
+// next boundary strictly after pos (returns n when none)
+int64_t decoder_next_grapheme(const uint32_t* cps, int64_t n, int64_t pos) {
+  for (int64_t i = pos + 1; i < n; i++) {
+    if (grapheme_boundary(cps[i - 1], cps[i])) return i;
+  }
+  return n;
+}
+
+int64_t decoder_next_word(const uint32_t* cps, int64_t n, int64_t pos) {
+  for (int64_t i = pos + 1; i < n; i++) {
+    if (wordish_cp(cps[i - 1]) != wordish_cp(cps[i])) return i;
+  }
+  return n;
+}
+
+int64_t decoder_next_sentence(const uint32_t* cps, int64_t n, int64_t pos) {
+  for (int64_t i = pos + 1; i < n; i++) {
+    if (decoder_is_sentence_boundary(cps, n, i)) return i;
+  }
+  return n;
+}
+
 int64_t decoder_count_graphemes(const uint32_t* cps, int64_t n) {
   if (n <= 0) return 0;
   int64_t count = 1;
   for (int64_t i = 1; i < n; i++) {
-    uint32_t prev = cps[i - 1], cur = cps[i];
-    if (prev == 0x0D && cur == 0x0A) continue;
-    if (prev == 0x0A || prev == 0x0D || cur == 0x0A || cur == 0x0D) { count++; continue; }
-    if (ccc_of(cur) != 0 || is_mark_cat(category_of(cur)) || cur == 0x200D ||
-        cur == 0xFE0F || cur == 0xFE0E || (cur >= 0x1F3FB && cur <= 0x1F3FF)) continue;
-    if (prev == 0x200D) continue;
-    count++;
+    if (grapheme_boundary(cps[i - 1], cps[i])) count++;
   }
   return count;
 }

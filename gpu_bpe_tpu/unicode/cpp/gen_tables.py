@@ -162,7 +162,7 @@ def generate_script_tables():
             for cp in range(s, e):
                 block_ids[cp] = bid
 
-    return script_ids, block_ids, ident, available
+    return script_ids, block_ids, ident, available, seen_ids
 
 
 def rle(values) -> list[tuple[int, int]]:
@@ -255,12 +255,61 @@ def main(out_path: str) -> None:
     title = case_table(lambda c: c.title()[0] if c.title() else c)
     fold = case_table(str.casefold)
 
+    # full case maps: only the multi-codepoint expansions (ß -> "ss", ﬁ ->
+    # "fi" under fold, etc.); the C side falls back to the simple tables
+    def full_case_table(fn, pool):
+        out = []
+        for cp in range(MAX_CP):
+            try:
+                m = fn(chr(cp))
+            except Exception:  # noqa: BLE001
+                continue
+            if len(m) > 1:
+                out.append((cp, len(pool), len(m)))
+                pool.extend(ord(c) for c in m)
+        return out
+
+    full_pool: list[int] = []
+    full_upper = full_case_table(str.upper, full_pool)
+    full_lower = full_case_table(str.lower, full_pool)
+    full_title = full_case_table(str.title, full_pool)
+    full_fold = full_case_table(str.casefold, full_pool)
+
+    # curated confusable skeletons (UTS #39 style, common homoglyph subset:
+    # Cyrillic + Greek + fullwidth lookalikes of Basic Latin)
+    confusables: dict[int, int] = {}
+    _pairs = [
+        # Cyrillic lowercase -> Latin
+        (0x0430, "a"), (0x0435, "e"), (0x043E, "o"), (0x0440, "p"),
+        (0x0441, "c"), (0x0443, "y"), (0x0445, "x"), (0x0456, "i"),
+        (0x0458, "j"), (0x0455, "s"), (0x04BB, "h"), (0x0501, "d"),
+        # Cyrillic uppercase -> Latin
+        (0x0410, "A"), (0x0412, "B"), (0x0415, "E"), (0x041A, "K"),
+        (0x041C, "M"), (0x041D, "H"), (0x041E, "O"), (0x0420, "P"),
+        (0x0421, "C"), (0x0422, "T"), (0x0425, "X"), (0x0406, "I"),
+        (0x0408, "J"), (0x0405, "S"),
+        # Greek -> Latin
+        (0x0391, "A"), (0x0392, "B"), (0x0395, "E"), (0x0396, "Z"),
+        (0x0397, "H"), (0x0399, "I"), (0x039A, "K"), (0x039C, "M"),
+        (0x039D, "N"), (0x039F, "O"), (0x03A1, "P"), (0x03A4, "T"),
+        (0x03A5, "Y"), (0x03A7, "X"), (0x03BF, "o"), (0x03B9, "i"),
+        (0x03BD, "v"), (0x03C5, "u"),
+        # fullwidth forms -> ASCII
+        *[(0xFF21 + k, chr(ord("A") + k)) for k in range(26)],
+        *[(0xFF41 + k, chr(ord("a") + k)) for k in range(26)],
+        *[(0xFF10 + k, chr(ord("0") + k)) for k in range(10)],
+    ]
+    for cp, ch in _pairs:
+        confusables[cp] = ord(ch)
+    confusables = dict(sorted(confusables.items()))
+
     try:
-        script_ids, block_ids, ident, n_scripts = generate_script_tables()
+        script_ids, block_ids, ident, n_scripts, block_names = generate_script_tables()
     except ImportError:
         script_ids = block_ids = None
         ident = {}
         n_scripts = 0
+        block_names = {}
     script_ranges = rle(script_ids) if script_ids else [(0, 0)]
     block_ranges = rle(block_ids) if block_ids else [(0, 0)]
 
@@ -362,6 +411,51 @@ def main(out_path: str) -> None:
             w(f"inline constexpr uint32_t k{name}Map[] = {{\n")
             w(fmt_u32([e[1] for e in tab]))
             w("};\n\n")
+
+        # full (multi-codepoint) case maps, shared pool
+        for name, tab in (
+            ("FullUpper", full_upper),
+            ("FullLower", full_lower),
+            ("FullTitle", full_title),
+            ("FullFold", full_fold),
+        ):
+            w(f"inline constexpr uint32_t k{name}Count = {len(tab)};\n")
+            w(f"inline constexpr uint32_t k{name}Cp[] = {{\n")
+            w(fmt_u32([e[0] for e in tab] or [0]))
+            w("};\n")
+            w(f"inline constexpr uint32_t k{name}OffLen[] = {{\n")  # offset<<8 | len
+            w(fmt_u32([(e[1] << 8) | e[2] for e in tab] or [0]))
+            w("};\n\n")
+        w(f"inline constexpr uint32_t kFullCasePoolSize = {len(full_pool)};\n")
+        w("inline constexpr uint32_t kFullCasePool[] = {\n")
+        w(fmt_u32(full_pool or [0]))
+        w("};\n\n")
+
+        # confusable skeleton map (curated homoglyph subset)
+        w(f"inline constexpr uint32_t kConfusableCount = {len(confusables)};\n")
+        w("inline constexpr uint32_t kConfusableCp[] = {\n")
+        w(fmt_u32(list(confusables.keys()) or [0]))
+        w("};\n")
+        w("inline constexpr uint32_t kConfusableSkel[] = {\n")
+        w(fmt_u32(list(confusables.values()) or [0]))
+        w("};\n\n")
+
+        # script / block display names
+        script_names = [s for s in REFERENCE_SCRIPTS]
+        w(f"inline constexpr uint32_t kScriptNameCount = {len(script_names)};\n")
+        w("inline constexpr const char* kScriptNames[] = {\n")
+        for s in script_names:
+            w(f'  "{s}",\n')
+        w("};\n\n")
+        max_bid = max(block_names.keys(), default=0)
+        names_by_id = [""] * (max_bid + 1)
+        for bid, nm in block_names.items():
+            names_by_id[bid] = nm
+        w(f"inline constexpr uint32_t kBlockNameCount = {len(names_by_id)};\n")
+        w("inline constexpr const char* kBlockNames[] = {\n")
+        for nm in names_by_id:
+            w(f'  "{nm}",\n')
+        w("};\n\n")
 
     print(f"wrote {out_path}", file=sys.stderr)
 

@@ -80,8 +80,76 @@ def _load():
     lib.decoder_is_in_block.restype = C.c_int
     lib.decoder_is_suspicious.argtypes = [C.POINTER(C.c_uint32), C.c_int64]
     lib.decoder_is_suspicious.restype = C.c_int
+    # extended API (full parity with the reference's 71 exports)
+    for name in "decoder_is_alphabetic decoder_is_numeric decoder_is_confusable".split():
+        fn = getattr(lib, name)
+        fn.argtypes = [C.c_uint32]
+        fn.restype = C.c_int
+    u32p = C.POINTER(C.c_uint32)
+    for name in (
+        "decoder_to_upper_full decoder_to_lower_full decoder_to_title_full "
+        "decoder_case_fold_full"
+    ).split():
+        fn = getattr(lib, name)
+        fn.argtypes = [C.c_uint32, u32p, C.c_int]
+        fn.restype = C.c_int
+    lib.decoder_case_compare.argtypes = [u32p, C.c_int64, u32p, C.c_int64]
+    lib.decoder_case_compare.restype = C.c_int
+    lib.decoder_check_confusables.argtypes = [u32p, C.c_int64, u32p, C.c_int64]
+    lib.decoder_check_confusables.restype = C.c_int
+    for name in "decoder_string_to_upper decoder_string_to_lower decoder_string_to_title".split():
+        fn = getattr(lib, name)
+        fn.argtypes = [u32p, C.c_int64, u32p]
+        fn.restype = None
+    lib.decoder_normalize.argtypes = [u32p, C.c_int64, C.c_int, u32p, C.c_int64]
+    lib.decoder_normalize.restype = C.c_int64
+    lib.decoder_is_normalized.argtypes = [u32p, C.c_int64, C.c_int]
+    lib.decoder_is_normalized.restype = C.c_int
+    lib.decoder_quick_check.argtypes = [u32p, C.c_int64, C.c_int]
+    lib.decoder_quick_check.restype = C.c_int
+    lib.decoder_sanitize.argtypes = [
+        C.c_char_p, C.c_int64, C.POINTER(C.c_uint8), C.c_int64, C.POINTER(C.c_int64)
+    ]
+    lib.decoder_sanitize.restype = C.c_int
+    lib.decoder_is_well_formed.argtypes = [C.c_char_p, C.c_int64]
+    lib.decoder_is_well_formed.restype = C.c_int
+    u16p = C.POINTER(C.c_uint16)
+    lib.decoder_is_valid_utf16.argtypes = [u16p, C.c_int64]
+    lib.decoder_is_valid_utf16.restype = C.c_int
+    lib.decoder_utf16_to_utf32.argtypes = [u16p, C.c_int64, u32p, C.c_int64]
+    lib.decoder_utf16_to_utf32.restype = C.c_int64
+    lib.decoder_utf32_to_utf16.argtypes = [u32p, C.c_int64, u16p, C.c_int64]
+    lib.decoder_utf32_to_utf16.restype = C.c_int64
+    lib.decoder_utf32_to_utf8.argtypes = [u32p, C.c_int64, C.POINTER(C.c_uint8), C.c_int64]
+    lib.decoder_utf32_to_utf8.restype = C.c_int64
+    lib.decoder_utf8_to_utf16.argtypes = [C.c_char_p, C.c_int64, u16p, C.c_int64]
+    lib.decoder_utf8_to_utf16.restype = C.c_int64
+    lib.decoder_utf16_to_utf8.argtypes = [u16p, C.c_int64, C.POINTER(C.c_uint8), C.c_int64]
+    lib.decoder_utf16_to_utf8.restype = C.c_int64
+    lib.decoder_utf8_length.argtypes = [u32p, C.c_int64]
+    lib.decoder_utf8_length.restype = C.c_int64
+    lib.decoder_utf8_to_utf32.argtypes = [C.c_char_p, C.c_int64, u32p, C.c_int64]
+    lib.decoder_utf8_to_utf32.restype = C.c_int64
+    for name in (
+        "decoder_is_grapheme_boundary decoder_is_word_boundary decoder_is_sentence_boundary"
+    ).split():
+        fn = getattr(lib, name)
+        fn.argtypes = [u32p, C.c_int64, C.c_int64]
+        fn.restype = C.c_int
+    for name in "decoder_next_grapheme decoder_next_word decoder_next_sentence".split():
+        fn = getattr(lib, name)
+        fn.argtypes = [u32p, C.c_int64, C.c_int64]
+        fn.restype = C.c_int64
+    lib.decoder_get_script_name.argtypes = [C.c_int]
+    lib.decoder_get_script_name.restype = C.c_char_p
+    lib.decoder_get_block_name.argtypes = [C.c_int]
+    lib.decoder_get_block_name.restype = C.c_char_p
     lib.decoder_init()
     return lib
+
+
+def _cps(s: str) -> "np.ndarray":
+    return np.array([ord(c) for c in s], dtype=np.uint32)
 
 
 _FORMS = {"NFC": 0, "NFD": 1, "NFKC": 2, "NFKD": 3}
@@ -278,3 +346,196 @@ class CppUnicodeBackend(PyUnicodeBackend):
         return self._lib.decoder_count_sentences(
             cps.ctypes.data_as(C.POINTER(C.c_uint32)), len(cps)
         )
+
+    # ── extended API (decoder.mjs parity: case, segmentation, security) ──
+    def is_alphabetic(self, cp: int) -> bool:
+        return bool(self._lib.decoder_is_alphabetic(cp))
+
+    def is_numeric(self, cp: int) -> bool:
+        return bool(self._lib.decoder_is_numeric(cp))
+
+    def _full_case(self, fn, cp: int) -> list[int]:
+        buf = (C.c_uint32 * 4)()
+        n = fn(cp, buf, 4)
+        return [buf[i] for i in range(n)]
+
+    def to_upper_full(self, cp: int) -> list[int]:
+        return self._full_case(self._lib.decoder_to_upper_full, cp)
+
+    def to_lower_full(self, cp: int) -> list[int]:
+        return self._full_case(self._lib.decoder_to_lower_full, cp)
+
+    def to_title_full(self, cp: int) -> list[int]:
+        return self._full_case(self._lib.decoder_to_title_full, cp)
+
+    def case_fold_full(self, cp: int) -> list[int]:
+        return self._full_case(self._lib.decoder_case_fold_full, cp)
+
+    def case_compare(self, a: str, b: str) -> int:
+        ca, cb = _cps(a), _cps(b)
+        pa = ca.ctypes.data_as(C.POINTER(C.c_uint32)) if len(ca) else None
+        pb = cb.ctypes.data_as(C.POINTER(C.c_uint32)) if len(cb) else None
+        return self._lib.decoder_case_compare(pa, len(ca), pb, len(cb))
+
+    def string_to_upper(self, s: str) -> str:
+        return self._string_case(self._lib.decoder_string_to_upper, s)
+
+    def string_to_lower(self, s: str) -> str:
+        return self._string_case(self._lib.decoder_string_to_lower, s)
+
+    def string_to_title(self, s: str) -> str:
+        return self._string_case(self._lib.decoder_string_to_title, s)
+
+    def _string_case(self, fn, s: str) -> str:
+        cps = _cps(s)
+        if not len(cps):
+            return s
+        out = np.empty(len(cps), dtype=np.uint32)
+        fn(
+            cps.ctypes.data_as(C.POINTER(C.c_uint32)), len(cps),
+            out.ctypes.data_as(C.POINTER(C.c_uint32)),
+        )
+        return "".join(chr(int(c)) for c in out)
+
+    def is_confusable(self, cp: int) -> bool:
+        return bool(self._lib.decoder_is_confusable(cp))
+
+    def check_confusables(self, a: str, b: str) -> bool:
+        ca, cb = _cps(a), _cps(b)
+        pa = ca.ctypes.data_as(C.POINTER(C.c_uint32)) if len(ca) else None
+        pb = cb.ctypes.data_as(C.POINTER(C.c_uint32)) if len(cb) else None
+        return bool(self._lib.decoder_check_confusables(pa, len(ca), pb, len(cb)))
+
+    def sanitize(self, data: bytes) -> bytes:
+        data = bytes(data)
+        cap = len(data) * 3 + 16
+        out = np.empty(cap, dtype=np.uint8)
+        out_len = C.c_int64(0)
+        rc = self._lib.decoder_sanitize(
+            data, len(data), out.ctypes.data_as(C.POINTER(C.c_uint8)), cap, C.byref(out_len)
+        )
+        if rc != 0:
+            raise RuntimeError(f"decoder_sanitize failed: {rc}")
+        return out[: out_len.value].tobytes()
+
+    def is_well_formed(self, data: bytes) -> bool:
+        data = bytes(data)
+        return bool(self._lib.decoder_is_well_formed(data, len(data)))
+
+    def is_valid_utf16(self, units) -> bool:
+        arr = np.ascontiguousarray(np.asarray(units, dtype=np.uint16))
+        p = arr.ctypes.data_as(C.POINTER(C.c_uint16)) if len(arr) else None
+        return bool(self._lib.decoder_is_valid_utf16(p, len(arr)))
+
+    def utf16_to_utf32(self, units) -> np.ndarray:
+        arr = np.ascontiguousarray(np.asarray(units, dtype=np.uint16))
+        out = np.empty(max(len(arr), 1), dtype=np.uint32)
+        n = self._lib.decoder_utf16_to_utf32(
+            arr.ctypes.data_as(C.POINTER(C.c_uint16)), len(arr),
+            out.ctypes.data_as(C.POINTER(C.c_uint32)), len(out),
+        )
+        if n < 0:
+            raise ValueError("invalid UTF-16")
+        return out[:n].copy()
+
+    def utf32_to_utf16(self, cps) -> np.ndarray:
+        arr = np.ascontiguousarray(np.asarray(cps, dtype=np.uint32))
+        out = np.empty(max(2 * len(arr), 1), dtype=np.uint16)
+        n = self._lib.decoder_utf32_to_utf16(
+            arr.ctypes.data_as(C.POINTER(C.c_uint32)), len(arr),
+            out.ctypes.data_as(C.POINTER(C.c_uint16)), len(out),
+        )
+        if n < 0:
+            raise ValueError("invalid codepoints")
+        return out[:n].copy()
+
+    def utf32_to_utf8(self, cps) -> bytes:
+        arr = np.ascontiguousarray(np.asarray(cps, dtype=np.uint32))
+        out = np.empty(max(4 * len(arr), 1), dtype=np.uint8)
+        n = self._lib.decoder_utf32_to_utf8(
+            arr.ctypes.data_as(C.POINTER(C.c_uint32)), len(arr),
+            out.ctypes.data_as(C.POINTER(C.c_uint8)), len(out),
+        )
+        if n < 0:
+            raise ValueError("invalid codepoints")
+        return out[:n].tobytes()
+
+    def utf8_to_utf16(self, data: bytes) -> np.ndarray:
+        data = bytes(data)
+        out = np.empty(max(len(data), 1), dtype=np.uint16)
+        n = self._lib.decoder_utf8_to_utf16(
+            data, len(data), out.ctypes.data_as(C.POINTER(C.c_uint16)), len(out)
+        )
+        if n < 0:
+            raise ValueError("invalid UTF-8")
+        return out[:n].copy()
+
+    def utf16_to_utf8(self, units) -> bytes:
+        arr = np.ascontiguousarray(np.asarray(units, dtype=np.uint16))
+        out = np.empty(max(4 * len(arr), 1), dtype=np.uint8)
+        n = self._lib.decoder_utf16_to_utf8(
+            arr.ctypes.data_as(C.POINTER(C.c_uint16)), len(arr),
+            out.ctypes.data_as(C.POINTER(C.c_uint8)), len(out),
+        )
+        if n < 0:
+            raise ValueError("invalid UTF-16")
+        return out[:n].tobytes()
+
+    def utf8_length(self, cps) -> int:
+        arr = np.ascontiguousarray(np.asarray(cps, dtype=np.uint32))
+        p = arr.ctypes.data_as(C.POINTER(C.c_uint32)) if len(arr) else None
+        return self._lib.decoder_utf8_length(p, len(arr))
+
+    def _boundary(self, fn, s: str, pos: int) -> bool:
+        cps = _cps(s)
+        p = cps.ctypes.data_as(C.POINTER(C.c_uint32)) if len(cps) else None
+        return bool(fn(p, len(cps), pos))
+
+    def is_grapheme_boundary(self, s: str, pos: int) -> bool:
+        return self._boundary(self._lib.decoder_is_grapheme_boundary, s, pos)
+
+    def is_word_boundary(self, s: str, pos: int) -> bool:
+        return self._boundary(self._lib.decoder_is_word_boundary, s, pos)
+
+    def is_sentence_boundary(self, s: str, pos: int) -> bool:
+        return self._boundary(self._lib.decoder_is_sentence_boundary, s, pos)
+
+    def _next(self, fn, s: str, pos: int) -> int:
+        cps = _cps(s)
+        p = cps.ctypes.data_as(C.POINTER(C.c_uint32)) if len(cps) else None
+        return int(fn(p, len(cps), pos))
+
+    def next_grapheme(self, s: str, pos: int) -> int:
+        return self._next(self._lib.decoder_next_grapheme, s, pos)
+
+    def next_word(self, s: str, pos: int) -> int:
+        return self._next(self._lib.decoder_next_word, s, pos)
+
+    def next_sentence(self, s: str, pos: int) -> int:
+        return self._next(self._lib.decoder_next_sentence, s, pos)
+
+    def normalize_codepoints(self, cps, form: int | str = "NFC") -> np.ndarray:
+        if isinstance(form, str):
+            form = _FORMS[form]
+        arr = np.ascontiguousarray(np.asarray(cps, dtype=np.uint32))
+        out = np.empty(max(4 * len(arr) + 16, 16), dtype=np.uint32)
+        n = self._lib.decoder_normalize(
+            arr.ctypes.data_as(C.POINTER(C.c_uint32)), len(arr), form,
+            out.ctypes.data_as(C.POINTER(C.c_uint32)), len(out),
+        )
+        if n < 0:
+            raise RuntimeError(f"decoder_normalize failed: {n}")
+        return out[:n].copy()
+
+    def quick_check(self, s: str, form: int | str = "NFC") -> bool:
+        if isinstance(form, str):
+            form = _FORMS[form]
+        cps = _cps(s)
+        p = cps.ctypes.data_as(C.POINTER(C.c_uint32)) if len(cps) else None
+        return bool(self._lib.decoder_quick_check(p, len(cps), form))
+
+    def get_script_name(self, script_id: int) -> str:
+        return self._lib.decoder_get_script_name(script_id).decode()
+
+    def get_block_name(self, block_id: int) -> str:
+        return self._lib.decoder_get_block_name(block_id).decode()

@@ -274,6 +274,124 @@ class PyUnicodeBackend:
     def to_codepoints(self, s: str) -> np.ndarray:
         return np.array([ord(c) for c in s], dtype=np.uint32)
 
+    # ── extended parity surface (pure-Python versions) ───────────────
+    def is_alphabetic(self, cp: int) -> bool:
+        cat = unicodedata.category(chr(cp))
+        return cat.startswith("L") or cat == "Nl"
+
+    def is_numeric(self, cp: int) -> bool:
+        return unicodedata.category(chr(cp)).startswith("N")
+
+    def to_title_full(self, cp: int) -> list[int]:
+        return [ord(c) for c in chr(cp).title()]
+
+    def string_to_title(self, s: str) -> str:
+        return s.title()
+
+    def case_compare(self, a: str, b: str) -> int:
+        fa, fb = a.casefold(), b.casefold()
+        return -1 if fa < fb else (1 if fa > fb else 0)
+
+    def check_confusables(self, a: str, b: str) -> bool:
+        # skeleton approximation: compatibility-normalized case fold
+        ka = unicodedata.normalize("NFKC", a).casefold()
+        kb = unicodedata.normalize("NFKC", b).casefold()
+        return ka == kb
+
+    def is_confusable(self, cp: int) -> bool:
+        return unicodedata.normalize("NFKC", chr(cp)) != chr(cp)
+
+    def sanitize(self, data: bytes) -> bytes:
+        return bytes(data).decode("utf-8", errors="replace").encode("utf-8")
+
+    def is_well_formed(self, data: bytes) -> bool:
+        return self.is_valid_utf8(data)
+
+    def is_valid_utf16(self, units) -> bool:
+        try:
+            np.asarray(units, dtype=np.uint16).tobytes().decode("utf-16-le", errors="strict")
+            return True
+        except UnicodeDecodeError:
+            return False
+
+    def utf16_to_utf32(self, units) -> np.ndarray:
+        s = np.asarray(units, dtype=np.uint16).tobytes().decode("utf-16-le")
+        return self.to_codepoints(s)
+
+    def utf32_to_utf16(self, cps) -> np.ndarray:
+        s = "".join(chr(int(c)) for c in np.asarray(cps, dtype=np.uint32))
+        return np.frombuffer(s.encode("utf-16-le"), dtype=np.uint16).copy()
+
+    def utf32_to_utf8(self, cps) -> bytes:
+        return "".join(chr(int(c)) for c in np.asarray(cps, dtype=np.uint32)).encode("utf-8")
+
+    def utf8_to_utf16(self, data: bytes) -> np.ndarray:
+        s = bytes(data).decode("utf-8")
+        return np.frombuffer(s.encode("utf-16-le"), dtype=np.uint16).copy()
+
+    def utf16_to_utf8(self, units) -> bytes:
+        return np.asarray(units, dtype=np.uint16).tobytes().decode("utf-16-le").encode("utf-8")
+
+    def is_grapheme_boundary(self, s: str, pos: int) -> bool:
+        if pos <= 0 or pos >= len(s):
+            return True
+        prev, cur = s[pos - 1], s[pos]
+        if prev == "\r" and cur == "\n":
+            return False
+        if prev in "\r\n" or cur in "\r\n":
+            return True
+        if unicodedata.combining(cur) or unicodedata.category(cur).startswith("M"):
+            return False
+        if prev == "‍" or cur in "‍︎️":
+            return False
+        if "\U0001f3fb" <= cur <= "\U0001f3ff":
+            return False
+        return True
+
+    def is_word_boundary(self, s: str, pos: int) -> bool:
+        if pos <= 0 or pos >= len(s):
+            return True
+
+        def wordish(c):
+            cat = unicodedata.category(c)
+            return cat.startswith(("L", "N")) or c in "'_’"
+
+        return wordish(s[pos - 1]) != wordish(s[pos])
+
+    def is_sentence_boundary(self, s: str, pos: int) -> bool:
+        if pos <= 0 or pos >= len(s):
+            return True
+        return s[pos - 1] in ".!?‼‽⁇⁈⁉。！．？"
+
+    def next_grapheme(self, s: str, pos: int) -> int:
+        for i in range(pos + 1, len(s)):
+            if self.is_grapheme_boundary(s, i):
+                return i
+        return len(s)
+
+    def next_word(self, s: str, pos: int) -> int:
+        for i in range(pos + 1, len(s)):
+            if self.is_word_boundary(s, i):
+                return i
+        return len(s)
+
+    def next_sentence(self, s: str, pos: int) -> int:
+        for i in range(pos + 1, len(s)):
+            if self.is_sentence_boundary(s, i):
+                return i
+        return len(s)
+
+    def normalize_codepoints(self, cps, form: int | str = "NFC") -> np.ndarray:
+        if isinstance(form, int):
+            form = self._FORMS[form]
+        s = "".join(chr(int(c)) for c in np.asarray(cps, dtype=np.uint32))
+        return self.to_codepoints(unicodedata.normalize(form, s))
+
+    def quick_check(self, s: str, form: int | str = "NFC") -> bool:
+        if isinstance(form, int):
+            form = self._FORMS[form]
+        return unicodedata.is_normalized(form, s)
+
 
 def _selftest() -> None:  # pragma: no cover
     b = PyUnicodeBackend()

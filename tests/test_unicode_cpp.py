@@ -167,3 +167,95 @@ class TestScriptsAndIdentifiers:
         assert cpp.is_suspicious("pаypal")  # Cyrillic 'а' in Latin word
         assert not cpp.is_suspicious("paypal")
         assert not cpp.is_suspicious("日本語です")  # Han+Hiragana sanctioned
+
+
+class TestExtendedParitySurface:
+    """The remaining decoder.wasm exports (decoder.js full list): full case
+    mapping, caseless compare, transcoding, segmentation boundaries,
+    confusables, sanitize, names."""
+
+    def test_full_case_expansion(self, cpp):
+        assert cpp.to_upper_full(ord("ß")) == [ord("S"), ord("S")]
+        assert cpp.case_fold_full(ord("ß")) == [ord("s"), ord("s")]
+        assert cpp.to_upper_full(ord("a")) == [ord("A")]
+        assert cpp.to_lower_full(ord("A")) == [ord("a")]
+        assert cpp.case_fold_full(0xFB01) == [ord("f"), ord("i")]  # ﬁ
+
+    def test_case_compare(self, cpp):
+        assert cpp.case_compare("Hello", "hello") == 0
+        assert cpp.case_compare("STRASSE", "straße") == 0
+        assert cpp.case_compare("abc", "abd") < 0
+        assert cpp.case_compare("b", "a") > 0
+
+    def test_string_case(self, cpp):
+        assert cpp.string_to_upper("abc") == "ABC"
+        assert cpp.string_to_lower("ABC") == "abc"
+        assert cpp.string_to_title("hello world") == "Hello World"
+
+    def test_sanitize_replaces_invalid(self, cpp):
+        out = cpp.sanitize(b"ok\xff\xfemore")
+        assert out.decode("utf-8") == "ok��more"
+        assert cpp.sanitize("clean ✓".encode()) == "clean ✓".encode()
+
+    def test_well_formed(self, cpp):
+        assert cpp.is_well_formed("abc dé".encode())
+        assert not cpp.is_well_formed(b"\xc3")
+
+    def test_utf16_utf32_transcoding(self, cpp):
+        s = "a𝄞é"  # includes a surrogate pair
+        u16 = list(s.encode("utf-16-le"))
+        units = [u16[i] | (u16[i + 1] << 8) for i in range(0, len(u16), 2)]
+        assert cpp.is_valid_utf16(units)
+        cps = cpp.utf16_to_utf32(units)
+        assert [int(c) for c in cps] == [ord(c) for c in s]
+        assert list(cpp.utf32_to_utf16(cps)) == units
+        assert cpp.utf32_to_utf8(cps) == s.encode("utf-8")
+        assert list(cpp.utf8_to_utf16(s.encode())) == units
+        assert cpp.utf16_to_utf8(units) == s.encode("utf-8")
+        assert cpp.utf8_length(cps) == len(s.encode("utf-8"))
+        assert not cpp.is_valid_utf16([0xD800])  # lone surrogate
+
+    def test_boundaries(self, cpp):
+        s = "ab cd"
+        assert cpp.is_word_boundary(s, 2)
+        assert not cpp.is_word_boundary(s, 1)
+        assert cpp.is_grapheme_boundary("ab", 1)
+        assert not cpp.is_grapheme_boundary("éx", 1)  # combining acute
+        assert cpp.is_sentence_boundary("a. b", 2)
+
+    def test_next_iterators(self, cpp):
+        s = "hi there"
+        assert cpp.next_word(s, 0) == 2
+        assert cpp.next_word(s, 2) == 3
+        assert cpp.next_grapheme("éx", 0) == 2
+        assert cpp.next_sentence("One. Two.", 0) == 4
+
+    def test_confusables(self, cpp):
+        assert cpp.check_confusables("pаypal", "paypal")  # Cyrillic а
+        assert cpp.check_confusables("ΑΒ", "AB")  # Greek capitals
+        assert not cpp.check_confusables("hello", "world")
+        assert cpp.is_confusable(0x0430)
+        assert not cpp.is_confusable(ord("a"))
+
+    def test_normalize_codepoints_and_quick_check(self, cpp):
+        import numpy as np
+
+        cps = np.array([ord("e"), 0x0301], dtype=np.uint32)  # e + combining acute
+        out = cpp.normalize_codepoints(cps, "NFC")
+        assert [int(c) for c in out] == [0xE9]
+        assert cpp.quick_check("é", "NFC")
+        assert not cpp.quick_check("é", "NFC")
+
+    def test_script_block_names(self, cpp):
+        from gpu_bpe_tpu.unicode.enums import Script
+
+        assert cpp.get_script_name(Script.LATIN) == "LATIN"
+        assert cpp.get_script_name(Script.HAN) == "HAN"
+        assert cpp.get_block_name(cpp.get_block(ord("a")))  # non-empty
+
+    def test_alphabetic_numeric(self, cpp):
+        assert cpp.is_alphabetic(ord("a"))
+        assert cpp.is_alphabetic(0x2160)  # Roman numeral one (Nl)
+        assert not cpp.is_alphabetic(ord("1"))
+        assert cpp.is_numeric(ord("1"))
+        assert cpp.is_numeric(0x00BD)  # ½
