@@ -33,10 +33,42 @@ class TrainConfig:
     pre_tokenize: bool = True  # Unicode word boundaries (vs byte-heuristic)
     dedup: bool = True  # unique-word multiset (exact, faster)
     shuffle: bool = False  # paragraph shuffle at ingest (file-manager.js:108)
-    batch_merges: int = 128
+    batch_merges: int = 1024  # merges per host round trip (BATCH_MERGES cap)
     seed: int = 0
     show_progress: bool = True
     extra: dict = field(default_factory=dict)
+
+
+# Extensions recognized as text for folder-recursive selection
+# (FileInputController parity; reference list at src/utils.js:8-18)
+TEXT_EXTENSIONS = frozenset(
+    "txt md markdown rst json jsonl csv tsv xml yaml yml toml html htm css "
+    "py js mjs ts tsx jsx swift rs go c h cpp hpp cc java kt kts scala rb "
+    "php pl lua sh bash zsh fish sql r jl zig wgsl glsl hlsl tex bib srt "
+    "vtt log".split()
+)
+
+
+def collect_files(paths: list[str]) -> list[str]:
+    """Expand files and directories into a sorted list of text-file paths.
+
+    Directories are traversed recursively with the reference's text
+    extension filter (file-input-controller.js:163-241 + utils.js:8-18);
+    explicitly named files are always included.
+    """
+    import os
+
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                for name in sorted(names):
+                    ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""
+                    if ext in TEXT_EXTENSIONS:
+                        out.append(os.path.join(root, name))
+        else:
+            out.append(p)
+    return out
 
 
 def build_corpus(files: list[bytes], shuffle: bool = False, seed: int = 0) -> bytes:

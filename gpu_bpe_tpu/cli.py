@@ -18,13 +18,14 @@ import argparse
 import sys
 import time
 
-from .api import TrainConfig, export_bin, export_trie, load_model, train
+from .api import TrainConfig, collect_files, export_bin, export_trie, load_model, train
 from .utils.timing import format_size
 
 
 def _read_files(paths: list[str]) -> list[bytes]:
+    """Read files; directories recurse with the text-extension filter."""
     out = []
-    for p in paths:
+    for p in collect_files(paths):
         with open(p, "rb") as f:
             out.append(f.read())
     return out

@@ -104,3 +104,21 @@ class TestCLI:
 
         r = _run_cli("vocab", str(model))
         assert r.returncode == 0 and r.stdout.startswith("# GPU BPE Vocabulary")
+
+
+def test_collect_files_recursive(tmp_path):
+    """Directory ingestion with the reference's text-extension filter
+    (file-input-controller.js:163-241, utils.js:8-18)."""
+    from gpu_bpe_tpu.api import collect_files
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.txt").write_text("hello")
+    (tmp_path / "sub" / "b.py").write_text("code")
+    (tmp_path / "sub" / "c.bin").write_bytes(b"\x00binary")  # filtered out
+    (tmp_path / "noext").write_text("skip")  # no extension -> filtered
+    got = collect_files([str(tmp_path)])
+    names = sorted(p.rsplit("/", 1)[-1] for p in got)
+    assert names == ["a.txt", "b.py"]
+    # explicit file always included, even with a non-text extension
+    explicit = collect_files([str(tmp_path / "sub" / "c.bin")])
+    assert explicit == [str(tmp_path / "sub" / "c.bin")]
