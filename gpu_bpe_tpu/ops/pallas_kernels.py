@@ -47,6 +47,7 @@ _ROWS = BLOCK // _LANES
 _TILE = 1024  # HBM tile granularity for i32/u32 (8 sublanes x 128 lanes)
 _BIG = BLOCK + _TILE  # staging window: carry tile + one block
 _BROWS = _BIG // _LANES
+_UB_SIDE = 32  # 32x32 = 1024 hash bins for the created-pair ceiling
 
 
 def _fshift(x, s):
@@ -145,28 +146,43 @@ def _merge_compact_kernel(
     rem_i = removed.astype(jnp.int32)
     n_rem = jnp.sum(rem_i)
 
-    # exclusive flat prefix sum of removals = leftward displacement
-    csum = rem_i
-    for kk in range(BLOCK.bit_length() - 1):
-        s = 1 << kk
-        csum = csum + jnp.where(fi >= s, _fshift(csum, s), 0)
-    disp = csum - rem_i
+    # exclusive flat prefix sum of removals = leftward displacement.
+    # Hierarchical: 7 lane-prefix rounds on the full tile + a tiny cumsum
+    # down the 256 row totals (vs 15 full-tile rounds flat).
+    lane = lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
+    lane_inc = rem_i
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        lane_inc = lane_inc + jnp.where(lane >= s, pltpu.roll(lane_inc, s, axis=1), 0)
+    row_tot = lane_inc[:, _LANES - 1 :]  # [ROWS, 1] inclusive row sums
+    row_iota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
+    row_inc = row_tot
+    s = 1
+    while s < _ROWS:
+        row_inc = row_inc + jnp.where(row_iota >= s, pltpu.roll(row_inc, s, axis=0), 0)
+        s <<= 1
+    disp = lane_inc + (row_inc - row_tot) - rem_i
 
     # stable log-shift compaction: valid movers never collide (see module
-    # docstring); garbage slots may be overwritten freely
+    # docstring); garbage slots may be overwritten freely. The keep flag
+    # rides in bit 31 of the value word (symbols use only 17 bits), so each
+    # round shifts 3 arrays instead of 4.
+    pk = vals | (keep.astype(jnp.uint32) << jnp.uint32(31))
     for bit in range(BLOCK.bit_length() - 1):
         s = 1 << bit
-        move = (((disp >> bit) & 1) == 1) & keep
+        live = pk >> jnp.uint32(31) == 1
+        move = ((((disp >> bit) & 1) == 1) & live).astype(jnp.uint32)
         in_range = fi < BLOCK - s
-        # shift an i32 mask (bool vectors don't survive pltpu.roll lowering)
-        src_m = jnp.where(in_range, _fshift(move.astype(jnp.int32), BLOCK - s), 0) == 1
-        src_v = _fshift(vals, BLOCK - s)
+        src_m = jnp.where(in_range, _fshift(move, BLOCK - s), 0) == 1
+        src_pk = _fshift(pk, BLOCK - s)
         src_w = _fshift(wts, BLOCK - s)
         src_d = _fshift(disp, BLOCK - s)
-        vals = jnp.where(src_m, src_v, vals)
+        # destination takes the mover; a slot whose element moved away and
+        # received nothing becomes garbage (keep bit cleared)
+        stay = jnp.where(move == 1, pk & jnp.uint32(0x7FFFFFFF), pk)
+        pk = jnp.where(src_m, src_pk, stay)
         wts = jnp.where(src_m, src_w, wts)
         disp = jnp.where(src_m, src_d - s, disp)
-        keep = src_m | (keep & ~move)
+    vals = pk & jnp.uint32(0x7FFFFFFF)
 
     # ── aligned-carry output: HBM tiles are TILE elements, so DMAs go to
     # TILE-aligned offsets; the trailing partial tile rides in VMEM ──

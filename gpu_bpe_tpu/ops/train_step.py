@@ -207,9 +207,11 @@ def _ub_bins(toks: jax.Array, w_masked: jax.Array) -> jax.Array:
     histogram is one [32, N] x [N, 32] matmul on the MXU. Positions with
     ``w_masked == 0`` contribute nothing; collisions only ever ADD mass.
     """
-    h = ((toks * _U32(2654435761)) >> _U32(16)) & _U32(1023)
-    hi = (h >> _U32(5)).astype(jnp.int32)
-    lo = (h & _U32(31)).astype(jnp.int32)
+    bits = (_UB_SIDE * _UB_SIDE).bit_length() - 1
+    half = bits // 2
+    h = ((toks * _U32(2654435761)) >> _U32(16)) & _U32(_UB_SIDE * _UB_SIDE - 1)
+    hi = (h >> _U32(half)).astype(jnp.int32)
+    lo = (h & _U32((1 << half) - 1)).astype(jnp.int32)
     io = lax.broadcasted_iota(jnp.int32, (1, _UB_SIDE), 1)
     a = jnp.where(hi[:, None] == io, w_masked[:, None].astype(jnp.float32), 0.0)
     c = jnp.where(lo[:, None] == io, 1.0, 0.0)
@@ -382,12 +384,20 @@ def _one_merge(state: TrainState) -> TrainState:
     def full_recount(_):
         sp, sw = lax.sort((pair, w), num_keys=1)
         run_total = _run_totals(sp, sw)
-        # top-(K+1) run totals; lax.top_k breaks ties toward the lower index,
-        # and sp is ascending in pair id, so equal counts prefer the smaller
-        # pair — exactly the reference's is_better ordering (train.wgsl:83-85)
-        vals, idx = lax.top_k(run_total, K_CANDIDATES + 1)
-        new_cand = sp[idx[: K_CANDIDATES]]
-        return new_cand[0], vals[0], new_cand, vals[K_CANDIDATES], jnp.asarray(0, jnp.int32)
+        # exact winner with the reference's is_better ordering
+        # (train.wgsl:83-85): count desc, pair id asc
+        bc = jnp.max(run_total)
+        bp = jnp.min(jnp.where((run_total == bc) & (sp != 0), sp, _INVALID))
+        bp = jnp.where(bc > 0, bp, _U32(0))
+        # candidate set: approx top-K is fine BECAUSE theta below is the
+        # EXACT max count over non-candidates — a missed heavy pair only
+        # shortens the window (more recounts), never breaks exactness.
+        # approx_max_k is ~10x cheaper than exact lax.top_k here.
+        _av, ai = lax.approx_max_k(run_total.astype(jnp.float32), K_CANDIDATES)
+        new_cand = sp[ai].at[0].set(bp)  # winner must be tracked
+        tracked = jnp.any(sp[:, None] == new_cand[None, :], axis=1)
+        new_theta = jnp.max(jnp.where(tracked, 0, run_total))
+        return bp, bc, new_cand, new_theta, jnp.asarray(0, jnp.int32)
 
     best_pair, count, cand, theta, ub_new = lax.cond(certified, from_candidates, full_recount, None)
     recounts = state.recounts + jnp.where(certified, 0, 1)

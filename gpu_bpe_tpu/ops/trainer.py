@@ -103,16 +103,27 @@ class TPUTrainer:
                 target_vocab_size=target_vocab_size,
             ).save(checkpoint_path)
 
+        # Pack the log + scalars into one array so each batch costs exactly
+        # ONE device->host round trip (separate int()/np.asarray() reads
+        # each pay the full host-link latency).
+        @jax.jit
+        def _summary(st: TrainState):
+            scalars = jnp.stack(
+                [st.merges_done, st.n, st.early_stop.astype(jnp.int32), st.recounts]
+            ).astype(jnp.uint32)
+            return jnp.concatenate([st.merge_log.reshape(-1), scalars])
+
         while total_done < merges_needed and not early_stop:
             batch = min(self.batch_merges, merges_needed - total_done)
             cap = state.symbols.shape[0]
             state = train_batch_jit(state, jnp.asarray(batch, jnp.int32))
 
             # ── single host readback per batch ──
-            log = np.asarray(state.merge_log)
-            merges_done = int(state.merges_done)
-            n_now = int(state.n)
-            early_stop = bool(state.early_stop)
+            packed = np.asarray(_summary(state))
+            log = packed[: BATCH_MERGES * 3].reshape(BATCH_MERGES, 3)
+            merges_done = int(packed[-4])
+            n_now = int(np.int32(packed[-3]))
+            early_stop = bool(packed[-2])
 
             for i in range(merges_done):
                 pair, new_id, count = int(log[i, 0]), int(log[i, 1]), int(log[i, 2])

@@ -90,3 +90,4 @@ def test_weights_follow_survivors():
     rng = np.random.default_rng(5)
     symf, wf = _random_stream(rng, 10_000, alphabet=4)
     _check(symf, wf, 10_000, pack_pair(1, 2), new_id=999)
+
