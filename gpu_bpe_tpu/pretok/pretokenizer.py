@@ -32,6 +32,9 @@ class PreTokenizer:
 
     def __init__(self, backend=None):
         self.backend = backend or get_backend()
+        # native rule engine when available (identical output to the numpy
+        # implementation — pinned by tests/test_pretok.py)
+        self._boundaries = getattr(self.backend, "find_word_boundaries", None) or find_word_boundaries
 
     # ── String path (pre_tokenizer.mjs:426-448) ──────────────────────
     def pre_tokenize(self, text: str) -> tuple[bytes, np.ndarray]:
@@ -48,7 +51,7 @@ class PreTokenizer:
 
         cps = np.array([ord(c) for c in normalized], dtype=np.uint32)
         classes = self.backend.classify_codepoints(cps)
-        cp_starts = find_word_boundaries(cps, classes)
+        cp_starts = self._boundaries(cps, classes)
 
         data = normalized.encode("utf-8")
         lens = utf8_byte_lengths(cps)
@@ -70,7 +73,7 @@ class PreTokenizer:
             try:
                 normalized, cps, classes, offsets = prepare(data)
                 if normalized:
-                    cp_starts = find_word_boundaries(cps, classes)
+                    cp_starts = self._boundaries(cps, classes)
                     word_starts = np.zeros(len(normalized), dtype=np.uint8)
                     sel = offsets[cp_starts.astype(bool)]
                     word_starts[sel[sel < len(normalized)]] = 1
@@ -89,7 +92,7 @@ class PreTokenizer:
 
         cps = utf8_to_codepoints(normalized)
         classes = self.backend.classify_codepoints(cps)
-        cp_starts = find_word_boundaries(cps, classes)
+        cp_starts = self._boundaries(cps, classes)
 
         # Codepoint-level boundaries → byte-level mask. The reference maps via
         # utf8ByteLength of the DECODED codepoints (pre_tokenizer.mjs:499-508);

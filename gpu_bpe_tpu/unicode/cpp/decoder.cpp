@@ -578,6 +578,32 @@ int decoder_pretokenize_prepare(const uint8_t* in, int64_t len,
                                 uint8_t* out, int64_t out_cap, int64_t* out_len,
                                 uint32_t* cps_out, uint8_t* classes, uint32_t* offsets,
                                 int64_t cp_cap, int64_t* cp_count) {
+  // ASCII fast path: NFC is the identity, one byte per codepoint. Real
+  // corpora are dominated by ASCII; this skips the decode/normalize/encode
+  // machinery entirely (~20x on pure-ASCII input).
+  bool ascii = true;
+  for (int64_t i = 0; i < len; i++) {
+    if (in[i] >= 0x80) { ascii = false; break; }
+  }
+  if (ascii) {
+    if (len > cp_cap || len > out_cap) return -2;
+    static uint8_t ascii_class[128];
+    static bool ascii_init = false;
+    if (!ascii_init) {
+      for (uint32_t c = 0; c < 128; c++) ascii_class[c] = class_of(c);
+      ascii_init = true;
+    }
+    std::memcpy(out, in, (size_t)len);
+    for (int64_t i = 0; i < len; i++) {
+      cps_out[i] = in[i];
+      classes[i] = ascii_class[in[i]];
+      offsets[i] = (uint32_t)i;
+    }
+    *out_len = len;
+    *cp_count = len;
+    return 0;
+  }
+
   std::vector<uint32_t> cps((size_t)len);
   int64_t n = utf8_decode(in, len, cps.data());
   if (n < 0) return -3;
@@ -595,6 +621,73 @@ int decoder_pretokenize_prepare(const uint8_t* in, int64_t len,
   *out_len = pos;
   *cp_count = (int64_t)cps.size();
   return 0;
+}
+
+// ── GPT-4-style word boundary rules (pre_tokenizer.mjs:226-292) ──────
+// Sequential rule engine over (codepoints, classes) — the reference's CPU
+// hot loop #1, here in native code. CharClass enum: 0=LETTER 1=DIGIT
+// 2=WHITESPACE 3=PUNCTUATION 4=SYMBOL 5=NEWLINE 6=OTHER.
+static int match_contraction(const uint32_t* cps, const uint8_t* classes,
+                             int64_t n, int64_t i) {
+  if (i + 1 >= n) return 0;
+  uint32_t nxt = cps[i + 1];
+  bool after1 = i + 2 >= n || classes[i + 2] != 0;
+  switch (nxt) {
+    case 's': case 'S': case 't': case 'T': case 'm': case 'M':
+    case 'd': case 'D':
+      if (after1) return 2;
+      break;
+    default:
+      break;
+  }
+  if (i + 2 < n) {
+    uint32_t n2 = cps[i + 2];
+    bool after2 = i + 3 >= n || classes[i + 3] != 0;
+    if (after2) {
+      bool re = (nxt == 'r' || nxt == 'R') && (n2 == 'e' || n2 == 'E');
+      bool ve = (nxt == 'v' || nxt == 'V') && (n2 == 'e' || n2 == 'E');
+      bool ll = (nxt == 'l' || nxt == 'L') && (n2 == 'l' || n2 == 'L');
+      if (re || ve || ll) return 3;
+    }
+  }
+  return 0;
+}
+
+void decoder_find_word_boundaries(const uint32_t* cps, const uint8_t* classes,
+                                  int64_t n, uint8_t* starts) {
+  if (n <= 0) return;
+  std::memset(starts, 0, (size_t)n);
+  starts[0] = 1;
+  static const bool kTransition[7][7] = {
+      // to:  L      D      W      P      S      N      O     from:
+      {false, true,  false, true,  true,  false, false},  // LETTER
+      {true,  false, false, true,  true,  false, false},  // DIGIT
+      {false, false, false, false, false, false, false},  // WHITESPACE
+      {true,  true,  false, false, false, false, false},  // PUNCTUATION
+      {true,  true,  false, false, false, false, false},  // SYMBOL
+      {false, false, false, false, false, false, false},  // NEWLINE
+      {false, false, false, false, false, false, false},  // OTHER
+  };
+  int64_t i = 1;
+  while (i < n) {
+    uint8_t prev = classes[i - 1], curr = classes[i];
+    if (curr == 5 || prev == 5) { starts[i] = 1; i++; continue; }
+    if (curr == 2) { if (prev != 2) starts[i] = 1; i++; continue; }
+    if (prev == 2) { i++; continue; }
+    if (prev == 0 && (cps[i] == 0x27 || cps[i] == 0x2019)) {
+      int consumed = match_contraction(cps, classes, n, i);
+      if (consumed > 0) { i += consumed; continue; }
+    }
+    if (prev < 7 && curr < 7 && kTransition[prev][curr]) { starts[i] = 1; i++; continue; }
+    if (curr == 1 && prev == 1) {
+      int64_t run_start = i - 1;
+      while (run_start > 0 && classes[run_start - 1] == 1) run_start--;
+      if ((i - run_start) % 3 == 0) starts[i] = 1;
+      i++;
+      continue;
+    }
+    i++;
+  }
 }
 
 // ── scripts / blocks / identifier security ──────────────────────────

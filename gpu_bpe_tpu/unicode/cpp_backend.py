@@ -140,6 +140,10 @@ def _load():
         fn = getattr(lib, name)
         fn.argtypes = [u32p, C.c_int64, C.c_int64]
         fn.restype = C.c_int64
+    lib.decoder_find_word_boundaries.argtypes = [
+        u32p, C.POINTER(C.c_uint8), C.c_int64, C.POINTER(C.c_uint8)
+    ]
+    lib.decoder_find_word_boundaries.restype = None
     lib.decoder_get_script_name.argtypes = [C.c_int]
     lib.decoder_get_script_name.restype = C.c_char_p
     lib.decoder_get_block_name.argtypes = [C.c_int]
@@ -533,6 +537,21 @@ class CppUnicodeBackend(PyUnicodeBackend):
         cps = _cps(s)
         p = cps.ctypes.data_as(C.POINTER(C.c_uint32)) if len(cps) else None
         return bool(self._lib.decoder_quick_check(p, len(cps), form))
+
+    def find_word_boundaries(self, cps, classes) -> np.ndarray:
+        """GPT-4-style word-start mask — the native rule engine
+        (decoder_find_word_boundaries; the reference's CPU hot loop #1)."""
+        cps = np.ascontiguousarray(np.asarray(cps, dtype=np.uint32))
+        classes = np.ascontiguousarray(np.asarray(classes, dtype=np.uint8))
+        out = np.zeros(len(cps), dtype=np.uint8)
+        if len(cps):
+            self._lib.decoder_find_word_boundaries(
+                cps.ctypes.data_as(C.POINTER(C.c_uint32)),
+                classes.ctypes.data_as(C.POINTER(C.c_uint8)),
+                len(cps),
+                out.ctypes.data_as(C.POINTER(C.c_uint8)),
+            )
+        return out
 
     def get_script_name(self, script_id: int) -> str:
         return self._lib.decoder_get_script_name(script_id).decode()

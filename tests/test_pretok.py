@@ -197,3 +197,34 @@ def test_lenient_utf8_decoder_invalid_matches_reference_quirk():
     # 0x80: else-branch: (0x80&7)<<18 | ('b'&0x3F)<<12 | ('c'&0x3F)<<6 | 0
     expected = [ord("a"), ((0x80 & 7) << 18) | ((0x62 & 0x3F) << 12) | ((0x63 & 0x3F) << 6)]
     assert cps.tolist() == expected
+
+
+def test_native_boundaries_match_numpy():
+    """The C++ rule engine must be byte-identical to the vectorized numpy
+    implementation (which is itself pinned to the literal reference port)."""
+    import numpy as np
+
+    from gpu_bpe_tpu.pretok.boundaries import find_word_boundaries
+    from gpu_bpe_tpu.unicode import get_backend
+
+    b = get_backend()
+    if not hasattr(b, "find_word_boundaries"):
+        import pytest
+
+        pytest.skip("native backend unavailable")
+    texts = [
+        "Hello world, it's 2026! I'll win 12345 games.",
+        "line1\nline2\r\n  indented   spaces\tand\ttabs",
+        "don't can't won't we're you've they'll it'S THEY'RE",
+        "a1b2c3 123456789 ...!!! mixed.punct;here",
+        "unicode: déjà vu, naïve café — em—dash 日本語テスト",
+        "'starts with apostrophe 'll 're",
+        "",
+        "x",
+    ]
+    for t in texts:
+        cps = np.array([ord(c) for c in t], dtype=np.uint32)
+        classes = b.classify_codepoints(cps)
+        ref = find_word_boundaries(cps, classes)
+        got = b.find_word_boundaries(cps, classes)
+        assert np.array_equal(ref, got), t
