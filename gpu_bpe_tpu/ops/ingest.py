@@ -68,37 +68,57 @@ def make_stream(
     if n_total:
         starts[0] = True  # position 0 always starts a word (rule 1)
 
-    # Split into words and deduplicate via byte-string keys.
+    # Vectorized dedup: bucket words by length, dedupe each bucket with
+    # np.unique over fixed-width rows (C-speed; the previous Python dict
+    # loop dominated ingestion on multi-GB corpora). Deterministic output
+    # order: (length asc, bytes asc).
     boundaries = np.flatnonzero(starts)
     ends = np.append(boundaries[1:], n_total)
-    byte_view = tokens.astype(np.uint8).tobytes()
-    counts: dict[bytes, int] = {}
-    for s, e in zip(boundaries.tolist(), ends.tolist()):
-        w = byte_view[s:e]
-        counts[w] = counts.get(w, 0) + 1
+    lengths = ends - boundaries
+    bytes_arr = tokens.astype(np.uint8)
 
-    words = list(counts.items())
-    total_unique = sum(len(w) for w, _ in words)
-    symbols = np.empty(total_unique, dtype=np.uint32)
-    weights = np.empty(total_unique, dtype=np.int32)
-    pos = 0
-    for w, freq in words:
-        ln = len(w)
-        symbols[pos : pos + ln] = np.frombuffer(w, dtype=np.uint8)
-        symbols[pos] |= np.uint32(WORD_START_BIT)
-        weights[pos : pos + ln] = freq
-        pos += ln
+    out_syms: list[np.ndarray] = []
+    out_wts: list[np.ndarray] = []
+    total_unique = 0
+    for ln in np.unique(lengths):
+        ln = int(ln)
+        sel = boundaries[lengths == ln]
+        if ln == 0:
+            continue
+        # [k, ln] matrix of word bytes via strided gather
+        mat = bytes_arr[sel[:, None] + np.arange(ln)[None, :]]
+        uniq, cnt = np.unique(mat, axis=0, return_counts=True)
+        k = len(uniq)
+        sym = uniq.astype(np.uint32)
+        sym[:, 0] |= np.uint32(WORD_START_BIT)
+        out_syms.append(sym.reshape(-1))
+        out_wts.append(np.repeat(cnt.astype(np.int32), ln))
+        total_unique += k * ln
+
+    if not out_syms:
+        return SymbolStream(
+            symbols=np.zeros(0, np.uint32), weights=np.zeros(0, np.int32),
+            n=0, total_bytes=n_total,
+        )
+    symbols = np.concatenate(out_syms)
+    weights = np.concatenate(out_wts)
     return SymbolStream(symbols=symbols, weights=weights, n=total_unique, total_bytes=n_total)
 
 
 def pad_stream(stream: SymbolStream, multiple: int = 1024) -> SymbolStream:
-    """Pad to a static capacity (tail symbols = 0, which never form pairs).
+    """Pad to a power-of-two capacity (tail symbols = 0, which never pair).
 
-    Headroom of at least COMPACT_EVERY+2 zeros past the stream guarantees the
-    hole-skipping roll chains in ops/train_step.py never wrap onto live data.
+    Power-of-two buckets mean every corpus size hits the same compiled-shape
+    ladder (a fresh TPU compile of the batched merge step costs tens of
+    seconds; the persistent compilation cache then serves ALL corpora).
+    Headroom of at least COMPACT_EVERY+2 zeros past the stream guarantees
+    the hole-skipping roll chains in ops/train_step.py never wrap onto live
+    data.
     """
     headroom = 16
-    cap = max(((stream.n + headroom + multiple - 1) // multiple) * multiple, multiple)
+    cap = max(multiple, 2048)
+    while cap < stream.n + headroom:
+        cap <<= 1
     symbols = np.zeros(cap, dtype=np.uint32)
     weights = np.zeros(cap, dtype=np.int32)
     symbols[: stream.n] = stream.symbols[: stream.n]

@@ -70,12 +70,24 @@ class DistributedTrainer:
         total_done = 0
         early_stop = False
 
+        # one packed readback per batch (separate scalar reads each pay the
+        # full host-link round trip — same fix as ops/trainer.py)
+        import jax
+
+        @jax.jit
+        def _summary(st):
+            scalars = jnp.stack(
+                [st.merges_done, st.early_stop.astype(jnp.int32)]
+            ).astype(jnp.uint32)
+            return jnp.concatenate([st.merge_log.reshape(-1), scalars])
+
         while total_done < merges_needed and not early_stop:
             batch = min(self.batch_merges, merges_needed - total_done)
             state = self._batch(state, jnp.asarray(batch, jnp.int32))
-            log = np.asarray(state.merge_log)
-            merges_done = int(state.merges_done)
-            early_stop = bool(state.early_stop)
+            packed = np.asarray(_summary(state))
+            log = packed[: BATCH_MERGES * 3].reshape(BATCH_MERGES, 3)
+            merges_done = int(packed[-2])
+            early_stop = bool(packed[-1])
             for i in range(merges_done):
                 pair, new_id, count = int(log[i, 0]), int(log[i, 1]), int(log[i, 2])
                 a, b = pair >> 16, pair & TOKEN_MASK

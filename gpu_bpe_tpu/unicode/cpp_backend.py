@@ -228,21 +228,27 @@ class CppUnicodeBackend(PyUnicodeBackend):
         chain in pre_tokenizer.mjs:463-469).
         """
         data = bytes(data)
-        out_cap = len(data) * 4 + 16
-        cp_cap = max(len(data) * 4 + 16, 16)
-        out = np.empty(out_cap, dtype=np.uint8)
-        cps = np.empty(cp_cap, dtype=np.uint32)
-        classes = np.empty(cp_cap, dtype=np.uint8)
-        offsets = np.empty(cp_cap, dtype=np.uint32)
-        out_len = C.c_int64(0)
-        cp_count = C.c_int64(0)
-        rc = self._lib.decoder_pretokenize_prepare(
-            data, len(data),
-            out.ctypes.data_as(C.POINTER(C.c_uint8)), out_cap, C.byref(out_len),
-            cps.ctypes.data_as(C.POINTER(C.c_uint32)),
-            classes.ctypes.data_as(C.POINTER(C.c_uint8)),
-            offsets.ctypes.data_as(C.POINTER(C.c_uint32)), cp_cap, C.byref(cp_count),
-        )
+        # codepoints <= bytes and NFC output is almost always <= input; try
+        # tight buffers first, retry 4x on -2 (rare expanding normalization).
+        # 4x-always allocated gigabytes per call on large corpora.
+        for factor in (1, 4):
+            out_cap = len(data) * factor + 16
+            cp_cap = out_cap
+            out = np.empty(out_cap, dtype=np.uint8)
+            cps = np.empty(cp_cap, dtype=np.uint32)
+            classes = np.empty(cp_cap, dtype=np.uint8)
+            offsets = np.empty(cp_cap, dtype=np.uint32)
+            out_len = C.c_int64(0)
+            cp_count = C.c_int64(0)
+            rc = self._lib.decoder_pretokenize_prepare(
+                data, len(data),
+                out.ctypes.data_as(C.POINTER(C.c_uint8)), out_cap, C.byref(out_len),
+                cps.ctypes.data_as(C.POINTER(C.c_uint32)),
+                classes.ctypes.data_as(C.POINTER(C.c_uint8)),
+                offsets.ctypes.data_as(C.POINTER(C.c_uint32)), cp_cap, C.byref(cp_count),
+            )
+            if rc != -2:
+                break
         if rc == -3:
             raise UnicodeDecodeError("utf-8", data, 0, 1, "invalid UTF-8 (native decoder)")
         if rc != 0:
