@@ -91,7 +91,7 @@ def _shift_left_patched(cur, nxt, s, fi):
 
 
 def _merge_compact_kernel(
-    scalars_ref,  # SMEM [2] u32: packed pair, new token id
+    scalars_ref,  # SMEM [3] u32: packed pair, new token id, live length n
     sym_ref,  # VMEM [ROWS, 128] u32 — this block (logical p-1 at flat t)
     w_ref,  # VMEM [ROWS, 128] i32
     sym_nxt_ref,  # VMEM [ROWS, 128] u32 — next block (halo source)
@@ -113,6 +113,7 @@ def _merge_compact_kernel(
     ws_bit = jnp.uint32(WORD_START_BIT)
     pair = scalars_ref[0]
     new_id = scalars_ref[1]
+    n_live = scalars_ref[2].astype(jnp.int32)
     a = pair >> jnp.uint32(16)
     b = pair & tok_mask
 
@@ -137,8 +138,14 @@ def _merge_compact_kernel(
     n_tok = next_s & tok_mask
 
     # site at p: pair (p, p+1) matches. removed at p: site at p-1.
-    site_here = (s_tok == a) & (n_tok == b) & ((next_s & ws_bit) == 0)
-    removed = (p_tok == a) & (s_tok == b) & ((self_s & ws_bit) == 0)
+    # Both are masked to the LIVE prefix: the output region past the
+    # compacted stream is never DMA'd, so it can hold garbage from a
+    # recycled buffer — unmasked, that garbage matched pairs and produced
+    # phantom removals that silently shrank n (weight-loss corruption
+    # first seen at 64 MB corpus scale).
+    gpos = i * BLOCK + fi  # logical position of flat slot t
+    site_here = (s_tok == a) & (n_tok == b) & ((next_s & ws_bit) == 0) & (gpos < n_live - 1)
+    removed = (p_tok == a) & (s_tok == b) & ((self_s & ws_bit) == 0) & (gpos < n_live)
     vals = jnp.where(site_here, new_id | (self_s & ws_bit), self_s)
     wts = w_self
     keep = ~removed
@@ -309,6 +316,12 @@ def merge_compact(symbols, weights, n, pair, new_id, interpret=False):
     npad = ((cap + 1 + BLOCK - 1) // BLOCK + 1) * BLOCK
     sym_p = jnp.zeros((npad,), _U32).at[1 : cap + 1].set(symbols)
     w_p = jnp.zeros((npad,), jnp.int32).at[1 : cap + 1].set(weights)
-    scalars = jnp.stack([pair, new_id]).astype(_U32)
+    scalars = jnp.stack([pair, new_id, jnp.asarray(n, jnp.int32).astype(_U32)]).astype(_U32)
     out_sym, out_w, removed = _merge_compact_call(sym_p, w_p, scalars, interpret=interpret)
-    return out_sym[:cap], out_w[:cap], n - removed[0]
+    n_new = n - removed[0]
+    # the DMA windows cover only up to the compacted stream end + one tile;
+    # re-zero the tail explicitly (the buffer may be recycled memory)
+    iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    sym_out = jnp.where(iota < n_new, out_sym[:cap], _U32(0))
+    w_out = jnp.where(iota < n_new, out_w[:cap], 0)
+    return sym_out, w_out, n_new

@@ -220,8 +220,17 @@ def _ub_bins(toks: jax.Array, w_masked: jax.Array) -> jax.Array:
 
 def _ub_from_bins(bins: jax.Array) -> jax.Array:
     """Sound i32 ceiling from f32 bins: the max bin inflated past any f32
-    accumulation error (safe direction: only ever over-estimates)."""
-    mx = jnp.max(bins) * (1.0 + 1e-5) + 2.0
+    accumulation error (safe direction: only ever over-estimates).
+
+    The one-hot matmul accumulates up to ~N products through f32 adders
+    with limited parallelism; the worst-case relative error is roughly
+    (N/chunk + chunk) * 2^-24 ~ 5e-4 at N = 4M. The 4e-3 multiplicative
+    slack covers that with ~8x margin for streams up to ~32M symbols (a
+    1e-5 slack was measurably unsound at 64 MB corpus scale: an
+    under-estimated ceiling let a stale candidate win a near-tie). The
+    cost is a slightly earlier window end — never a wrong merge.
+    """
+    mx = jnp.max(bins) * (1.0 + 4e-3) + 4.0
     return jnp.where(mx > 2e9, jnp.int32(_I32_MAX), mx.astype(jnp.int32))
 
 

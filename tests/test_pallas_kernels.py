@@ -91,3 +91,31 @@ def test_weights_follow_survivors():
     symf, wf = _random_stream(rng, 10_000, alphabet=4)
     _check(symf, wf, 10_000, pack_pair(1, 2), new_id=999)
 
+
+
+def test_garbage_tail_ignored():
+    """The region past ``n`` may contain recycled-buffer garbage (the kernel
+    only DMAs up to the compacted end + one tile). Garbage must neither
+    create phantom sites/removals nor leak into the output — regression for
+    a weight-loss corruption first seen at 64 MB corpus scale."""
+    rng = np.random.default_rng(3)
+    n = 40_000
+    cap = 65_536
+    base_s, base_w = _random_stream(rng, n)
+    symf = np.zeros(cap, np.uint32); symf[:n] = base_s[:n]
+    wf = np.zeros(cap, np.int32); wf[:n] = base_w[:n]
+    # poison the tail with pair-matching garbage
+    symf[n:] = np.tile([2, 3], (cap - n) // 2).astype(np.uint32)
+    wf[n:] = 999
+    clean_s = symf.copy(); clean_s[n:] = 0
+    clean_w = wf.copy(); clean_w[n:] = 0
+    ref = apply_merge_device(
+        jnp.asarray(clean_s), jnp.asarray(clean_w), jnp.asarray(n),
+        jnp.uint32(pack_pair(2, 3)), jnp.uint32(300),
+    )
+    got = merge_compact(
+        jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n),
+        jnp.uint32(pack_pair(2, 3)), jnp.uint32(300), interpret=True,
+    )
+    for r, g in zip(ref, got):
+        assert np.array_equal(np.asarray(r), np.asarray(g))
