@@ -135,13 +135,15 @@ class TPUTrainer:
             total_done += merges_done
 
             # ── capacity shrink: re-pad when the stream has compacted ──
-            # Each new capacity costs a compile (tens of seconds on TPU), so
-            # shrink only when plenty of merges remain to amortize it, and
-            # only on a 4x shrink (halving churns through too many levels).
+            # Capacities live on a power-of-two ladder whose compiles are
+            # served by the persistent cache across runs and corpora, so
+            # shrinking is cheap; every sort/scan in the merge loop costs
+            # O(capacity), so track n closely (the stream often collapses
+            # several fold within the first batches).
             remaining = merges_needed - total_done
             new_cap = cap
-            if remaining >= 1024 or early_stop:
-                while new_cap > _MIN_CAP and n_now + 1 <= new_cap // 4:
+            if remaining >= 128 or early_stop:
+                while new_cap > _MIN_CAP and n_now + 32 <= new_cap // 2:
                     new_cap //= 2
             if new_cap != cap:
                 # train_batch ends compacted (dirty=0, extent=n), so slicing
