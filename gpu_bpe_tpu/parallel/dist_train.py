@@ -106,7 +106,12 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
             def full_recount(_):
                 sp, sw = lax.sort((pair_vec, w_vec), num_keys=1)
                 rt = _run_totals(sp, sw)
-                vals, idx = lax.top_k(rt, K_CANDIDATES + 1)
+                # approx top-(K+1) is sound here: the outside-local-set
+                # ceiling below is an EXACT masked max, so a missed heavy
+                # pair only loosens bound1 (more dense fallbacks, never a
+                # wrong winner). ~10x cheaper than exact lax.top_k.
+                _av, idx = lax.approx_max_k(rt.astype(jnp.float32), K_CANDIDATES + 1)
+                vals = rt[idx]
                 loc_pairs = jnp.where(vals > 0, sp[idx], _INVALID)
                 union = lax.all_gather(loc_pairs, axis, tiled=True)  # [D*(K+1)]
                 # dedupe (same pair can top several shards): sort by pair,
@@ -123,11 +128,15 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
                 # pair asc): sort by (-count, pair)
                 neg = -uc
                 _, sorted_pairs, sorted_counts = lax.sort((neg, su, uc), num_keys=2)
-                # Any pair absent from EVERY shard's local top-(K+1) has
-                # global count <= sum_d local_(K+1)th. The sparse result is
-                # exact only if the union winner strictly beats that bound
-                # (ties could hide a smaller pair id outside the union).
-                bound1 = lax.psum(jnp.maximum(vals[K_CANDIDATES], 0), axis)
+                # Any pair absent from EVERY shard's local selection has
+                # global count <= sum_d (exact max local count OUTSIDE that
+                # shard's selection) — computed as an exact masked max, so
+                # it stays sound under approximate selection. The sparse
+                # result is exact only if the union winner strictly beats
+                # that bound (ties could hide a smaller pair id outside).
+                in_loc = jnp.any(sp[:, None] == loc_pairs[None, :], axis=1)
+                outside_max = jnp.max(jnp.where(in_loc, 0, rt))
+                bound1 = lax.psum(outside_max, axis)
                 provable = sorted_counts[0] > bound1
 
                 def sparse(_):
@@ -145,10 +154,15 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
                     gw = lax.all_gather(w_vec, axis, tiled=True)
                     sp2, sw2 = lax.sort((gp, gw), num_keys=1)
                     rt2 = _run_totals(sp2, sw2)
-                    vals2, idx2 = lax.top_k(rt2, K_CANDIDATES + 1)
-                    cand2 = jnp.where(vals2[:K_CANDIDATES] > 0,
-                                      sp2[idx2[:K_CANDIDATES]], _INVALID)
-                    return (cand2, vals2[0], vals2[K_CANDIDATES])
+                    # exact winner (count desc, pair asc)
+                    bc2 = jnp.max(rt2)
+                    bp2 = jnp.min(jnp.where((rt2 == bc2) & (sp2 != 0), sp2, _INVALID))
+                    bp2 = jnp.where(bc2 > 0, bp2, jnp.uint32(0))
+                    _av2, ai2 = lax.approx_max_k(rt2.astype(jnp.float32), K_CANDIDATES)
+                    cand2 = sp2[ai2].at[0].set(bp2)
+                    tr2 = jnp.any(sp2[:, None] == cand2[None, :], axis=1)
+                    theta2 = jnp.max(jnp.where(tr2, 0, rt2))
+                    return (cand2, bc2, theta2)
 
                 new_cand, count, new_theta = lax.cond(provable, sparse, dense, None)
                 return new_cand[0], count, new_cand, new_theta, jnp.asarray(0, jnp.int32)
