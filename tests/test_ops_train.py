@@ -152,3 +152,30 @@ class TestHoleRunStress:
         oracle = _oracle(data, None, 300)
         tpu = TPUTrainer().train(data, None, target_vocab_size=300, dedup=False)
         assert tpu.merges == oracle.merges
+
+
+def test_mixed_language_conformance():
+    """BASELINE config 2 (scaled down for CI): multi-script corpus through
+    pre-tokenization + device training must match the oracle exactly."""
+    rng = np.random.default_rng(5)
+
+    def block(alphabet, k, lo=1, hi=6):
+        words = [
+            "".join(rng.choice(list(alphabet), size=rng.integers(lo, hi)))
+            for _ in range(60)
+        ]
+        return " ".join(rng.choice(words) for _ in range(k))
+
+    text = (
+        "The quick brown fox, it's 2026! "
+        + block("的一是不了人我在有他这为之大来以", 400, 1, 4)
+        + "\n" + block("абвгдежзиклмнопрстуфхцчшщ", 400)
+        + "\n" + block("αβγδεζηθικλμνξοπρστυ", 300)
+        + "\n" + block("àâäçéèêëîïôöùûüñ", 300)
+        + "\nmixed 混合 текст κείμενο café naïve"
+    )
+    data, starts = _pretok(text)
+    oracle = _oracle(data, starts, 256 + 120)
+    tpu = TPUTrainer().train(data, starts, target_vocab_size=256 + 120)
+    assert tpu.merges == oracle.merges
+    assert tpu.merge_counts == oracle.merge_counts
