@@ -78,6 +78,13 @@ def _use_pallas() -> bool:
 
 # Lazy-candidate window: number of tracked top pairs between full recounts.
 K_CANDIDATES = 64
+# Append-only scratch slots for created pairs sampled during the window
+# (2 per merge: the heaviest-position left and right neighbor of the new
+# token). A sampled pair is tracked exactly AND excluded from the ub
+# histogram, which keeps the created-pair ceiling from ending the window
+# the moment a dominant new pair (e.g. "th"+"e") appears.
+S_CREATED = 32
+_NO_EXCL = 0x10000  # 17-bit sentinel: matches no 16-bit token
 # Hash bins for the new-pair upper-bound histogram: 32x32 one-hot matmul.
 _UB_SIDE = 32
 _I32_MAX = 2**31 - 1  # plain int: a shared jax array would die under donation
@@ -98,10 +105,11 @@ class TrainState(NamedTuple):
     # Lazy-candidate window (see _one_merge): tracked top pairs, the count
     # ceiling for every untracked old pair, and the count ceiling for every
     # pair containing a token created since the last full recount.
-    cand: jax.Array  # u32 [K_CANDIDATES]
+    cand: jax.Array  # u32 [K_CANDIDATES + S_CREATED]
     theta: jax.Array  # i32 scalar
     ub_new: jax.Array  # i32 scalar
     recounts: jax.Array  # i32 scalar — full recounts performed (diagnostics)
+    fill: jax.Array  # i32 scalar — next free created-pair scratch slot
 
 
 def init_state(symbols: jax.Array, weights: jax.Array, n, next_id) -> TrainState:
@@ -115,10 +123,11 @@ def init_state(symbols: jax.Array, weights: jax.Array, n, next_id) -> TrainState
         early_stop=jnp.asarray(False),
         merges_done=jnp.asarray(0, jnp.int32),
         merge_log=jnp.zeros((BATCH_MERGES, 3), _U32),
-        cand=jnp.zeros((K_CANDIDATES,), _U32),
+        cand=jnp.full((K_CANDIDATES + S_CREATED,), _INVALID, _U32),
         theta=jnp.asarray(_I32_MAX, jnp.int32),  # forces a recount first
         ub_new=jnp.asarray(0, jnp.int32),
         recounts=jnp.asarray(0, jnp.int32),
+        fill=jnp.asarray(K_CANDIDATES, jnp.int32),
     )
 
 
@@ -281,8 +290,10 @@ def apply_merge_with_holes(symbols, weights, n, extent, dirty, pair, new_id, nxt
 
     Shared by the single-chip step and the per-shard body of the
     distributed step (which psums the bins across shards before taking the
-    ceiling). Returns (symbols', weights', n', extent', dirty', bins_left,
-    bins_right).
+    ceiling). Returns (symbols', weights', n', extent', dirty',
+    prev_valid', next_valid', w_left, w_right) — the histogram inputs are
+    returned raw so callers can exclude sampled/tracked created pairs
+    before binning.
     """
     cap = symbols.shape[0]
     iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
@@ -341,17 +352,15 @@ def apply_merge_with_holes(symbols, weights, n, extent, dirty, pair, new_id, nxt
         (merged, weights),
     )
 
-    # ── created-pair bins for the lazy-candidate certificate ──
+    # ── created-pair histogram inputs for the lazy-candidate certificate ──
     # Every pair containing the token Z created by THIS merge sits at a Z
-    # position of the post-merge stream: (prev, Z) and (Z, next). Histogram
-    # both sides (permissive masks only ever add mass — safe direction).
+    # position of the post-merge stream: (prev, Z) and (Z, next). The masks
+    # are permissive — extra mass only ever loosens the ceiling.
     tok2 = sym2 & _TOKEN_MASK
     z_mask = (tok2 == (new_id & _TOKEN_MASK)) & (sym2 != _HOLE)
     w_left = jnp.where(z_mask & ((sym2 & _WS_BIT) == 0), w2, 0)
     w_right = jnp.where(z_mask & ((next2 & _WS_BIT) == 0), w2, 0)
-    bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left)
-    bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right)
-    return sym2, w2, n_new, extent2, dirty2, bins_l, bins_r
+    return sym2, w2, n_new, extent2, dirty2, prev2, next2, w_left, w_right
 
 
 def _one_merge(state: TrainState) -> TrainState:
@@ -387,9 +396,6 @@ def _one_merge(state: TrainState) -> TrainState:
     cand_winner = jnp.min(jnp.where(cand_counts == m, state.cand, _INVALID))
     certified = (m > state.theta) & (m > state.ub_new) & (m >= 2)
 
-    def from_candidates(_):
-        return cand_winner, m, state.cand, state.theta, state.ub_new
-
     def full_recount(_):
         sp, sw = lax.sort((pair, w), num_keys=1)
         run_total = _run_totals(sp, sw)
@@ -406,9 +412,15 @@ def _one_merge(state: TrainState) -> TrainState:
         new_cand = sp[ai].at[0].set(bp)  # winner must be tracked
         tracked = jnp.any(sp[:, None] == new_cand[None, :], axis=1)
         new_theta = jnp.max(jnp.where(tracked, 0, run_total))
-        return bp, bc, new_cand, new_theta, jnp.asarray(0, jnp.int32)
+        new_cand = jnp.concatenate([new_cand, jnp.full((S_CREATED,), _INVALID, _U32)])
+        return bp, bc, new_cand, new_theta, jnp.asarray(0, jnp.int32), jnp.asarray(K_CANDIDATES, jnp.int32)
 
-    best_pair, count, cand, theta, ub_new = lax.cond(certified, from_candidates, full_recount, None)
+    def from_candidates_full(_):
+        return cand_winner, m, state.cand, state.theta, state.ub_new, state.fill
+
+    best_pair, count, cand, theta, ub_new, fill = lax.cond(
+        certified, from_candidates_full, full_recount, None
+    )
     recounts = state.recounts + jnp.where(certified, 0, 1)
     stop = (count < 2) | (state.next_id > _TOKEN_MASK)
 
@@ -420,22 +432,45 @@ def _one_merge(state: TrainState) -> TrainState:
                 st.symbols, st.weights, st.n, best_pair, st.next_id
             )
             extent2, dirty2 = n_new, jnp.asarray(0, jnp.int32)
-            # created-pair bins on the compacted stream: neighbors are
-            # single rolls (no holes)
+            # compacted stream: neighbors are single rolls (no holes)
             tok2 = sym2 & _TOKEN_MASK
             z_mask = tok2 == (st.next_id & _TOKEN_MASK)
             prev2 = jnp.roll(sym2, 1)
             next2 = jnp.roll(sym2, -1)
             w_left = jnp.where(z_mask & ((sym2 & _WS_BIT) == 0), w2, 0)
             w_right = jnp.where(z_mask & ((next2 & _WS_BIT) == 0), w2, 0)
-            bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left)
-            bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right)
         else:
-            sym2, w2, n_new, extent2, dirty2, bins_l, bins_r = apply_merge_with_holes(
+            (sym2, w2, n_new, extent2, dirty2,
+             prev2, next2, w_left, w_right) = apply_merge_with_holes(
                 st.symbols, st.weights, st.n, st.extent, st.dirty,
                 best_pair, st.next_id, nxt, lookahead,
             )
+
+        # ── sample the heaviest-position created pairs, track them exactly,
+        # and exclude them from the ceiling histogram. Only performed when
+        # scratch slots remain: a tracked pair must stay tracked until the
+        # next recount, or its exclusion would be unsound. ──
+        z_tok16 = st.next_id & _TOKEN_MASK
+        has_room = fill <= K_CANDIDATES + S_CREATED - 2
+        li = jnp.argmax(w_left)
+        ri = jnp.argmax(w_right)
+        l_ok = has_room & (w_left[li] > 0)
+        r_ok = has_room & (w_right[ri] > 0)
+        l_tok = jnp.where(l_ok, prev2[li] & _TOKEN_MASK, _U32(_NO_EXCL))
+        r_tok = jnp.where(r_ok, next2[ri] & _TOKEN_MASK, _U32(_NO_EXCL))
+        l_pair = jnp.where(l_ok, (l_tok << _U32(16)) | z_tok16, _INVALID)
+        r_pair = jnp.where(r_ok, (z_tok16 << _U32(16)) | r_tok, _INVALID)
+        w_left_x = jnp.where((prev2 & _TOKEN_MASK) == l_tok, 0, w_left)
+        w_right_x = jnp.where((next2 & _TOKEN_MASK) == r_tok, 0, w_right)
+        bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left_x)
+        bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right_x)
         ub_merge = jnp.maximum(_ub_from_bins(bins_l), _ub_from_bins(bins_r))
+        cand2 = lax.dynamic_update_slice(
+            cand, jnp.stack([l_pair, r_pair]), (jnp.where(has_room, fill, K_CANDIDATES + S_CREATED - 2),)
+        )
+        cand2 = jnp.where(has_room, cand2, cand)
+        fill2 = jnp.where(has_room, fill + 2, fill)
+
         log = lax.dynamic_update_slice(
             st.merge_log,
             jnp.stack([best_pair, st.next_id, count.astype(_U32)])[None, :],
@@ -451,10 +486,11 @@ def _one_merge(state: TrainState) -> TrainState:
             early_stop=st.early_stop,
             merges_done=st.merges_done + 1,
             merge_log=log,
-            cand=cand,
+            cand=cand2,
             theta=theta,
             ub_new=jnp.maximum(ub_new, ub_merge),
             recounts=recounts,
+            fill=fill2,
         )
 
     def do_stop(st: TrainState) -> TrainState:

@@ -49,6 +49,7 @@ from ..ops.train_step import (
     _I32_MAX,
     _masked_pairs,
     _run_totals,
+    _ub_bins,
     _ub_from_bins,
     apply_merge_with_holes,
 )
@@ -175,9 +176,12 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
 
             def merge_branch(args):
                 sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2 = args
-                sym2, w2, n2, ext2, dirty2, bins_l, bins_r = apply_merge_with_holes(
+                (sym2, w2, n2, ext2, dirty2,
+                 prev2, next2, w_left, w_right) = apply_merge_with_holes(
                     sym, w, n_l, ext_l, dirty_l, best_pair, nid, nxt, lookahead
                 )
+                bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left)
+                bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right)
                 ub_merge = jnp.maximum(
                     _ub_from_bins(lax.psum(bins_l, axis)),
                     _ub_from_bins(lax.psum(bins_r, axis)),
