@@ -38,6 +38,13 @@ _PAD_TOKEN = jnp.uint32(INVALID_TOKEN)  # never a real id (ids are 16-bit)
 _SCAN_UNROLL = 8  # chunk offsets consumed per scan step (amortizes loop overhead)
 _PAGE_TOKENS = 1 << 21  # u16 tokens per device->host fetch page (4 MB)
 
+# Above this many multi-byte tokens the O(vocab)-per-position dense join is
+# replaced by the sorted interval-stabbing join (O((N+V) log) regardless of
+# vocab size) for token lengths 2..16; longer tokens stay on the dense join.
+_DENSE_VOCAB_CUTOFF = 2048
+_STAB_MAX_LEN = 8
+_ID_SENT = jnp.uint16(0xFFFF)
+
 
 def _pack_keys(token: bytes) -> np.ndarray:
     """Big-endian packed u32 key words for a token's bytes (host side)."""
@@ -59,12 +66,15 @@ class MatchTables:
     max_token_len: int
     byte_ids: np.ndarray  # [256] id of the single-byte token or -1
     byte_ids_identity: bool  # True when byte_ids[b] == b for all b
+    stab: dict | None  # interval rows for lengths 2..16 (large vocabs)
+    dense_lengths: list[int]  # lengths served by the dense join
 
     @classmethod
     def from_vocab(cls, vocab: list[bytes]) -> "MatchTables":
         by_len: dict[int, dict[bytes, int]] = {}
         max_len = 1
         byte_ids = np.full(256, -1, dtype=np.int32)
+        n_multi = 0
         for token_id, entry in enumerate(vocab):
             entry = bytes(entry)
             if not entry:
@@ -74,9 +84,15 @@ class MatchTables:
                 byte_ids[entry[0]] = token_id  # later duplicates overwrite (trie.js:56)
             else:
                 by_len.setdefault(len(entry), {})[entry] = token_id
+                n_multi += 1
         lengths = sorted(by_len)
         keys = {ln: np.stack([_pack_keys(t) for t in ents]) for ln, ents in by_len.items()}
         ids = {ln: np.array(list(ents.values()), dtype=np.int32) for ln, ents in by_len.items()}
+        use_stab = n_multi > _DENSE_VOCAB_CUTOFF
+        stab = _stab_vocab_rows(vocab) if use_stab else None
+        if stab is not None and stab["count"] == 0:
+            stab = None
+        dense_lengths = [ln for ln in lengths if ln > _STAB_MAX_LEN] if stab else lengths
         return cls(
             lengths=lengths,
             keys=keys,
@@ -84,7 +100,146 @@ class MatchTables:
             max_token_len=max_len,
             byte_ids=byte_ids,
             byte_ids_identity=bool((byte_ids == np.arange(256)).all()),
+            stab=stab,
+            dense_lengths=dense_lengths,
         )
+
+
+def _stab_vocab_rows(vocab: list[bytes]) -> dict:
+    """Host-side interval rows for tokens of length 2..8: open key = bytes
+    padded 0x00, close key = bytes padded 0xFF (8 bytes as 2 big-endian u32
+    words). A token v is a prefix of a position's 8-byte window w iff
+    open(v) <= w <= close(v) — prefix intervals nest, so the sorted stream
+    of opens/positions/closes is a balanced-parens structure. The row count
+    is padded to a power of two with inert rows (max key, depth-0 close) so
+    every model reuses the same compiled-shape ladder."""
+    opens, closes, lns, ids = [], [], [], []
+    for token_id, entry in enumerate(vocab):
+        entry = bytes(entry)
+        if not (2 <= len(entry) <= _STAB_MAX_LEN):
+            continue
+        o = np.frombuffer(entry + b"\x00" * (8 - len(entry)), dtype=np.uint8)
+        c = np.frombuffer(entry + b"\xff" * (8 - len(entry)), dtype=np.uint8)
+        opens.append(o)
+        closes.append(c)
+        lns.append(len(entry))
+        ids.append(token_id)
+    if not opens:
+        return {"count": 0}
+    v = len(lns)
+    vpad = 1 << max(8, (v - 1).bit_length())
+    pad = vpad - v
+    ob = np.concatenate([np.stack(opens), np.full((pad, 8), 255, np.uint8)]).astype(np.uint32)
+    cb = np.concatenate([np.stack(closes), np.full((pad, 8), 255, np.uint8)]).astype(np.uint32)
+    ln_arr = np.concatenate([np.array(lns, np.uint32), np.zeros(pad, np.uint32)])
+    id_arr = np.concatenate([np.array(ids, np.uint32), np.zeros(pad, np.uint32)])
+    pad_close = np.concatenate([np.zeros(v, bool), np.ones(pad, bool)])
+
+    def pack(b):  # [V, 8] bytes -> 2 big-endian u32 words
+        w = b.reshape(-1, 2, 4)
+        return (w[:, :, 0] << 24) | (w[:, :, 1] << 16) | (w[:, :, 2] << 8) | w[:, :, 3]
+
+    return {
+        "count": vpad,
+        "open_words": pack(ob),  # [V, 2] u32
+        "close_words": pack(cb),
+        "ln": ln_arr,
+        "id": id_arr,
+        "pad_close": pad_close,  # pad rows act as inert depth-0 closes
+    }
+
+
+def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_size: int):
+    """Longest in-chunk match per position for token lengths 2..8 via the
+    sorted interval-stabbing join — O((N+V) log(N+V)) independent of vocab
+    size (the dense join is O(N*V) and serves lengths > 8). Returns packed
+    (len << 16 | id) per position, 0 where no match.
+
+    One 3-key sort orders vocab opens (flag 0), positions (flag 1), and
+    vocab closes (flag 2) by 8-byte key — flag, token length, and payload
+    are packed into the third key word so the sort stays narrow (multi-
+    operand sorts compile catastrophically slowly on TPU). A manual
+    Hillis-Steele doubling scan overlays the per-depth open token id; each
+    position then takes its deepest open depth that still fits within its
+    chunk. A second 1-key sort restores position order. No gathers.
+    """
+    n = data_u32.shape[0]
+    assert n < (1 << 25), "single pass capped at 2^25 positions (payload packing)"
+    shifted = [jnp.roll(data_u32, -k) for k in range(8)]
+    pw = [
+        (shifted[w * 4] << 24) | (shifted[w * 4 + 1] << 16)
+        | (shifted[w * 4 + 2] << 8) | shifted[w * 4 + 3]
+        for w in range(2)
+    ]
+    iota = lax.broadcasted_iota(jnp.uint32, (n,), 0)
+
+    v = stab["count"]
+    ow = jnp.asarray(stab["open_words"])
+    cw = jnp.asarray(stab["close_words"])
+    vln = jnp.asarray(stab["ln"])
+    vid = jnp.asarray(stab["id"])
+
+    # third key word: flag (major: opens < positions < closes) | ln | payload
+    def k3(flag, ln, pay):
+        return (flag << jnp.uint32(30)) | (ln << jnp.uint32(25)) | pay
+
+    k0 = jnp.concatenate([pw[0], ow[:, 0], cw[:, 0]])
+    k1 = jnp.concatenate([pw[1], ow[:, 1], cw[:, 1]])
+    kp = jnp.concatenate([
+        k3(jnp.uint32(1), jnp.uint32(0), iota),
+        k3(jnp.uint32(0), vln, vid),
+        k3(jnp.uint32(2), vln, vid),
+    ])
+
+    _, _, skp = lax.sort((k0, k1, kp), num_keys=3)
+
+    sflag = skp >> jnp.uint32(30)
+    sln = (skp >> jnp.uint32(25)) & jnp.uint32(0x1F)
+    spay = skp & jnp.uint32(0x1FFFFFF)
+
+    m = n + 2 * v
+    depth = lax.broadcasted_iota(jnp.uint32, (1, _STAB_MAX_LEN + 1), 1)
+    is_open = sflag == 0
+    is_close = sflag == 2
+    mod = jnp.where(is_open | is_close, jnp.uint32(1) << sln, 0)
+    openb = jnp.where(is_open, jnp.uint32(1) << sln, 0)
+    vals = jnp.where(
+        (sln[:, None] == depth) & is_open[:, None], spay[:, None], 0
+    ).astype(jnp.uint16)
+
+    # inclusive scan of overlay ops (Hillis-Steele doubling: identity op has
+    # mod == 0, so left-padding with zeros is a no-op prefix)
+    def shift_down(x, s):
+        pad = jnp.zeros((s,) + x.shape[1:], x.dtype)
+        return jnp.concatenate([pad, x[:-s]], axis=0)
+
+    s = 1
+    while s < m:
+        pv, po, pm = shift_down(vals, s), shift_down(openb, s), shift_down(mod, s)
+        bmod_d = ((mod[:, None] >> depth) & 1) == 1
+        vals = jnp.where(bmod_d, vals, pv)
+        openb = (po & ~mod) | (openb & mod)
+        mod = pm | mod
+        s <<= 1
+
+    # per-position extraction: deepest open depth that fits in the chunk
+    pos_i = spay.astype(jnp.int32)
+    cend = jnp.minimum((pos_i // chunk_size + 1) * chunk_size, input_len)
+    fits = depth.astype(jnp.int32) <= (cend - pos_i)[:, None]
+    openable = (((openb[:, None] >> depth) & 1) == 1) & fits & (sflag == 1)[:, None]
+    d_i = depth.astype(jnp.int32)
+    best_ln = jnp.max(jnp.where(openable, d_i, 0), axis=1)
+    best_id = jnp.max(
+        jnp.where(openable & (d_i == best_ln[:, None]), vals.astype(jnp.int32), 0),
+        axis=1,
+    )
+    packed = jnp.where((sflag == 1) & (best_ln > 0),
+                       (best_ln.astype(jnp.uint32) << 16) | best_id.astype(jnp.uint32), 0)
+
+    # restore position order (vocab rows sort to the tail and are sliced off)
+    key2 = jnp.where(sflag == 1, spay, jnp.uint32(0xFFFFFFFF))
+    _, packed_sorted = lax.sort((key2, packed), num_keys=1)
+    return packed_sorted[:n]
 
 
 def build_match_table(
@@ -113,11 +268,20 @@ def build_match_table(
         match_id = jnp.where(iota < input_len, jnp.max(jnp.where(eq, bids[None, :], -1), axis=1), -1)
     match_len = jnp.where(match_id >= 0, 1, 0)
 
-    if not tables.lengths:
+    # ── interval-stabbing join for lengths 2..16 (large vocabs) ──
+    if tables.stab is not None:
+        packed = _stab_match(data_u32, tables.stab, input_len, chunk_size)
+        s_ln = (packed >> 16).astype(jnp.int32)
+        s_id = (packed & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        hit = s_ln > 0
+        match_id = jnp.where(hit, s_id, match_id)
+        match_len = jnp.where(hit, s_ln, match_len)
+
+    if not tables.dense_lengths:
         return match_id, match_len
 
     # ── packed substring key words (shift-based, no gather) ──
-    max_words = (max(tables.lengths) + 3) // 4
+    max_words = (max(tables.dense_lengths) + 3) // 4
     shifted = [jnp.roll(data_u32, -k) for k in range(max_words * 4)]
     sub_words = jnp.stack(
         [
@@ -128,12 +292,12 @@ def build_match_table(
     )  # [N, max_words]
 
     # ── per-length exact joins, chunked over positions ──
-    vkeys = {ln: jnp.asarray(tables.keys[ln]) for ln in tables.lengths}
-    vids = {ln: jnp.asarray(tables.ids[ln]) for ln in tables.lengths}
+    vkeys = {ln: jnp.asarray(tables.keys[ln]) for ln in tables.dense_lengths}
+    vids = {ln: jnp.asarray(tables.ids[ln]) for ln in tables.dense_lengths}
 
     def join_chunk(args):
         sub_c, id_c, len_c, iota_c, cend_c = args
-        for ln in tables.lengths:  # ascending: longer matches overwrite
+        for ln in tables.dense_lengths:  # ascending: longer matches overwrite
             n_words = (ln + 3) // 4
             rem = ln - (n_words - 1) * 4
             eq = sub_c[:, 0][:, None] == vkeys[ln][None, :, 0] if n_words >= 1 else None

@@ -99,3 +99,49 @@ class TestConformance:
     def test_nul_and_high_bytes(self, model):
         data = bytes(range(256)) * 4
         self._check(model.vocab, data)
+
+
+class TestIntervalStabbingJoin:
+    """Large vocabs switch the match table to the sorted interval-stabbing
+    join (O((N+V)log) instead of O(N*V)); output must stay byte-identical
+    to the greedy-trie oracle."""
+
+    def _train_vocab(self, n_tokens):
+        # synthesize a deterministic large vocab of distinct multi-byte tokens
+        rng = np.random.default_rng(9)
+        toks = {bytes([b]) for b in range(256)}
+        vocab = [bytes([b]) for b in range(256)]
+        while len(vocab) < n_tokens:
+            ln = int(rng.integers(2, 12))
+            t = bytes(rng.integers(97, 107, size=ln).tolist())
+            if t not in toks:
+                toks.add(t)
+                vocab.append(t)
+        return vocab
+
+    def test_stab_matches_oracle(self):
+        from gpu_bpe_tpu.core.encoder_ref import GreedyTrieEncoder
+        from gpu_bpe_tpu.ops.tokenize import TPUTokenizer
+
+        vocab = self._train_vocab(4000)  # > _DENSE_VOCAB_CUTOFF
+        rng = np.random.default_rng(1)
+        data = bytes(rng.integers(97, 107, size=20000).tolist())
+        tok = TPUTokenizer(vocab)
+        assert tok.tables.stab is not None  # stab path engaged
+        ref = GreedyTrieEncoder(vocab, chunk_size=tok.chunk_size).encode(data)
+        got = tok.encode_bytes(data)
+        assert np.array_equal(got, np.asarray(ref, dtype=np.uint32))
+
+    def test_stab_with_long_tokens_and_nuls(self):
+        from gpu_bpe_tpu.core.encoder_ref import GreedyTrieEncoder
+        from gpu_bpe_tpu.ops.tokenize import TPUTokenizer
+
+        vocab = self._train_vocab(3000)
+        vocab += [b"x" * 20, b"x" * 24, b"ab\x00", b"ab\x00\x00", b"\x00\x00"]
+        rng = np.random.default_rng(2)
+        data = (bytes(rng.integers(97, 122, size=5000).tolist())
+                + b"x" * 100 + b"ab\x00\x00ab\x00" + b"\x00" * 7)
+        tok = TPUTokenizer(vocab)
+        ref = GreedyTrieEncoder(vocab, chunk_size=tok.chunk_size).encode(data)
+        got = tok.encode_bytes(data)
+        assert np.array_equal(got, np.asarray(ref, dtype=np.uint32))
