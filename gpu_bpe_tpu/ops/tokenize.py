@@ -43,7 +43,6 @@ _PAGE_TOKENS = 1 << 21  # u16 tokens per device->host fetch page (4 MB)
 # vocab size) for token lengths 2..16; longer tokens stay on the dense join.
 _DENSE_VOCAB_CUTOFF = 2048
 _STAB_MAX_LEN = 8
-_ID_SENT = jnp.uint16(0xFFFF)
 
 
 def _pack_keys(token: bytes) -> np.ndarray:
