@@ -86,7 +86,7 @@ K_CANDIDATES = 64
 S_CREATED = 32
 _NO_EXCL = 0x10000  # 17-bit sentinel: matches no 16-bit token
 # Hash bins for the new-pair upper-bound histogram: 32x32 one-hot matmul.
-_UB_SIDE = 32
+_UB_SIDE = 16
 _I32_MAX = 2**31 - 1  # plain int: a shared jax array would die under donation
 
 
