@@ -81,8 +81,36 @@ def cmd_export_bin(args) -> int:
     blob = export_bin(tok, data, args.output)
     dt = time.perf_counter() - t0
     n_tokens = (len(blob) - 16) // 4  # approximation ignoring vocab JSON tail
+    rate = len(data) / (1 << 20) / max(dt, 1e-9)
     print(f"→ {args.output}: {format_size(len(blob))} in {dt:.2f}s "
-          f"({len(data) / (1 << 20) / max(dt, 1e-9):.1f} MB/s)", file=sys.stderr)
+          f"({rate:.2f} MB/s; first runs include one-time compiles — "
+          f"see `warmup`)", file=sys.stderr)
+    return 0
+
+
+def cmd_warmup(args) -> int:
+    """Precompile the power-of-two shape ladder into the persistent cache.
+
+    The batched merge step costs tens of seconds to compile per capacity;
+    running this once makes every later train/tokenize start fast.
+    """
+    import numpy as np
+
+    from .ops import TPUTrainer, make_stream
+    from .ops.ingest import SymbolStream
+
+    rng = np.random.default_rng(0)
+    for logcap in range(args.min_log2, args.max_log2 + 1):
+        n = (1 << logcap) - 64
+        toks = rng.integers(1, 120, size=n).astype(np.uint32)
+        ws = rng.random(n) < 0.2
+        sym = toks | (ws.astype(np.uint32) << 16)
+        sym[0] |= 1 << 16
+        stream = SymbolStream(sym, np.ones(n, np.int32), n, n)
+        t0 = time.perf_counter()
+        TPUTrainer().train_stream(stream, target_vocab_size=256 + 8)
+        print(f"  cap 2^{logcap}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    print("✓ ladder compiled (persistent cache)", file=sys.stderr)
     return 0
 
 
@@ -161,6 +189,11 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("inspect", help="inspect a .bin artifact")
     i.add_argument("file")
     i.set_defaults(fn=cmd_inspect)
+
+    w = sub.add_parser("warmup", help="precompile the shape ladder (one-time)")
+    w.add_argument("--min-log2", type=int, default=15)
+    w.add_argument("--max-log2", type=int, default=22)
+    w.set_defaults(fn=cmd_warmup)
     return p
 
 
