@@ -132,7 +132,6 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
     cb = np.concatenate([np.stack(closes), np.full((pad, 8), 255, np.uint8)]).astype(np.uint32)
     ln_arr = np.concatenate([np.array(lns, np.uint32), np.zeros(pad, np.uint32)])
     id_arr = np.concatenate([np.array(ids, np.uint32), np.zeros(pad, np.uint32)])
-    pad_close = np.concatenate([np.zeros(v, bool), np.ones(pad, bool)])
 
     def pack(b):  # [V, 8] bytes -> 2 big-endian u32 words
         w = b.reshape(-1, 2, 4)
@@ -144,7 +143,6 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
         "close_words": pack(cb),
         "ln": ln_arr,
         "id": id_arr,
-        "pad_close": pad_close,  # pad rows act as inert depth-0 closes
     }
 
 
@@ -440,6 +438,10 @@ class TPUTokenizer:
         self.vocab = [bytes(v) for v in vocab]
         self.tables = MatchTables.from_vocab(self.vocab)
         self.chunk_size = chunk_size or adaptive_chunk_size(self.tables.max_token_len)
+        if self.tables.stab is not None:
+            # the stab join packs position indices into 25 payload bits;
+            # keep passes a power of two BELOW that bound
+            max_pass_bytes = min(max_pass_bytes, 1 << 24)
         slice_bytes = max(max_pass_bytes, self.chunk_size)
         self.max_pass_bytes = (slice_bytes // self.chunk_size) * self.chunk_size
         self._encode_pass = jax.jit(self._encode_pass_impl)

@@ -179,3 +179,33 @@ def test_mixed_language_conformance():
     tpu = TPUTrainer().train(data, starts, target_vocab_size=256 + 120)
     assert tpu.merges == oracle.merges
     assert tpu.merge_counts == oracle.merge_counts
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fuzz_random_corpora_conformance(seed):
+    """Randomized corpora (skewed alphabets, random word structure, random
+    vocab targets) must match the oracle exactly — fuzz for certificate
+    edge cases the curated tests miss."""
+    rng = np.random.default_rng(seed)
+    alpha = int(rng.integers(3, 30))
+    n_words = int(rng.integers(50, 400))
+    words = []
+    for _ in range(n_words):
+        ln = int(rng.integers(1, 12))
+        words.append(bytes(rng.integers(1, 1 + alpha, size=ln).tolist()))
+    reps = rng.zipf(1.3, size=n_words).clip(1, 500)
+    corpus = []
+    for w, r in zip(words, reps):
+        corpus += [w] * int(r)
+    rng.shuffle(corpus)
+    data = b" ".join(corpus)
+    starts = np.zeros(len(data), np.uint8)
+    pos = 0
+    for w in corpus:
+        starts[pos] = 1
+        pos += len(w) + 1
+    vocab_target = 256 + int(rng.integers(20, 200))
+    oracle = _oracle(data, starts, vocab_target)
+    tpu = TPUTrainer().train(data, starts, target_vocab_size=vocab_target)
+    assert tpu.merges == oracle.merges
+    assert tpu.merge_counts == oracle.merge_counts
