@@ -121,7 +121,7 @@ constexpr uint32_t kSBase = 0xAC00, kLBase = 0x1100, kVBase = 0x1161, kTBase = 0
 constexpr uint32_t kLCount = 19, kVCount = 21, kTCount = 28;
 constexpr uint32_t kNCount = kVCount * kTCount, kSCount = kLCount * kNCount;
 
-void decompose_cp(uint32_t cp, std::vector<uint32_t>& out) {
+void decompose_cp(uint32_t cp, std::vector<uint32_t>& out, bool compat = false) {
   if (cp >= kSBase && cp < kSBase + kSCount) {  // Hangul (UAX #15 §3.12)
     uint32_t s = cp - kSBase;
     out.push_back(kLBase + s / kNCount);
@@ -130,12 +130,18 @@ void decompose_cp(uint32_t cp, std::vector<uint32_t>& out) {
     if (t) out.push_back(kTBase + t);
     return;
   }
-  const uint32_t* end = kDecompCp + kDecompCount;
-  const uint32_t* it = std::lower_bound(kDecompCp, end, cp);
+  // Both tables are fully expanded at generation time, so one lookup
+  // suffices; the compat table is a superset of the canonical one.
+  const uint32_t* cps = compat ? kCompatCp : kDecompCp;
+  const uint32_t* offlen = compat ? kCompatOffLen : kDecompOffLen;
+  const uint32_t* pool = compat ? kCompatPool : kDecompPool;
+  uint32_t count = compat ? kCompatCount : kDecompCount;
+  const uint32_t* end = cps + count;
+  const uint32_t* it = std::lower_bound(cps, end, cp);
   if (it != end && *it == cp) {
-    uint32_t ol = kDecompOffLen[it - kDecompCp];
+    uint32_t ol = offlen[it - cps];
     uint32_t off = ol >> 8, len = ol & 0xFF;
-    for (uint32_t k = 0; k < len; k++) out.push_back(kDecompPool[off + k]);
+    for (uint32_t k = 0; k < len; k++) out.push_back(pool[off + k]);
     return;
   }
   out.push_back(cp);
@@ -204,11 +210,12 @@ void compose(std::vector<uint32_t>& cps) {
 }
 
 void normalize_cps(std::vector<uint32_t>& cps, int form) {
-  // form: 0=NFC, 1=NFD (compatibility forms use canonical tables here;
-  // full NFKC/NFKD planned — documented in docs/CONFORMANCE.md)
+  // form: 0=NFC, 1=NFD, 2=NFKC, 3=NFKD (UAX #15; K-forms use the fully
+  // expanded compatibility decomposition table)
+  bool compat = form >= 2;
   std::vector<uint32_t> decomposed;
   decomposed.reserve(cps.size() + 16);
-  for (uint32_t cp : cps) decompose_cp(cp, decomposed);
+  for (uint32_t cp : cps) decompose_cp(cp, decomposed, compat);
   canonical_order(decomposed);
   if (form == 0 || form == 2) compose(decomposed);
   cps.swap(decomposed);
@@ -377,7 +384,7 @@ int64_t decoder_utf8_to_utf32(const uint8_t* in, int64_t len, uint32_t* out, int
 }
 
 // ── normalization over UTF-8 bytes (the hot path) ────────────────────
-// form: 0=NFC 1=NFD 2=NFKC 3=NFKD (K-forms currently use canonical tables).
+// form: 0=NFC 1=NFD 2=NFKC 3=NFKD.
 // Returns 0 on success, -3 on invalid UTF-8, -2 if out buffer too small.
 int decoder_normalize_utf8(const uint8_t* in, int64_t len, int form,
                            uint8_t* out, int64_t cap, int64_t* out_len) {

@@ -77,6 +77,20 @@ def full_canonical_decomposition(cp: int) -> list[int]:
     return out
 
 
+def full_compat_decomposition(cp: int) -> list[int]:
+    """Fully expanded compatibility (NFKD) decomposition, excluding Hangul.
+
+    Expanded at generation time via unicodedata.normalize so the runtime
+    NFKD/NFKC path is a single table lookup per codepoint (the expansion
+    already includes nested canonical+compat decompositions)."""
+    if 0xAC00 <= cp <= 0xD7A3 or 0xD800 <= cp <= 0xDFFF:
+        return []  # Hangul algorithmic at runtime; surrogates unmapped
+    s = unicodedata.normalize("NFKD", chr(cp))
+    if s == chr(cp):
+        return []
+    return [ord(c) for c in s]
+
+
 # Reference script enum (decoder.mjs:57-94) — ids must match for API parity.
 REFERENCE_SCRIPTS = (
     "UNKNOWN COMMON INHERITED LATIN GREEK CYRILLIC ARMENIAN HEBREW ARABIC SYRIAC "
@@ -222,6 +236,15 @@ def main(out_path: str) -> None:
         if c:
             ccc_entries.append((cp, c))
 
+    # compatibility (NFKD) decomposition, fully expanded
+    compat_entries = []  # (cp, offset, len)
+    compat_pool: list[int] = []
+    for cp in range(MAX_CP):
+        d = full_compat_decomposition(cp)
+        if d:
+            compat_entries.append((cp, len(compat_pool), len(d)))
+            compat_pool.extend(d)
+
     # canonical composition pairs (exclusions handled by verification)
     comp_entries = []
     for cp in range(MAX_CP):
@@ -353,6 +376,18 @@ def main(out_path: str) -> None:
         w(f"inline constexpr uint32_t kDecompPoolSize = {len(decomp_pool)};\n")
         w("inline constexpr uint32_t kDecompPool[] = {\n")
         w(fmt_u32(decomp_pool))
+        w("};\n\n")
+
+        w(f"inline constexpr uint32_t kCompatCount = {len(compat_entries)};\n")
+        w("inline constexpr uint32_t kCompatCp[] = {\n")
+        w(fmt_u32([e[0] for e in compat_entries]))
+        w("};\n")
+        w("inline constexpr uint32_t kCompatOffLen[] = {\n")  # offset<<8 | len
+        w(fmt_u32([(e[1] << 8) | e[2] for e in compat_entries]))
+        w("};\n")
+        w(f"inline constexpr uint32_t kCompatPoolSize = {len(compat_pool)};\n")
+        w("inline constexpr uint32_t kCompatPool[] = {\n")
+        w(fmt_u32(compat_pool))
         w("};\n\n")
 
         w(f"inline constexpr uint32_t kCccCount = {len(ccc_entries)};\n")

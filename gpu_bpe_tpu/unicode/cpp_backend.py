@@ -176,9 +176,9 @@ class CppUnicodeBackend(PyUnicodeBackend):
         data = bytes(data)
         if isinstance(form, str):
             form = _FORMS[form]
-        if form >= 2:  # compatibility forms: defer to Python tables for now
-            return super().normalize_bytes(data, form)
-        cap = len(data) * 4 + 16
+        # K-form expansions can be long (e.g. U+FDFA -> 18 codepoints /
+        # 33 UTF-8 bytes from a 3-byte input); cap covers the worst case.
+        cap = len(data) * 12 + 64
         out = np.empty(cap, dtype=np.uint8)
         out_len = C.c_int64(0)
         rc = self._lib.decoder_normalize_utf8(
@@ -192,10 +192,6 @@ class CppUnicodeBackend(PyUnicodeBackend):
         return out[: out_len.value].tobytes()
 
     def normalize(self, text: str, form: int | str = "NFC") -> str:
-        if isinstance(form, str):
-            form = _FORMS[form]
-        if form >= 2:
-            return super().normalize(text, form)
         return self.normalize_bytes(text.encode("utf-8"), form).decode("utf-8")
 
     def classify_bytes(self, data: bytes):

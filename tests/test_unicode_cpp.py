@@ -52,6 +52,29 @@ class TestNFC:
             s = "".join(chr(int(c)) for c in cps)
             assert cpp.normalize(s, "NFC") == unicodedata.normalize("NFC", s)
 
+    @pytest.mark.parametrize("form", ["NFKC", "NFKD"])
+    @pytest.mark.parametrize(
+        "s",
+        NFC_SAMPLES
+        + [
+            "ﬁle ﬂow ﬀ",  # Latin ligatures expand under K-forms
+            "①②③ ㊤ ㎒ ㎞",  # enclosed/squared compat chars
+            "ﷺ",  # U+FDFA: longest expansion in Unicode (18 cps)
+            "²³ ¼½¾ ⅓",  # super/subscripts and fractions
+            "ＡＢＣ１２３ ｶﾞｷﾞ",  # fullwidth + halfwidth katakana w/ voicing
+            "㈱ ㌀ ｟｠",
+        ],
+    )
+    def test_compat_forms_match_unicodedata(self, cpp, form, s):
+        assert cpp.normalize(s, form) == unicodedata.normalize(form, s)
+
+    def test_compat_random_bmp(self, cpp, rng):
+        for _ in range(50):
+            cps = rng.integers(0x20, 0xD7FF, size=64)
+            s = "".join(chr(int(c)) for c in cps)
+            for form in ("NFKC", "NFKD"):
+                assert cpp.normalize(s, form) == unicodedata.normalize(form, s)
+
     def test_invalid_utf8_raises(self, cpp):
         with pytest.raises(UnicodeDecodeError):
             cpp.normalize_bytes(b"\xff\xfe")
