@@ -42,7 +42,10 @@ _PAGE_TOKENS = 1 << 21  # u16 tokens per device->host fetch page (4 MB)
 # replaced by the sorted interval-stabbing join (O((N+V) log) regardless of
 # vocab size) for token lengths 2..16; longer tokens stay on the dense join.
 _DENSE_VOCAB_CUTOFF = 2048
-_STAB_MAX_LEN = 8
+_STAB_MAX_LEN = 8  # one stab level covers lengths 2..8 (8-byte sort keys)
+_GROUP_DEPTH = _STAB_MAX_LEN + 1  # overlay slot carrying the prefix-group id
+_STAB_MAX_TOTAL = 16  # two levels: 8-byte prefix group + 1..8-byte suffix
+_NO_GROUP = jnp.uint32(0xFFFFFFFF)
 
 
 def _pack_keys(token: bytes) -> np.ndarray:
@@ -91,7 +94,7 @@ class MatchTables:
         stab = _stab_vocab_rows(vocab) if use_stab else None
         if stab is not None and stab["count"] == 0:
             stab = None
-        dense_lengths = [ln for ln in lengths if ln > _STAB_MAX_LEN] if stab else lengths
+        dense_lengths = [ln for ln in lengths if ln > _STAB_MAX_TOTAL] if stab else lengths
         return cls(
             lengths=lengths,
             keys=keys,
@@ -105,26 +108,63 @@ class MatchTables:
 
 
 def _stab_vocab_rows(vocab: list[bytes]) -> dict:
-    """Host-side interval rows for tokens of length 2..8: open key = bytes
-    padded 0x00, close key = bytes padded 0xFF (8 bytes as 2 big-endian u32
-    words). A token v is a prefix of a position's 8-byte window w iff
-    open(v) <= w <= close(v) — prefix intervals nest, so the sorted stream
-    of opens/positions/closes is a balanced-parens structure. The row count
-    is padded to a power of two with inert rows (max key, depth-0 close) so
-    every model reuses the same compiled-shape ladder."""
+    """Host-side interval rows for the two-level stab join.
+
+    Level 1 (lengths 2..8): open key = bytes padded 0x00, close key = bytes
+    padded 0xFF (8 bytes as 2 big-endian u32 words). A token v is a prefix
+    of a position's 8-byte window w iff open(v) <= w <= close(v) — prefix
+    intervals nest, so the sorted stream of opens/positions/closes is a
+    balanced-parens structure.
+
+    Level 2 (lengths 9..16): each long token splits into an 8-byte prefix
+    and a 1..8-byte suffix. Distinct prefixes become *group* rows in level
+    1 at pseudo-depth ``_GROUP_DEPTH`` with open == close == prefix (exact
+    8-byte window equality), carrying a compact group id. The level-2 join
+    then matches (group id, suffix window at pos+8) against (group id,
+    suffix interval) rows — the same balanced-parens structure per group,
+    with depth = suffix length, so 16-byte coverage costs one extra sort
+    instead of widening the level-1 sort keys (multi-operand sort compile
+    time explodes with key count on TPU).
+
+    Row counts are padded to powers of two with inert rows (max key,
+    depth-0 close) so every model reuses the same compiled-shape ladder."""
     opens, closes, lns, ids = [], [], [], []
+    groups: dict[bytes, int] = {}
+    l_gids, l_opens, l_closes, l_lns, l_ids = [], [], [], [], []
     for token_id, entry in enumerate(vocab):
         entry = bytes(entry)
-        if not (2 <= len(entry) <= _STAB_MAX_LEN):
-            continue
-        o = np.frombuffer(entry + b"\x00" * (8 - len(entry)), dtype=np.uint8)
-        c = np.frombuffer(entry + b"\xff" * (8 - len(entry)), dtype=np.uint8)
-        opens.append(o)
-        closes.append(c)
-        lns.append(len(entry))
-        ids.append(token_id)
-    if not opens:
+        if 2 <= len(entry) <= _STAB_MAX_LEN:
+            o = np.frombuffer(entry + b"\x00" * (8 - len(entry)), dtype=np.uint8)
+            c = np.frombuffer(entry + b"\xff" * (8 - len(entry)), dtype=np.uint8)
+            opens.append(o)
+            closes.append(c)
+            lns.append(len(entry))
+            ids.append(token_id)
+        elif _STAB_MAX_LEN < len(entry) <= _STAB_MAX_TOTAL:
+            prefix, suffix = entry[:8], entry[8:]
+            gid = groups.setdefault(prefix, len(groups))
+            l_gids.append(gid)
+            l_opens.append(np.frombuffer(suffix + b"\x00" * (8 - len(suffix)), dtype=np.uint8))
+            l_closes.append(np.frombuffer(suffix + b"\xff" * (8 - len(suffix)), dtype=np.uint8))
+            l_lns.append(len(suffix))
+            l_ids.append(token_id)
+    assert len(groups) < 0xFFFF, "too many distinct 8-byte prefixes for u16 group ids"
+    g_rows = [(prefix, gid) for prefix, gid in groups.items()]
+    if not opens and not g_rows:
         return {"count": 0}
+
+    def pack(b):  # [V, 8] bytes -> 2 big-endian u32 words
+        w = b.reshape(-1, 2, 4)
+        return (w[:, :, 0] << 24) | (w[:, :, 1] << 16) | (w[:, :, 2] << 8) | w[:, :, 3]
+
+    # level-1 rows: short tokens + prefix-group rows (exact-equality
+    # intervals at pseudo-depth _GROUP_DEPTH, payload = gid)
+    for prefix, gid in g_rows:
+        pb = np.frombuffer(prefix, dtype=np.uint8)
+        opens.append(pb)
+        closes.append(pb)
+        lns.append(_GROUP_DEPTH)
+        ids.append(gid)
     v = len(lns)
     vpad = 1 << max(8, (v - 1).bit_length())
     pad = vpad - v
@@ -132,70 +172,51 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
     cb = np.concatenate([np.stack(closes), np.full((pad, 8), 255, np.uint8)]).astype(np.uint32)
     ln_arr = np.concatenate([np.array(lns, np.uint32), np.zeros(pad, np.uint32)])
     id_arr = np.concatenate([np.array(ids, np.uint32), np.zeros(pad, np.uint32)])
-
-    def pack(b):  # [V, 8] bytes -> 2 big-endian u32 words
-        w = b.reshape(-1, 2, 4)
-        return (w[:, :, 0] << 24) | (w[:, :, 1] << 16) | (w[:, :, 2] << 8) | w[:, :, 3]
-
-    return {
+    out = {
         "count": vpad,
         "open_words": pack(ob),  # [V, 2] u32
         "close_words": pack(cb),
         "ln": ln_arr,
         "id": id_arr,
+        "long_count": 0,
     }
 
+    # level-2 rows: long-token suffix intervals within their prefix group
+    if l_ids:
+        lv = len(l_ids)
+        lpad_to = 1 << max(8, (lv - 1).bit_length())
+        lpad = lpad_to - lv
+        lob = np.concatenate([np.stack(l_opens), np.full((lpad, 8), 255, np.uint8)]).astype(np.uint32)
+        lcb = np.concatenate([np.stack(l_closes), np.full((lpad, 8), 255, np.uint8)]).astype(np.uint32)
+        out.update(
+            long_count=lpad_to,
+            long_gid=np.concatenate(
+                [np.array(l_gids, np.uint32), np.full(lpad, 0xFFFFFFFF, np.uint32)]
+            ),
+            long_open=pack(lob),
+            long_close=pack(lcb),
+            long_ln=np.concatenate([np.array(l_lns, np.uint32), np.zeros(lpad, np.uint32)]),
+            long_id=np.concatenate([np.array(l_ids, np.uint32), np.zeros(lpad, np.uint32)]),
+        )
+    return out
 
-def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_size: int):
-    """Longest in-chunk match per position for token lengths 2..8 via the
-    sorted interval-stabbing join — O((N+V) log(N+V)) independent of vocab
-    size (the dense join is O(N*V) and serves lengths > 8). Returns packed
-    (len << 16 | id) per position, 0 where no match.
 
-    One 3-key sort orders vocab opens (flag 0), positions (flag 1), and
-    vocab closes (flag 2) by 8-byte key — flag, token length, and payload
-    are packed into the third key word so the sort stays narrow (multi-
-    operand sorts compile catastrophically slowly on TPU). A manual
-    Hillis-Steele doubling scan overlays the per-depth open token id; each
-    position then takes its deepest open depth that still fits within its
-    chunk. A second 1-key sort restores position order. No gathers.
-    """
-    n = data_u32.shape[0]
-    assert n < (1 << 25), "single pass capped at 2^25 positions (payload packing)"
-    shifted = [jnp.roll(data_u32, -k) for k in range(8)]
-    pw = [
-        (shifted[w * 4] << 24) | (shifted[w * 4 + 1] << 16)
-        | (shifted[w * 4 + 2] << 8) | shifted[w * 4 + 3]
-        for w in range(2)
-    ]
-    iota = lax.broadcasted_iota(jnp.uint32, (n,), 0)
+def _k3(flag, ln, pay):
+    """Packed third key word: flag (major: opens < positions < closes) |
+    depth | payload. Keeps the sort narrow — multi-operand sorts compile
+    catastrophically slowly on TPU."""
+    return (flag << jnp.uint32(30)) | (ln << jnp.uint32(25)) | pay
 
-    v = stab["count"]
-    ow = jnp.asarray(stab["open_words"])
-    cw = jnp.asarray(stab["close_words"])
-    vln = jnp.asarray(stab["ln"])
-    vid = jnp.asarray(stab["id"])
 
-    # third key word: flag (major: opens < positions < closes) | ln | payload
-    def k3(flag, ln, pay):
-        return (flag << jnp.uint32(30)) | (ln << jnp.uint32(25)) | pay
-
-    k0 = jnp.concatenate([pw[0], ow[:, 0], cw[:, 0]])
-    k1 = jnp.concatenate([pw[1], ow[:, 1], cw[:, 1]])
-    kp = jnp.concatenate([
-        k3(jnp.uint32(1), jnp.uint32(0), iota),
-        k3(jnp.uint32(0), vln, vid),
-        k3(jnp.uint32(2), vln, vid),
-    ])
-
-    _, _, skp = lax.sort((k0, k1, kp), num_keys=3)
-
-    sflag = skp >> jnp.uint32(30)
+def _paren_overlay(sflag, skp, m: int, depths: int):
+    """Balanced-parens overlay scan over a sorted open/position/close
+    stream: inclusive Hillis-Steele doubling scan that propagates, per
+    depth, the payload of the innermost enclosing open. Returns
+    (vals [m, depths] u16 payloads, openb [m] u32 per-depth open bits,
+    spay [m] u32 raw payloads)."""
     sln = (skp >> jnp.uint32(25)) & jnp.uint32(0x1F)
     spay = skp & jnp.uint32(0x1FFFFFF)
-
-    m = n + 2 * v
-    depth = lax.broadcasted_iota(jnp.uint32, (1, _STAB_MAX_LEN + 1), 1)
+    depth = lax.broadcasted_iota(jnp.uint32, (1, depths), 1)
     is_open = sflag == 0
     is_close = sflag == 2
     mod = jnp.where(is_open | is_close, jnp.uint32(1) << sln, 0)
@@ -204,8 +225,7 @@ def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_siz
         (sln[:, None] == depth) & is_open[:, None], spay[:, None], 0
     ).astype(jnp.uint16)
 
-    # inclusive scan of overlay ops (Hillis-Steele doubling: identity op has
-    # mod == 0, so left-padding with zeros is a no-op prefix)
+    # identity op has mod == 0, so left-padding with zeros is a no-op prefix
     def shift_down(x, s):
         pad = jnp.zeros((s,) + x.shape[1:], x.dtype)
         return jnp.concatenate([pad, x[:-s]], axis=0)
@@ -218,25 +238,134 @@ def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_siz
         openb = (po & ~mod) | (openb & mod)
         mod = pm | mod
         s <<= 1
+    return vals, openb, spay
 
-    # per-position extraction: deepest open depth that fits in the chunk
+
+def _deepest_fit(vals, openb, spay, sflag, input_len, chunk_size: int,
+                 base_len: int, max_depth: int):
+    """Per-position extraction: the deepest open depth whose token (of
+    length ``base_len + depth``) still fits within the position's chunk.
+    Returns packed (len << 16 | id) per sorted row, 0 where no match."""
+    depth = lax.broadcasted_iota(jnp.uint32, (1, vals.shape[1]), 1)
     pos_i = spay.astype(jnp.int32)
     cend = jnp.minimum((pos_i // chunk_size + 1) * chunk_size, input_len)
-    fits = depth.astype(jnp.int32) <= (cend - pos_i)[:, None]
-    openable = (((openb[:, None] >> depth) & 1) == 1) & fits & (sflag == 1)[:, None]
     d_i = depth.astype(jnp.int32)
-    best_ln = jnp.max(jnp.where(openable, d_i, 0), axis=1)
+    fits = base_len + d_i <= (cend - pos_i)[:, None]
+    openable = (
+        (((openb[:, None] >> depth) & 1) == 1)
+        & fits
+        & (sflag == 1)[:, None]
+        & (d_i <= max_depth)
+    )
+    best_d = jnp.max(jnp.where(openable, d_i, 0), axis=1)
     best_id = jnp.max(
-        jnp.where(openable & (d_i == best_ln[:, None]), vals.astype(jnp.int32), 0),
+        jnp.where(openable & (d_i == best_d[:, None]), vals.astype(jnp.int32), 0),
         axis=1,
     )
-    packed = jnp.where((sflag == 1) & (best_ln > 0),
-                       (best_ln.astype(jnp.uint32) << 16) | best_id.astype(jnp.uint32), 0)
+    return jnp.where(
+        (sflag == 1) & (best_d > 0),
+        ((base_len + best_d).astype(jnp.uint32) << 16) | best_id.astype(jnp.uint32),
+        0,
+    )
+
+
+def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_size: int):
+    """Longest in-chunk match per position for token lengths 2..16 via the
+    sorted interval-stabbing join — O((N+V) log(N+V)) independent of vocab
+    size (the dense join is O(N*V) and serves lengths > 16). Returns packed
+    (len << 16 | id) per position, 0 where no match.
+
+    Level 1: one 3-key sort orders vocab opens (flag 0), positions (flag
+    1), and vocab closes (flag 2) by 8-byte key; a balanced-parens overlay
+    scan then gives each position its deepest in-chunk prefix of length
+    2..8 AND (at pseudo-depth 9) the group id of its exact 8-byte window
+    when some 9..16-byte token starts with it. Level 2: a second sort of
+    (gid, suffix window at pos+8, flag) against long-token suffix interval
+    rows resolves lengths 9..16 with depth = suffix length. A final 1-key
+    sort restores position order. No gathers.
+    """
+    n = data_u32.shape[0]
+    assert n < (1 << 25), "single pass capped at 2^25 positions (payload packing)"
+    has_long = stab.get("long_count", 0) > 0
+    shifted = [jnp.roll(data_u32, -k) for k in range(16 if has_long else 8)]
+
+    def pack_words(base):
+        return [
+            (shifted[base + w * 4] << 24) | (shifted[base + w * 4 + 1] << 16)
+            | (shifted[base + w * 4 + 2] << 8) | shifted[base + w * 4 + 3]
+            for w in range(2)
+        ]
+
+    pw = pack_words(0)
+    iota = lax.broadcasted_iota(jnp.uint32, (n,), 0)
+
+    v = stab["count"]
+    ow = jnp.asarray(stab["open_words"])
+    cw = jnp.asarray(stab["close_words"])
+    vln = jnp.asarray(stab["ln"])
+    vid = jnp.asarray(stab["id"])
+
+    k0 = jnp.concatenate([pw[0], ow[:, 0], cw[:, 0]])
+    k1 = jnp.concatenate([pw[1], ow[:, 1], cw[:, 1]])
+    kp = jnp.concatenate([
+        _k3(jnp.uint32(1), jnp.uint32(0), iota),
+        _k3(jnp.uint32(0), vln, vid),
+        _k3(jnp.uint32(2), vln, vid),
+    ])
+
+    _, _, skp = lax.sort((k0, k1, kp), num_keys=3)
+    sflag = skp >> jnp.uint32(30)
+
+    m = n + 2 * v
+    depths = _GROUP_DEPTH + 1 if has_long else _STAB_MAX_LEN + 1
+    vals, openb, spay = _paren_overlay(sflag, skp, m, depths)
+    packed = _deepest_fit(vals, openb, spay, sflag, input_len, chunk_size, 0, _STAB_MAX_LEN)
 
     # restore position order (vocab rows sort to the tail and are sliced off)
     key2 = jnp.where(sflag == 1, spay, jnp.uint32(0xFFFFFFFF))
-    _, packed_sorted = lax.sort((key2, packed), num_keys=1)
-    return packed_sorted[:n]
+    if not has_long:
+        _, packed_sorted = lax.sort((key2, packed), num_keys=1)
+        return packed_sorted[:n]
+
+    # position's prefix-group id (exact 8-byte window match), or _NO_GROUP
+    in_group = ((openb >> jnp.uint32(_GROUP_DEPTH)) & 1) == 1
+    gid = jnp.where(
+        in_group & (sflag == 1), vals[:, _GROUP_DEPTH].astype(jnp.uint32), _NO_GROUP
+    )
+    _, packed_sorted, gid_sorted = lax.sort((key2, packed, gid), num_keys=1)
+    packed1 = packed_sorted[:n]
+    gid_pos = gid_sorted[:n]
+
+    # ── level 2: (gid, suffix window at pos+8) vs suffix interval rows ──
+    lv = stab["long_count"]
+    lgid = jnp.asarray(stab["long_gid"])
+    low = jnp.asarray(stab["long_open"])
+    lcw = jnp.asarray(stab["long_close"])
+    lln = jnp.asarray(stab["long_ln"])
+    lid = jnp.asarray(stab["long_id"])
+    sw = pack_words(8)
+
+    g0 = jnp.concatenate([gid_pos, lgid, lgid])
+    g1 = jnp.concatenate([sw[0], low[:, 0], lcw[:, 0]])
+    g2 = jnp.concatenate([sw[1], low[:, 1], lcw[:, 1]])
+    gp = jnp.concatenate([
+        _k3(jnp.uint32(1), jnp.uint32(0), iota),
+        _k3(jnp.uint32(0), lln, lid),
+        _k3(jnp.uint32(2), lln, lid),
+    ])
+    _, _, _, skp2 = lax.sort((g0, g1, g2, gp), num_keys=4)
+    sflag2 = skp2 >> jnp.uint32(30)
+    m2 = n + 2 * lv
+    vals2, openb2, spay2 = _paren_overlay(sflag2, skp2, m2, _STAB_MAX_LEN + 1)
+    packed2 = _deepest_fit(
+        vals2, openb2, spay2, sflag2, input_len, chunk_size, _STAB_MAX_LEN, _STAB_MAX_LEN
+    )
+    key2b = jnp.where(sflag2 == 1, spay2, jnp.uint32(0xFFFFFFFF))
+    _, packed2_sorted = lax.sort((key2b, packed2), num_keys=1)
+    long_hit = packed2_sorted[:n]
+
+    # a 9..16-byte match always beats any level-1 match (longer wins)
+    return jnp.where(long_hit > 0, long_hit, packed1)
 
 
 def build_match_table(

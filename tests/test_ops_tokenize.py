@@ -145,3 +145,74 @@ class TestIntervalStabbingJoin:
         ref = GreedyTrieEncoder(vocab, chunk_size=tok.chunk_size).encode(data)
         got = tok.encode_bytes(data)
         assert np.array_equal(got, np.asarray(ref, dtype=np.uint32))
+
+
+class TestTwoLevelStab:
+    """Token lengths 9..16 are served by the second stab level (prefix
+    groups + suffix intervals) instead of the dense join; lengths > 16
+    stay dense. Output must stay byte-identical to the greedy oracle."""
+
+    def _vocab_with_longs(self):
+        rng = np.random.default_rng(5)
+        toks = {bytes([b]) for b in range(256)}
+        vocab = [bytes([b]) for b in range(256)]
+        while len(vocab) < 2500:
+            ln = int(rng.integers(2, 9))
+            t = bytes(rng.integers(97, 105, size=ln).tolist())
+            if t not in toks:
+                toks.add(t)
+                vocab.append(t)
+        # long tokens with SHARED 8-byte prefixes (the prefix-group path),
+        # nested suffixes, an exact-16, the 8-byte prefix itself as a
+        # token, and a 17-byte token (dense-join fallback)
+        longs = [
+            b"prefixAA" + b"s",            # 9
+            b"prefixAA" + b"suffix",       # 14
+            b"prefixAA" + b"suffixXY",     # 16 (max two-level)
+            b"prefixAA",                   # the shared prefix as its own token
+            b"prefixBB" + b"tail",         # different group
+            b"overlongtoken001",           # 16
+            b"overlongtoken0017",          # 17 -> dense join
+        ]
+        return vocab + longs
+
+    def test_two_level_matches_oracle(self):
+        vocab = self._vocab_with_longs()
+        t = MatchTables.from_vocab(vocab)
+        assert t.stab is not None and t.stab["long_count"] > 0
+        assert t.dense_lengths == [17]
+        rng = np.random.default_rng(6)
+        filler = bytes(rng.integers(97, 105, size=3000).tolist())
+        data = (
+            filler
+            + b"prefixAAsuffixXYprefixAAsuffixZZprefixAAsprefixAA"
+            + b"prefixBBtailprefixBBtaiX"
+            + b"overlongtoken0017overlongtoken001x"
+            + filler[:100]
+        )
+        tok = TPUTokenizer(vocab)
+        ref = GreedyTrieEncoder(vocab, chunk_size=tok.chunk_size).encode(data)
+        got = tok.encode_bytes(data)
+        assert np.array_equal(got, np.asarray(ref, dtype=np.uint32))
+
+    def test_long_token_at_chunk_boundary(self):
+        vocab = self._vocab_with_longs()
+        tok = TPUTokenizer(vocab, chunk_size=512)
+        # place a 16-byte token straddling the 512-byte chunk boundary:
+        # greedy semantics must split it (the reference artifact)
+        data = b"a" * 504 + b"prefixAAsuffixXY" + b"b" * 100
+        ref = GreedyTrieEncoder(vocab, chunk_size=512).encode(data)
+        got = tok.encode_bytes(data)
+        assert np.array_equal(got, np.asarray(ref, dtype=np.uint32))
+
+    def test_fuzz_two_level(self):
+        vocab = self._vocab_with_longs()
+        tok = TPUTokenizer(vocab)
+        rng = np.random.default_rng(7)
+        pieces = [v for v in vocab[256:]] + [b"prefixA", b"prefixAAsuffi"]
+        for trial in range(5):
+            parts = [pieces[i] for i in rng.integers(0, len(pieces), size=400)]
+            data = b"".join(parts)
+            ref = GreedyTrieEncoder(vocab, chunk_size=tok.chunk_size).encode(data)
+            got = tok.encode_bytes(data)
+            assert np.array_equal(got, np.asarray(ref, dtype=np.uint32)), trial
