@@ -36,6 +36,7 @@ class TrainConfig:
     batch_merges: int = 1024  # merges per host round trip (BATCH_MERGES cap)
     seed: int = 0
     show_progress: bool = True
+    profile_dir: str | None = None  # capture a jax.profiler trace of training
     extra: dict = field(default_factory=dict)
 
 
@@ -103,6 +104,27 @@ def train(
     if on_progress is None and config.show_progress:
         on_progress = log_progress
 
+    with _profile_ctx(config):
+        result = _train_backend(config, data, starts, on_progress)
+
+    tokenizer = BPETokenizer.from_training_result(result, backend="tpu" if config.backend != "cpu" else "cpu")
+    return tokenizer, result
+
+
+def _profile_ctx(config: TrainConfig):
+    """jax.profiler trace capture around training (ROADMAP: profiling
+    hooks). View with TensorBoard or xprof on the written directory."""
+    import contextlib
+
+    if not config.profile_dir:
+        return contextlib.nullcontext()
+    import jax
+
+    logger.info("capturing jax.profiler trace to %s", config.profile_dir)
+    return jax.profiler.trace(config.profile_dir)
+
+
+def _train_backend(config: TrainConfig, data, starts, on_progress) -> TrainingResult:
     if config.backend == "cpu":
         symbols = bytes_to_symbols(data)
         if starts is not None:
@@ -140,8 +162,49 @@ def train(
             result = TPUTrainer(batch_merges=config.batch_merges).train(
                 data, starts, config.vocab_size, config.dedup, on_progress
             )
+    return result
 
-    tokenizer = BPETokenizer.from_training_result(result, backend="tpu" if config.backend != "cpu" else "cpu")
+
+def train_files(
+    paths: list[str],
+    config: TrainConfig | None = None,
+    on_progress: ProgressFn | None = None,
+    chunk_bytes: int = 64 << 20,
+) -> tuple[BPETokenizer, TrainingResult]:
+    """Streamed training from files: host memory stays bounded by the
+    unique-word mass plus one chunk, so 10 GB+ corpora ingest without
+    materializing the corpus (tpu/dist backends, pre-tokenized + dedup).
+
+    Not supported in streamed mode: paragraph shuffle (needs the whole
+    corpus) and byte-level/no-dedup streams (use ``train``)."""
+    config = config or TrainConfig()
+    if config.shuffle or not config.pre_tokenize or not config.dedup or config.backend == "cpu":
+        files = [open(p, "rb").read() for p in collect_files(paths)]
+        return train(files, config, on_progress)
+
+    from .ops.ingest import make_stream_chunked, stream_paths
+
+    stream = make_stream_chunked(stream_paths(collect_files(paths), chunk_bytes))
+    logger.info(
+        "streamed ingest: %d unique-word symbols from %d corpus bytes (%.1fx dedup)",
+        stream.n, stream.total_bytes, stream.dedup_ratio,
+    )
+    if on_progress is None and config.show_progress:
+        on_progress = log_progress
+    with _profile_ctx(config):
+        if config.backend == "dist":
+            from .parallel import DistributedTrainer
+
+            result = DistributedTrainer(batch_merges=config.batch_merges).train_stream(
+                stream, config.vocab_size, on_progress
+            )
+        else:
+            from .ops import TPUTrainer
+
+            result = TPUTrainer(batch_merges=config.batch_merges).train_stream(
+                stream, config.vocab_size, on_progress
+            )
+    tokenizer = BPETokenizer.from_training_result(result, backend="tpu")
     return tokenizer, result
 
 

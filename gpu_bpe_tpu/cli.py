@@ -18,7 +18,9 @@ import argparse
 import sys
 import time
 
-from .api import TrainConfig, collect_files, export_bin, export_trie, load_model, train
+from .api import (
+    TrainConfig, collect_files, export_bin, export_trie, load_model, train, train_files,
+)
 from .utils.timing import format_size
 
 
@@ -32,9 +34,11 @@ def _read_files(paths: list[str]) -> list[bytes]:
 
 
 def cmd_train(args) -> int:
-    files = _read_files(args.files)
-    total = sum(len(f) for f in files)
-    print(f"corpus: {len(files)} file(s), {format_size(total)} · vocab target: {args.vocab_size}",
+    import os
+
+    paths = collect_files(args.files)
+    total = sum(os.path.getsize(p) for p in paths)
+    print(f"corpus: {len(paths)} file(s), {format_size(total)} · vocab target: {args.vocab_size}",
           file=sys.stderr)
     config = TrainConfig(
         vocab_size=args.vocab_size,
@@ -43,9 +47,16 @@ def cmd_train(args) -> int:
         dedup=not args.no_dedup,
         shuffle=args.shuffle,
         batch_merges=args.batch_merges,
+        profile_dir=args.profile,
     )
     t0 = time.perf_counter()
-    tokenizer, result = train(files, config)
+    # streamed ingestion keeps host memory bounded by unique-word mass;
+    # automatic above 1 GB, forced with --stream
+    if args.stream or (total > (1 << 30) and not config.shuffle
+                       and config.pre_tokenize and config.dedup and config.backend != "cpu"):
+        tokenizer, result = train_files(paths, config)
+    else:
+        tokenizer, result = train([open(p, "rb").read() for p in paths], config)
     dt = time.perf_counter() - t0
     print(f"✓ {len(result.merges)} merges, vocab {result.vocab_size}, "
           f"{dt:.1f}s ({len(result.merges) / max(dt, 1e-9):.1f} merges/s)", file=sys.stderr)
@@ -157,6 +168,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--no-dedup", action="store_true")
     t.add_argument("--shuffle", action="store_true", help="paragraph shuffle at ingest")
     t.add_argument("--batch-merges", type=int, default=128)
+    t.add_argument("--stream", action="store_true",
+                   help="streamed ingestion (bounded host memory; auto above 1 GB)")
+    t.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of training to DIR")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("encode", help="encode text (merge-order semantics)")

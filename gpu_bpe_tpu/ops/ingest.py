@@ -105,6 +105,155 @@ def make_stream(
     return SymbolStream(symbols=symbols, weights=weights, n=total_unique, total_bytes=n_total)
 
 
+class StreamAccumulator:
+    """Incremental unique-word accumulator for streamed ingestion.
+
+    Host memory is bounded by the unique-word mass (plus one chunk), not
+    the corpus size — the piece that makes 10 GB+ corpora ingestable
+    (ROADMAP item: ``make_stream`` materializes the whole corpus).
+
+    Words arrive chunk by chunk as (pre-tokenized bytes, word-start mask);
+    each chunk is deduplicated per length exactly like ``make_stream`` and
+    merged into the running per-length unique sets with summed counts.
+    ``finish()`` emits a SymbolStream identical to what ``make_stream``
+    would produce on the concatenated input (same deterministic
+    (length asc, bytes asc) order — verified by tests).
+    """
+
+    def __init__(self):
+        self._rows: dict[int, np.ndarray] = {}  # ln -> [k, ln] uint8
+        self._counts: dict[int, np.ndarray] = {}  # ln -> [k] int64
+        self._total = 0
+
+    def add_chunk(self, data: bytes | np.ndarray, word_starts: np.ndarray) -> None:
+        if isinstance(data, (bytes, bytearray)):
+            bytes_arr = np.frombuffer(bytes(data), dtype=np.uint8)
+        else:
+            bytes_arr = np.asarray(data, dtype=np.uint8)
+        n = len(bytes_arr)
+        if n == 0:
+            return
+        self._total += n
+        starts = word_starts.astype(bool).copy()
+        starts[0] = True
+        boundaries = np.flatnonzero(starts)
+        ends = np.append(boundaries[1:], n)
+        lengths = ends - boundaries
+        for ln in np.unique(lengths):
+            ln = int(ln)
+            if ln == 0:
+                continue
+            sel = boundaries[lengths == ln]
+            mat = bytes_arr[sel[:, None] + np.arange(ln)[None, :]]
+            uniq, cnt = np.unique(mat, axis=0, return_counts=True)
+            if ln not in self._rows:
+                self._rows[ln] = uniq
+                self._counts[ln] = cnt.astype(np.int64)
+            else:
+                merged = np.concatenate([self._rows[ln], uniq])
+                mcnt = np.concatenate([self._counts[ln], cnt.astype(np.int64)])
+                u2, inv = np.unique(merged, axis=0, return_inverse=True)
+                self._rows[ln] = u2
+                self._counts[ln] = np.bincount(inv, weights=mcnt).astype(np.int64)
+
+    def finish(self) -> SymbolStream:
+        out_syms, out_wts = [], []
+        total_unique = 0
+        for ln in sorted(self._rows):
+            uniq, cnt = self._rows[ln], self._counts[ln]
+            assert cnt.max(initial=0) < 2**31, "word frequency overflows int32"
+            sym = uniq.astype(np.uint32)
+            sym[:, 0] |= np.uint32(WORD_START_BIT)
+            out_syms.append(sym.reshape(-1))
+            out_wts.append(np.repeat(cnt.astype(np.int32), ln))
+            total_unique += len(uniq) * ln
+        if not out_syms:
+            return SymbolStream(
+                symbols=np.zeros(0, np.uint32), weights=np.zeros(0, np.int32),
+                n=0, total_bytes=self._total,
+            )
+        return SymbolStream(
+            symbols=np.concatenate(out_syms),
+            weights=np.concatenate(out_wts),
+            n=total_unique,
+            total_bytes=self._total,
+        )
+
+
+def _utf8_safe_split(buf: bytes, limit: int) -> int:
+    """Largest split point <= limit that does not cut a UTF-8 sequence."""
+    if limit >= len(buf):
+        return len(buf)
+    cut = limit
+    while cut > 0 and (buf[cut] & 0xC0) == 0x80:
+        cut -= 1
+    return cut
+
+
+def stream_paths(paths: list[str], chunk_bytes: int = 64 << 20):
+    """Yield raw corpus chunks from files joined with \\n\\n separators,
+    split at UTF-8 boundaries (FileManager corpus build, streamed)."""
+    first = True
+    pending = b""
+    for path in paths:
+        if not first:
+            pending += b"\n\n"
+        first = False
+        with open(path, "rb") as f:
+            while True:
+                block = f.read(chunk_bytes)
+                if not block:
+                    break
+                pending += block
+                while len(pending) >= chunk_bytes:
+                    cut = _utf8_safe_split(pending, chunk_bytes)
+                    if cut == 0:
+                        break  # pathological non-UTF-8 head; flush as-is
+                    yield pending[:cut]
+                    pending = pending[cut:]
+    if pending:
+        yield pending
+
+
+def make_stream_chunked(chunks, pre_tokenizer=None) -> SymbolStream:
+    """Streamed equivalent of pre-tokenize + ``make_stream(dedup=True)``.
+
+    Each raw chunk is pre-tokenized with the trailing partial word carried
+    into the next chunk, so word boundaries are computed with full context:
+    the carry restarts at the last word start, NFC is idempotent on the
+    re-fed normalized carry, and the boundary rules never look left of a
+    word start. Host memory stays bounded by unique-word mass + one chunk.
+    """
+    from ..pretok import PreTokenizer
+
+    pt = pre_tokenizer or PreTokenizer()
+    acc = StreamAccumulator()
+    carry = b""
+    # Boundary decisions near the chunk end are provisional: the rules look
+    # ahead up to 3 codepoints (contractions), so a boundary within the
+    # last MARGIN bytes could flip once more text arrives. Words starting
+    # before the margin are final.
+    MARGIN = 16
+    for raw in chunks:
+        data, starts = pt.pre_tokenize_bytes(carry + raw)
+        if len(data) == 0:
+            carry = b""
+            continue
+        ws = np.flatnonzero(starts.astype(bool))
+        ws = ws[ws < len(data) - MARGIN]
+        last = int(ws[-1]) if len(ws) else 0
+        if last > 0:
+            acc.add_chunk(data[:last], starts[:last])
+            carry = bytes(data[last:])
+        else:
+            carry = bytes(data)
+    if carry:
+        data, starts = pt.pre_tokenize_bytes(carry)
+        if len(data):
+            acc.add_chunk(data, starts)
+    return acc.finish()
+
+
 def pad_stream(stream: SymbolStream, multiple: int = 1024) -> SymbolStream:
     """Pad to a power-of-two capacity (tail symbols = 0, which never pair).
 

@@ -49,6 +49,48 @@ class TestStreamIngestion:
         assert stream.n <= 10  # "spam" + " spam"
 
 
+class TestChunkedIngestion:
+    """Streamed ingestion must produce a SymbolStream bitwise-identical to
+    the monolithic pre-tokenize + make_stream path."""
+
+    def _compare(self, corpus: bytes, chunk: int):
+        from gpu_bpe_tpu.ops.ingest import make_stream_chunked
+        from gpu_bpe_tpu.pretok import PreTokenizer
+
+        data, starts = PreTokenizer().pre_tokenize_bytes(corpus)
+        ref = make_stream(data, starts, dedup=True)
+        chunks = [corpus[i : i + chunk] for i in range(0, len(corpus), chunk)]
+        got = make_stream_chunked(iter(chunks))
+        assert got.n == ref.n
+        assert got.total_bytes == ref.total_bytes
+        assert np.array_equal(got.symbols, ref.symbols)
+        assert np.array_equal(got.weights, ref.weights)
+
+    def test_matches_monolithic(self, english_text):
+        corpus = english_text[:20000].encode()
+        for chunk in (256, 1023, 4096):
+            self._compare(corpus, chunk)
+
+    def test_unicode_and_small_chunks(self):
+        corpus = ("caf\u00e9 na\u00efve \u00e9tude " * 100 + "\u4e2d\u6587\u5206\u8bcd tests " * 50).encode()
+        # chunk sizes that cut UTF-8 sequences mid-way
+        for chunk in (7, 33, 101):
+            self._compare(corpus, chunk)
+
+    def test_stream_paths_separators(self, tmp_path):
+        from gpu_bpe_tpu.ops.ingest import make_stream_chunked, stream_paths
+        from gpu_bpe_tpu.pretok import PreTokenizer
+
+        a = tmp_path / "a.txt"; a.write_bytes(b"hello world " * 40)
+        b = tmp_path / "b.txt"; b.write_bytes(b"goodbye moon " * 40)
+        corpus = a.read_bytes() + b"\n\n" + b.read_bytes()
+        data, starts = PreTokenizer().pre_tokenize_bytes(corpus)
+        ref = make_stream(data, starts, dedup=True)
+        got = make_stream_chunked(stream_paths([str(a), str(b)], chunk_bytes=64))
+        assert np.array_equal(got.symbols, ref.symbols)
+        assert np.array_equal(got.weights, ref.weights)
+
+
 class TestConformance:
     @pytest.mark.parametrize("dedup", [False, True])
     def test_merge_list_matches_oracle(self, english_text, dedup):
