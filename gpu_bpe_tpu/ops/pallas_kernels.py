@@ -172,9 +172,16 @@ def _merge_compact_kernel(
     # stable log-shift compaction: valid movers never collide (see module
     # docstring); garbage slots may be overwritten freely. The keep flag
     # rides in bit 31 of the value word (symbols use only 17 bits), so each
-    # round shifts 3 arrays instead of 4.
+    # round shifts 3 arrays instead of 4. Displacements are bounded by the
+    # block's removal count, so only bit_length(n_rem) of the 15 rounds can
+    # have movers — the loop trip count is dynamic (typical merges remove
+    # tens-to-hundreds of symbols per 32K block: 5-9 rounds, and 0 for
+    # blocks with no removals at all).
     pk = vals | (keep.astype(jnp.uint32) << jnp.uint32(31))
-    for bit in range(BLOCK.bit_length() - 1):
+    n_rounds = 32 - lax.clz(n_rem)
+
+    def round_body(bit, carry):
+        pk, wts, disp = carry
         s = 1 << bit
         live = pk >> jnp.uint32(31) == 1
         move = ((((disp >> bit) & 1) == 1) & live).astype(jnp.uint32)
@@ -189,6 +196,9 @@ def _merge_compact_kernel(
         pk = jnp.where(src_m, src_pk, stay)
         wts = jnp.where(src_m, src_w, wts)
         disp = jnp.where(src_m, src_d - s, disp)
+        return pk, wts, disp
+
+    pk, wts, disp = lax.fori_loop(0, n_rounds, round_body, (pk, wts, disp))
     vals = pk & jnp.uint32(0x7FFFFFFF)
 
     # ── aligned-carry output: HBM tiles are TILE elements, so DMAs go to

@@ -110,6 +110,7 @@ class TrainState(NamedTuple):
     ub_new: jax.Array  # i32 scalar
     recounts: jax.Array  # i32 scalar — full recounts performed (diagnostics)
     fill: jax.Array  # i32 scalar — next free created-pair scratch slot
+    duals: jax.Array  # i32 scalar — dual-merge certificate fires (diagnostics)
 
 
 def init_state(symbols: jax.Array, weights: jax.Array, n, next_id) -> TrainState:
@@ -128,6 +129,7 @@ def init_state(symbols: jax.Array, weights: jax.Array, n, next_id) -> TrainState
         ub_new=jnp.asarray(0, jnp.int32),
         recounts=jnp.asarray(0, jnp.int32),
         fill=jnp.asarray(K_CANDIDATES, jnp.int32),
+        duals=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -363,8 +365,103 @@ def apply_merge_with_holes(symbols, weights, n, extent, dirty, pair, new_id, nxt
     return sym2, w2, n_new, extent2, dirty2, prev2, next2, w_left, w_right
 
 
-def _one_merge(state: TrainState) -> TrainState:
-    """One exact merge with lazy-candidate counting.
+def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
+    """Apply one certified merge to ``st`` and maintain the window state.
+
+    Applies ``best_pair`` -> ``st.next_id``, samples the heaviest created
+    pairs into scratch slots (excluding them from the ceiling histogram),
+    folds the created-pair ceiling into ``ub_new``, and appends to the
+    merge log. ``st`` must already carry the window fields (cand, theta,
+    ub_new, fill, recounts) for this merge.
+
+    Returns ``(new_state, ub_merge, c_l, c_r, next2)`` where ``ub_merge``
+    is the created-pair ceiling of THIS merge (sampled pairs excluded),
+    ``c_l``/``c_r`` are the EXACT post-merge counts of the two sampled
+    (histogram-excluded) pairs, and ``next2`` is the next-valid array of
+    the post-merge stream — everything the dual-merge certificate in
+    ``_one_merge`` needs.
+    """
+    if _use_pallas():
+        from .pallas_kernels import merge_compact
+
+        sym2, w2, n_new = merge_compact(
+            st.symbols, st.weights, st.n, best_pair, st.next_id
+        )
+        extent2, dirty2 = n_new, jnp.asarray(0, jnp.int32)
+        # compacted stream: neighbors are single rolls (no holes)
+        tok2 = sym2 & _TOKEN_MASK
+        z_mask = tok2 == (st.next_id & _TOKEN_MASK)
+        prev2 = jnp.roll(sym2, 1)
+        next2 = jnp.roll(sym2, -1)
+        w_left = jnp.where(z_mask & ((sym2 & _WS_BIT) == 0), w2, 0)
+        w_right = jnp.where(z_mask & ((next2 & _WS_BIT) == 0), w2, 0)
+    else:
+        (sym2, w2, n_new, extent2, dirty2,
+         prev2, next2, w_left, w_right) = apply_merge_with_holes(
+            st.symbols, st.weights, st.n, st.extent, st.dirty,
+            best_pair, st.next_id, nxt, lookahead,
+        )
+
+    # ── sample the heaviest-position created pairs, track them exactly,
+    # and exclude them from the ceiling histogram. Only performed when
+    # scratch slots remain: a tracked pair must stay tracked until the
+    # next recount, or its exclusion would be unsound. ──
+    z_tok16 = st.next_id & _TOKEN_MASK
+    has_room = st.fill <= K_CANDIDATES + S_CREATED - 2
+    li = jnp.argmax(w_left)
+    ri = jnp.argmax(w_right)
+    l_ok = has_room & (w_left[li] > 0)
+    r_ok = has_room & (w_right[ri] > 0)
+    l_tok = jnp.where(l_ok, prev2[li] & _TOKEN_MASK, _U32(_NO_EXCL))
+    r_tok = jnp.where(r_ok, next2[ri] & _TOKEN_MASK, _U32(_NO_EXCL))
+    l_pair = jnp.where(l_ok, (l_tok << _U32(16)) | z_tok16, _INVALID)
+    r_pair = jnp.where(r_ok, (z_tok16 << _U32(16)) | r_tok, _INVALID)
+    w_left_x = jnp.where((prev2 & _TOKEN_MASK) == l_tok, 0, w_left)
+    w_right_x = jnp.where((next2 & _TOKEN_MASK) == r_tok, 0, w_right)
+    bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left_x)
+    bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right_x)
+    ub_merge = jnp.maximum(_ub_from_bins(bins_l), _ub_from_bins(bins_r))
+    # exact counts of the sampled pairs on the post-merge stream (the
+    # w_left/w_right masses partitioned by the neighbor token ARE the pair
+    # counts; the masked sums are exact, not histogram bounds)
+    c_l = jnp.sum(jnp.where((prev2 & _TOKEN_MASK) == l_tok, w_left, 0))
+    c_r = jnp.sum(jnp.where((next2 & _TOKEN_MASK) == r_tok, w_right, 0))
+    cand2 = lax.dynamic_update_slice(
+        st.cand,
+        jnp.stack([l_pair, r_pair]),
+        (jnp.where(has_room, st.fill, K_CANDIDATES + S_CREATED - 2),),
+    )
+    cand2 = jnp.where(has_room, cand2, st.cand)
+    fill2 = jnp.where(has_room, st.fill + 2, st.fill)
+
+    log = lax.dynamic_update_slice(
+        st.merge_log,
+        jnp.stack([best_pair, st.next_id, count.astype(_U32)])[None, :],
+        (st.merges_done, 0),
+    )
+    new_state = TrainState(
+        symbols=sym2,
+        weights=w2,
+        n=n_new,
+        extent=extent2,
+        dirty=dirty2,
+        next_id=st.next_id + _U32(1),
+        early_stop=st.early_stop,
+        merges_done=st.merges_done + 1,
+        merge_log=log,
+        cand=cand2,
+        theta=st.theta,
+        ub_new=jnp.maximum(st.ub_new, ub_merge),
+        recounts=st.recounts,
+        fill=fill2,
+        duals=st.duals,
+    )
+    return new_state, ub_merge, c_l, c_r, next2
+
+
+def _one_merge(state: TrainState, batch_merges) -> TrainState:
+    """One device iteration: one exact merge, or TWO when the dual-merge
+    certificate fires (sharing a single candidate-count pass).
 
     The winner is the global weighted argmax pair with the reference
     tie-break. Proof of exactness of the candidate fast path: let R be the
@@ -380,6 +477,30 @@ def _one_merge(state: TrainState) -> TrainState:
     iteration. Hence if max-candidate-count m > max(theta, ub_new), the
     candidate winner is the global winner; ties need strict inequality,
     which the certificate enforces. Otherwise fall back to a full recount.
+
+    Dual-merge certificate (second winner q from the SAME counts): q is
+    the argmax-with-tie-break over tracked candidates excluding the first
+    winner p1. After merging p1 -> Z, the serial trainer's next argmax is
+    provably q when ALL of:
+
+    * q shares no member token with p1 — then merge 1 cannot change q's
+      count, so m2 (q's pre-merge count) is exact post-merge;
+    * m2 > theta and m2 > ub_new — beats untracked old pairs and pairs
+      created earlier in the window (their counts never increase), strict
+      because a smaller-id pair at equal count would win the tie-break;
+    * every other tracked r satisfies (m2, q) >= (c_r_pre, r) in the
+      (count desc, pair asc) order — automatic from the argmax selection,
+      and sound because post-merge counts of old pairs only decrease: a
+      strict count win stays a win, and an equal-count win holds because
+      q's id is smaller and r can only have dropped;
+    * m2 > ub_merge1 (ceiling on merge 1's unsampled created pairs) and
+      m2 > c_l, c_r (EXACT post-merge counts of merge 1's two sampled,
+      histogram-excluded pairs) — beats every pair containing Z, strict
+      because created pair ids are not ordered above q's.
+
+    When any condition fails, the iteration applies one merge exactly as
+    before — the dual path never changes which merges happen, only how
+    many candidate-count passes they cost.
     """
     cap = state.symbols.shape[0]
     iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
@@ -395,6 +516,30 @@ def _one_merge(state: TrainState) -> TrainState:
     m = jnp.max(cand_counts)
     cand_winner = jnp.min(jnp.where(cand_counts == m, state.cand, _INVALID))
     certified = (m > state.theta) & (m > state.ub_new) & (m >= 2)
+    if _os.environ.get("GPU_BPE_TPU_FORCE_RECOUNT"):
+        # ground-truth mode for soundness validation: every merge is a
+        # full sort-based recount; the window/dual fast paths never fire.
+        # (An env flag, not a monkeypatch: JAX memoizes traces on function
+        # identity, so patching module functions after a first trace is
+        # silently ignored.)
+        certified = jnp.asarray(False)
+
+    # ── second winner for the dual-merge certificate ──
+    counts2 = jnp.where(state.cand == cand_winner, -1, cand_counts)
+    m2 = jnp.max(counts2)
+    q = jnp.min(jnp.where(counts2 == m2, state.cand, _INVALID))
+    a1, b1 = cand_winner >> _U32(16), cand_winner & _TOKEN_MASK
+    qa, qb = q >> _U32(16), q & _TOKEN_MASK
+    disjoint = (qa != a1) & (qa != b1) & (qb != a1) & (qb != b1)
+    dual_pre = (
+        certified
+        & disjoint
+        & (m2 >= 2)
+        & (m2 > state.theta)
+        & (m2 > state.ub_new)
+        & (state.next_id + _U32(1) <= _TOKEN_MASK)
+        & (state.merges_done + 2 <= batch_merges)
+    )
 
     def full_recount(_):
         sp, sw = lax.sort((pair, w), num_keys=1)
@@ -425,73 +570,19 @@ def _one_merge(state: TrainState) -> TrainState:
     stop = (count < 2) | (state.next_id > _TOKEN_MASK)
 
     def do_merge(st: TrainState) -> TrainState:
-        if _use_pallas():
-            from .pallas_kernels import merge_compact
-
-            sym2, w2, n_new = merge_compact(
-                st.symbols, st.weights, st.n, best_pair, st.next_id
-            )
-            extent2, dirty2 = n_new, jnp.asarray(0, jnp.int32)
-            # compacted stream: neighbors are single rolls (no holes)
-            tok2 = sym2 & _TOKEN_MASK
-            z_mask = tok2 == (st.next_id & _TOKEN_MASK)
-            prev2 = jnp.roll(sym2, 1)
-            next2 = jnp.roll(sym2, -1)
-            w_left = jnp.where(z_mask & ((sym2 & _WS_BIT) == 0), w2, 0)
-            w_right = jnp.where(z_mask & ((next2 & _WS_BIT) == 0), w2, 0)
-        else:
-            (sym2, w2, n_new, extent2, dirty2,
-             prev2, next2, w_left, w_right) = apply_merge_with_holes(
-                st.symbols, st.weights, st.n, st.extent, st.dirty,
-                best_pair, st.next_id, nxt, lookahead,
-            )
-
-        # ── sample the heaviest-position created pairs, track them exactly,
-        # and exclude them from the ceiling histogram. Only performed when
-        # scratch slots remain: a tracked pair must stay tracked until the
-        # next recount, or its exclusion would be unsound. ──
-        z_tok16 = st.next_id & _TOKEN_MASK
-        has_room = fill <= K_CANDIDATES + S_CREATED - 2
-        li = jnp.argmax(w_left)
-        ri = jnp.argmax(w_right)
-        l_ok = has_room & (w_left[li] > 0)
-        r_ok = has_room & (w_right[ri] > 0)
-        l_tok = jnp.where(l_ok, prev2[li] & _TOKEN_MASK, _U32(_NO_EXCL))
-        r_tok = jnp.where(r_ok, next2[ri] & _TOKEN_MASK, _U32(_NO_EXCL))
-        l_pair = jnp.where(l_ok, (l_tok << _U32(16)) | z_tok16, _INVALID)
-        r_pair = jnp.where(r_ok, (z_tok16 << _U32(16)) | r_tok, _INVALID)
-        w_left_x = jnp.where((prev2 & _TOKEN_MASK) == l_tok, 0, w_left)
-        w_right_x = jnp.where((next2 & _TOKEN_MASK) == r_tok, 0, w_right)
-        bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left_x)
-        bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right_x)
-        ub_merge = jnp.maximum(_ub_from_bins(bins_l), _ub_from_bins(bins_r))
-        cand2 = lax.dynamic_update_slice(
-            cand, jnp.stack([l_pair, r_pair]), (jnp.where(has_room, fill, K_CANDIDATES + S_CREATED - 2),)
+        st_base = st._replace(
+            cand=cand, theta=theta, ub_new=ub_new, fill=fill, recounts=recounts
         )
-        cand2 = jnp.where(has_room, cand2, cand)
-        fill2 = jnp.where(has_room, fill + 2, fill)
+        st1, ub_merge1, c_l, c_r, next2 = _merge_and_track(
+            st_base, best_pair, count, nxt, lookahead
+        )
+        dual = dual_pre & (m2 > ub_merge1) & (m2 > c_l) & (m2 > c_r)
 
-        log = lax.dynamic_update_slice(
-            st.merge_log,
-            jnp.stack([best_pair, st.next_id, count.astype(_U32)])[None, :],
-            (st.merges_done, 0),
-        )
-        return TrainState(
-            symbols=sym2,
-            weights=w2,
-            n=n_new,
-            extent=extent2,
-            dirty=dirty2,
-            next_id=st.next_id + _U32(1),
-            early_stop=st.early_stop,
-            merges_done=st.merges_done + 1,
-            merge_log=log,
-            cand=cand2,
-            theta=theta,
-            ub_new=jnp.maximum(ub_new, ub_merge),
-            recounts=recounts,
-            fill=fill2,
-        )
+        def second(s: TrainState) -> TrainState:
+            s2, _ub, _cl, _cr, _nx = _merge_and_track(s, q, m2, next2, lookahead)
+            return s2._replace(duals=s2.duals + 1)
+
+        return lax.cond(dual, second, lambda s: s, st1)
 
     def do_stop(st: TrainState) -> TrainState:
         return st._replace(early_stop=jnp.asarray(True))
@@ -512,7 +603,8 @@ def train_batch(state: TrainState, batch_merges: jax.Array) -> TrainState:
     def cond(st: TrainState):
         return (st.merges_done < batch_merges) & ~st.early_stop
 
-    state = lax.while_loop(cond, _one_merge, state)
+    body = _functools.partial(_one_merge, batch_merges=batch_merges)
+    state = lax.while_loop(cond, body, state)
 
     def final_compact(st: TrainState) -> TrainState:
         cap = st.symbols.shape[0]

@@ -109,7 +109,7 @@ class TPUTrainer:
         @jax.jit
         def _summary(st: TrainState):
             scalars = jnp.stack(
-                [st.merges_done, st.n, st.early_stop.astype(jnp.int32), st.recounts]
+                [st.duals, st.merges_done, st.n, st.early_stop.astype(jnp.int32), st.recounts]
             ).astype(jnp.uint32)
             return jnp.concatenate([st.merge_log.reshape(-1), scalars])
 
@@ -124,6 +124,10 @@ class TPUTrainer:
             merges_done = int(packed[-4])
             n_now = int(np.int32(packed[-3]))
             early_stop = bool(packed[-2])
+            logger.debug(
+                "batch: %d merges, %d recounts, %d duals total",
+                merges_done, int(packed[-1]), int(packed[-5]),
+            )
 
             for i in range(merges_done):
                 pair, new_id, count = int(log[i, 0]), int(log[i, 1]), int(log[i, 2])
