@@ -794,59 +794,274 @@ int decoder_is_suspicious(const uint32_t* cps, int64_t n) {
   return 0;
 }
 
-// ── segmentation ─────────────────────────────────────────────────────
-static bool grapheme_boundary(uint32_t prev, uint32_t cur) {
-  if (prev == 0x0D && cur == 0x0A) return false;
-  if (prev == 0x0A || prev == 0x0D || cur == 0x0A || cur == 0x0D) return true;
-  if (ccc_of(cur) != 0 || is_mark_cat(category_of(cur)) || cur == 0x200D ||
-      cur == 0xFE0F || cur == 0xFE0E || (cur >= 0x1F3FB && cur <= 0x1F3FF)) return false;
-  if (prev == 0x200D) return false;
-  return true;
+// ── segmentation: full UAX #29 rule engines ──────────────────────────
+// Classes come from generated RLE tables (Grapheme_Cluster_Break,
+// Word_Break, Sentence_Break, Extended_Pictographic, Indic_Conjunct_Break
+// — ids fixed in gen_tables.py). Boundary queries are O(local run).
+
+static uint8_t range_value_u8(const uint32_t* starts, const uint8_t* values,
+                              uint32_t count, uint32_t cp) {
+  if (cp >= kMaxCp || count == 0) return 0;
+  uint32_t lo = 0, hi = count;
+  while (hi - lo > 1) {
+    uint32_t mid = (lo + hi) >> 1;
+    if (starts[mid] <= cp) lo = mid; else hi = mid;
+  }
+  return values[lo];
 }
 
-static bool wordish_cp(uint32_t cp) {
-  uint8_t c = category_of(cp);
-  return is_letter_cat(c) || is_number_cat(c) || cp == '\'' || cp == 0x2019 || cp == '_';
+// enums mirror GCB_VALUES / WB_VALUES / SB_VALUES in gen_tables.py
+enum {
+  GCB_OTHER = 0, GCB_CONTROL, GCB_LF, GCB_CR, GCB_EXTEND, GCB_PREPEND,
+  GCB_SPACINGMARK, GCB_L, GCB_V, GCB_T, GCB_ZWJ, GCB_LV, GCB_LVT, GCB_RI,
+};
+enum {
+  WB_OTHER = 0, WB_CR, WB_LF, WB_NL, WB_EXTEND, WB_ZWJ, WB_RI, WB_FORMAT,
+  WB_KATAKANA, WB_HL, WB_ALETTER, WB_SQ, WB_DQ, WB_MIDNUMLET, WB_MIDLETTER,
+  WB_MIDNUM, WB_NUMERIC, WB_EXTENDNUMLET, WB_WSEGSPACE,
+};
+enum {
+  SB_OTHER = 0, SB_CR, SB_LF, SB_EXTEND, SB_SEP, SB_FORMAT, SB_SP, SB_LOWER,
+  SB_UPPER, SB_OLETTER, SB_NUMERIC, SB_ATERM, SB_STERM, SB_CLOSE, SB_SCONT,
+};
+
+static inline uint8_t gcb_of(uint32_t cp) {
+  return range_value_u8(kGcbRangeStart, kGcbRangeValue, kGcbRangeCount, cp);
+}
+static inline uint8_t wb_of(uint32_t cp) {
+  return range_value_u8(kWbRangeStart, kWbRangeValue, kWbRangeCount, cp);
+}
+static inline uint8_t sb_of(uint32_t cp) {
+  return range_value_u8(kSbRangeStart, kSbRangeValue, kSbRangeCount, cp);
+}
+static inline uint8_t incb_of(uint32_t cp) {
+  return range_value_u8(kIncbRangeStart, kIncbRangeValue, kIncbRangeCount, cp);
+}
+static inline bool ext_pict(uint32_t cp) {
+  return in_range_set(kExtPictStart, kExtPictEnd, kExtPictCount, cp);
+}
+
+// Grapheme cluster boundary between cps[pos-1] and cps[pos] (GB1..GB999,
+// incl. GB9c Indic conjuncts, GB11 emoji ZWJ sequences, GB12/13 flags).
+static bool grapheme_boundary(const uint32_t* cps, int64_t pos) {
+  uint8_t p = gcb_of(cps[pos - 1]), c = gcb_of(cps[pos]);
+  if (p == GCB_CR && c == GCB_LF) return false;                          // GB3
+  if (p == GCB_CONTROL || p == GCB_CR || p == GCB_LF) return true;       // GB4
+  if (c == GCB_CONTROL || c == GCB_CR || c == GCB_LF) return true;       // GB5
+  if (p == GCB_L &&
+      (c == GCB_L || c == GCB_V || c == GCB_LV || c == GCB_LVT)) return false;  // GB6
+  if ((p == GCB_LV || p == GCB_V) && (c == GCB_V || c == GCB_T)) return false;  // GB7
+  if ((p == GCB_LVT || p == GCB_T) && c == GCB_T) return false;          // GB8
+  if (c == GCB_EXTEND || c == GCB_ZWJ) return false;                     // GB9
+  if (c == GCB_SPACINGMARK) return false;                                // GB9a
+  if (p == GCB_PREPEND) return false;                                    // GB9b
+  if (incb_of(cps[pos]) == 1) {                                          // GB9c
+    int64_t i = pos - 1;
+    bool linker = false;
+    while (i >= 0) {
+      uint8_t ic = incb_of(cps[i]);
+      if (ic == 3) { linker = true; i--; }
+      else if (ic == 2) { i--; }
+      else break;
+    }
+    if (linker && i >= 0 && incb_of(cps[i]) == 1) return false;
+  }
+  if (p == GCB_ZWJ && ext_pict(cps[pos])) {                              // GB11
+    int64_t i = pos - 2;
+    while (i >= 0 && gcb_of(cps[i]) == GCB_EXTEND) i--;
+    if (i >= 0 && ext_pict(cps[i])) return false;
+  }
+  if (p == GCB_RI && c == GCB_RI) {                                      // GB12/13
+    int64_t count = 0;
+    for (int64_t i = pos - 1; i >= 0 && gcb_of(cps[i]) == GCB_RI; i--) count++;
+    if (count % 2 == 1) return false;
+  }
+  return true;                                                           // GB999
+}
+
+static inline bool wb_ignorable(uint8_t w) {
+  return w == WB_EXTEND || w == WB_FORMAT || w == WB_ZWJ;  // WB4
+}
+static inline bool wb_ahletter(uint8_t w) { return w == WB_ALETTER || w == WB_HL; }
+static inline bool wb_midnumletq(uint8_t w) { return w == WB_MIDNUMLET || w == WB_SQ; }
+
+// class of the nearest non-ignorable at or left of i (-1 if none)
+static int wb_left(const uint32_t* cps, int64_t i) {
+  for (; i >= 0; i--) {
+    uint8_t w = wb_of(cps[i]);
+    if (!wb_ignorable(w)) return w;
+  }
+  return -1;
+}
+static int wb_right(const uint32_t* cps, int64_t n, int64_t i) {
+  for (; i < n; i++) {
+    uint8_t w = wb_of(cps[i]);
+    if (!wb_ignorable(w)) return w;
+  }
+  return -1;
+}
+// index (not class) of nearest non-ignorable strictly left of i
+static int64_t wb_left_idx(const uint32_t* cps, int64_t i) {
+  for (; i >= 0; i--) {
+    if (!wb_ignorable(wb_of(cps[i]))) return i;
+  }
+  return -1;
+}
+
+// Word boundary between cps[pos-1] and cps[pos] (WB1..WB999).
+static bool word_boundary(const uint32_t* cps, int64_t n, int64_t pos) {
+  uint8_t pr = wb_of(cps[pos - 1]), cr = wb_of(cps[pos]);
+  if (pr == WB_CR && cr == WB_LF) return false;                          // WB3
+  if (pr == WB_NL || pr == WB_CR || pr == WB_LF) return true;            // WB3a
+  if (cr == WB_NL || cr == WB_CR || cr == WB_LF) return true;            // WB3b
+  if (pr == WB_ZWJ && ext_pict(cps[pos])) return false;                  // WB3c
+  if (pr == WB_WSEGSPACE && cr == WB_WSEGSPACE) return false;           // WB3d
+  if (wb_ignorable(cr)) return false;                                    // WB4 (×)
+  int p = wb_left(cps, pos - 1);
+  if (p < 0) return true;  // only ignorables before: no rule joins -> WB999
+  uint8_t c = cr;
+  int64_t pi = wb_left_idx(cps, pos - 1);
+  int pp = pi > 0 ? wb_left(cps, pi - 1) : -1;
+  int nx = wb_right(cps, n, pos + 1);
+  if (wb_ahletter(p) && wb_ahletter(c)) return false;                    // WB5
+  if (wb_ahletter(p) && (c == WB_MIDLETTER || wb_midnumletq(c)) &&
+      nx >= 0 && wb_ahletter(nx)) return false;                          // WB6
+  if ((p == WB_MIDLETTER || wb_midnumletq(p)) && wb_ahletter(c) &&
+      pp >= 0 && wb_ahletter(pp)) return false;                          // WB7
+  if (p == WB_HL && c == WB_SQ) return false;                            // WB7a
+  if (p == WB_HL && c == WB_DQ && nx == WB_HL) return false;             // WB7b
+  if (p == WB_DQ && c == WB_HL && pp == WB_HL) return false;             // WB7c
+  if (p == WB_NUMERIC && c == WB_NUMERIC) return false;                  // WB8
+  if (wb_ahletter(p) && c == WB_NUMERIC) return false;                   // WB9
+  if (p == WB_NUMERIC && wb_ahletter(c)) return false;                   // WB10
+  if ((p == WB_MIDNUM || wb_midnumletq(p)) && c == WB_NUMERIC &&
+      pp == WB_NUMERIC) return false;                                    // WB11
+  if (p == WB_NUMERIC && (c == WB_MIDNUM || wb_midnumletq(c)) &&
+      nx == WB_NUMERIC) return false;                                    // WB12
+  if (p == WB_KATAKANA && c == WB_KATAKANA) return false;                // WB13
+  if ((wb_ahletter(p) || p == WB_NUMERIC || p == WB_KATAKANA ||
+       p == WB_EXTENDNUMLET) && c == WB_EXTENDNUMLET) return false;      // WB13a
+  if (p == WB_EXTENDNUMLET &&
+      (wb_ahletter(c) || c == WB_NUMERIC || c == WB_KATAKANA)) return false;  // WB13b
+  if (p == WB_RI && c == WB_RI) {                                        // WB15/16
+    int64_t count = 0;
+    for (int64_t i = pi; i >= 0; i--) {
+      uint8_t w = wb_of(cps[i]);
+      if (wb_ignorable(w)) continue;
+      if (w != WB_RI) break;
+      count++;
+    }
+    if (count % 2 == 1) return false;
+  }
+  return true;                                                           // WB999
+}
+
+static inline bool sb_ignorable(uint8_t s) { return s == SB_EXTEND || s == SB_FORMAT; }
+static inline bool sb_parasep(uint8_t s) { return s == SB_SEP || s == SB_CR || s == SB_LF; }
+static inline bool sb_saterm(uint8_t s) { return s == SB_ATERM || s == SB_STERM; }
+
+static int sb_left(const uint32_t* cps, int64_t i, int64_t* idx) {
+  for (; i >= 0; i--) {
+    uint8_t s = sb_of(cps[i]);
+    if (!sb_ignorable(s)) { if (idx) *idx = i; return s; }
+  }
+  if (idx) *idx = -1;
+  return -1;
+}
+
+// Matches backwards from index i (inclusive): Sp* then Close* then SATerm.
+// Returns the SATerm's skeleton index or -1. skip_sp selects whether Sp*
+// may be consumed (SB8/8a/10/11 variants vs SB9, Close* only).
+static int64_t sb_match_saterm(const uint32_t* cps, int64_t i, bool skip_sp) {
+  int64_t idx;
+  int s = sb_left(cps, i, &idx);
+  if (skip_sp) {
+    while (s == SB_SP) s = sb_left(cps, idx - 1, &idx);
+  }
+  while (s == SB_CLOSE) s = sb_left(cps, idx - 1, &idx);
+  return (s >= 0 && sb_saterm((uint8_t)s)) ? idx : -1;
+}
+
+// Sentence boundary between cps[pos-1] and cps[pos] (SB1..SB998).
+static bool sentence_boundary(const uint32_t* cps, int64_t n, int64_t pos) {
+  uint8_t pr = sb_of(cps[pos - 1]), cr = sb_of(cps[pos]);
+  if (pr == SB_CR && cr == SB_LF) return false;                          // SB3
+  if (sb_parasep(pr)) return true;                                       // SB4
+  if (sb_ignorable(cr)) return false;                                    // SB5 (×)
+  int64_t pidx;
+  int p = sb_left(cps, pos - 1, &pidx);
+  if (p < 0) return false;  // only ignorables before -> SB998 no break
+  uint8_t c = cr;
+  if (p == SB_ATERM && c == SB_NUMERIC) return false;                    // SB6
+  if (p == SB_ATERM && c == SB_UPPER) {                                  // SB7
+    int64_t idx2;
+    int pp = sb_left(cps, pidx - 1, &idx2);
+    if (pp == SB_UPPER || pp == SB_LOWER) return false;
+  }
+  // SB8: ATerm Close* Sp* × (¬(OLetter|Upper|Lower|ParaSep|SATerm))* Lower
+  {
+    int64_t at = sb_match_saterm(cps, pidx, true);
+    if (at >= 0 && sb_of(cps[at]) == SB_ATERM) {
+      for (int64_t i = pos; i < n; i++) {
+        uint8_t s = sb_of(cps[i]);
+        if (sb_ignorable(s)) continue;
+        if (s == SB_LOWER) return false;
+        if (s == SB_OLETTER || s == SB_UPPER || sb_parasep(s) || sb_saterm(s))
+          break;
+      }
+    }
+  }
+  // SB8a: SATerm Close* Sp* × (SContinue | SATerm)
+  if (c == SB_SCONT || sb_saterm(c)) {
+    if (sb_match_saterm(cps, pidx, true) >= 0) return false;
+  }
+  // SB9: SATerm Close* × (Close | Sp | ParaSep)
+  if (c == SB_CLOSE || c == SB_SP || sb_parasep(c)) {
+    if (sb_match_saterm(cps, pidx, false) >= 0) return false;
+  }
+  // SB10: SATerm Close* Sp* × (Sp | ParaSep)
+  if (c == SB_SP || sb_parasep(c)) {
+    if (sb_match_saterm(cps, pidx, true) >= 0) return false;
+  }
+  // SB11: SATerm Close* Sp* ParaSep? ÷ (ParaSep handled by SB4 above)
+  if (sb_match_saterm(cps, pidx, true) >= 0) return true;
+  return false;                                                          // SB998
 }
 
 // boundary BEFORE index pos (pos in [0, n]; 0 and n are always boundaries)
 int decoder_is_grapheme_boundary(const uint32_t* cps, int64_t n, int64_t pos) {
   if (pos <= 0 || pos >= n) return 1;
-  return grapheme_boundary(cps[pos - 1], cps[pos]);
+  return grapheme_boundary(cps, pos);
 }
 
 int decoder_is_word_boundary(const uint32_t* cps, int64_t n, int64_t pos) {
   if (pos <= 0 || pos >= n) return 1;
-  return wordish_cp(cps[pos - 1]) != wordish_cp(cps[pos]);
+  return word_boundary(cps, n, pos);
 }
 
 int decoder_is_sentence_boundary(const uint32_t* cps, int64_t n, int64_t pos) {
   if (pos <= 0 || pos >= n) return 1;
-  uint32_t p = cps[pos - 1];
-  bool term = p == '.' || p == '!' || p == '?' || p == 0x203C || p == 0x203D ||
-              p == 0x2047 || p == 0x2048 || p == 0x2049 || p == 0x3002 ||
-              p == 0xFF01 || p == 0xFF0E || p == 0xFF1F;
-  return term;
+  return sentence_boundary(cps, n, pos);
 }
 
 // next boundary strictly after pos (returns n when none)
 int64_t decoder_next_grapheme(const uint32_t* cps, int64_t n, int64_t pos) {
   for (int64_t i = pos + 1; i < n; i++) {
-    if (grapheme_boundary(cps[i - 1], cps[i])) return i;
+    if (grapheme_boundary(cps, i)) return i;
   }
   return n;
 }
 
 int64_t decoder_next_word(const uint32_t* cps, int64_t n, int64_t pos) {
   for (int64_t i = pos + 1; i < n; i++) {
-    if (wordish_cp(cps[i - 1]) != wordish_cp(cps[i])) return i;
+    if (word_boundary(cps, n, i)) return i;
   }
   return n;
 }
 
 int64_t decoder_next_sentence(const uint32_t* cps, int64_t n, int64_t pos) {
   for (int64_t i = pos + 1; i < n; i++) {
-    if (decoder_is_sentence_boundary(cps, n, i)) return i;
+    if (sentence_boundary(cps, n, i)) return i;
   }
   return n;
 }
@@ -855,36 +1070,42 @@ int64_t decoder_count_graphemes(const uint32_t* cps, int64_t n) {
   if (n <= 0) return 0;
   int64_t count = 1;
   for (int64_t i = 1; i < n; i++) {
-    if (grapheme_boundary(cps[i - 1], cps[i])) count++;
+    if (grapheme_boundary(cps, i)) count++;
   }
   return count;
 }
 
+// words = UAX #29 segments containing a letter/number unit (the ICU
+// "word count" convention)
 int64_t decoder_count_words(const uint32_t* cps, int64_t n) {
   int64_t count = 0;
-  bool in_word = false;
+  bool has_word_char = false;
   for (int64_t i = 0; i < n; i++) {
-    uint8_t c = category_of(cps[i]);
-    bool wordish = is_letter_cat(c) || is_number_cat(c) ||
-                   cps[i] == '\'' || cps[i] == 0x2019 || cps[i] == '_';
-    if (wordish && !in_word) count++;
-    in_word = wordish;
+    if (i > 0 && word_boundary(cps, n, i)) {
+      if (has_word_char) count++;
+      has_word_char = false;
+    }
+    uint8_t w = wb_of(cps[i]);
+    if (wb_ahletter(w) || w == WB_NUMERIC || w == WB_KATAKANA ||
+        w == WB_EXTENDNUMLET) has_word_char = true;
   }
+  if (has_word_char) count++;
   return count;
 }
 
+// sentences = UAX #29 segments containing any non-whitespace
 int64_t decoder_count_sentences(const uint32_t* cps, int64_t n) {
   int64_t count = 0;
-  bool pending = false;
+  bool has_content = false;
   for (int64_t i = 0; i < n; i++) {
-    uint32_t cp = cps[i];
-    bool term = cp == '.' || cp == '!' || cp == '?' || cp == 0x203C || cp == 0x203D ||
-                cp == 0x2047 || cp == 0x2048 || cp == 0x2049 || cp == 0x3002 ||
-                cp == 0xFF01 || cp == 0xFF0E || cp == 0xFF1F;
-    if (term) { if (pending) count++; pending = false; }
-    else if (class_of(cp) != 2 && class_of(cp) != 5) pending = true;
+    if (i > 0 && sentence_boundary(cps, n, i)) {
+      if (has_content) count++;
+      has_content = false;
+    }
+    uint8_t cl = class_of(cps[i]);
+    if (cl != 2 && cl != 5) has_content = true;  // not WS/NL
   }
-  if (pending) count++;
+  if (has_content) count++;
   return count;
 }
 

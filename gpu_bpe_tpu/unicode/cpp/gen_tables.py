@@ -179,6 +179,60 @@ def generate_script_tables():
     return script_ids, block_ids, ident, available, seen_ids
 
 
+# UAX #29 segmentation property enums (ids are OURS — stable across data
+# sources; gen queries the `regex` module's Unicode tables per named value)
+GCB_VALUES = [
+    "OTHER", "CONTROL", "LF", "CR", "EXTEND", "PREPEND", "SPACINGMARK",
+    "L", "V", "T", "ZWJ", "LV", "LVT", "REGIONAL_INDICATOR",
+]
+WB_VALUES = [
+    "OTHER", "CR", "LF", "NEWLINE", "EXTEND", "ZWJ", "REGIONAL_INDICATOR",
+    "FORMAT", "KATAKANA", "HEBREW_LETTER", "ALETTER", "SINGLE_QUOTE",
+    "DOUBLE_QUOTE", "MIDNUMLET", "MIDLETTER", "MIDNUM", "NUMERIC",
+    "EXTENDNUMLET", "WSEGSPACE",
+]
+SB_VALUES = [
+    "OTHER", "CR", "LF", "EXTEND", "SEP", "FORMAT", "SP", "LOWER", "UPPER",
+    "OLETTER", "NUMERIC", "ATERM", "STERM", "CLOSE", "SCONTINUE",
+]
+
+
+def generate_segmentation_tables():
+    """Per-codepoint UAX #29 break classes + Extended_Pictographic and
+    Indic_Conjunct_Break sets, from the `regex` module's Unicode data."""
+    import regex
+
+    all_text = "".join(chr(cp) for cp in range(MAX_CP))
+
+    def classes(prop: str, values: list[str]) -> list[int]:
+        out = [0] * MAX_CP
+        for vid, name in enumerate(values):
+            if vid == 0:
+                continue
+            try:
+                ranges = _property_ranges(rf"\p{{{prop}={name}}}", all_text)
+            except regex.error:
+                continue
+            for s, e in ranges:
+                for cp in range(s, e):
+                    out[cp] = vid
+        return out
+
+    gcb = classes("Grapheme_Cluster_Break", GCB_VALUES)
+    wb = classes("Word_Break", WB_VALUES)
+    sb = classes("Sentence_Break", SB_VALUES)
+    extpict = _property_ranges(r"\p{Extended_Pictographic}", all_text)
+    incb = [0] * MAX_CP  # 0 none, 1 consonant, 2 extend, 3 linker
+    for vid, name in ((1, "Consonant"), (2, "Extend"), (3, "Linker")):
+        try:
+            for s, e in _property_ranges(rf"\p{{Indic_Conjunct_Break={name}}}", all_text):
+                for cp in range(s, e):
+                    incb[cp] = vid
+        except regex.error:
+            pass
+    return gcb, wb, sb, extpict, incb
+
+
 def rle(values) -> list[tuple[int, int]]:
     out = []
     prev = values[0]
@@ -336,6 +390,16 @@ def main(out_path: str) -> None:
     script_ranges = rle(script_ids) if script_ids else [(0, 0)]
     block_ranges = rle(block_ids) if block_ids else [(0, 0)]
 
+    try:
+        gcb, wb, sb, extpict, incb = generate_segmentation_tables()
+        seg_ranges = {
+            "Gcb": rle(gcb), "Wb": rle(wb), "Sb": rle(sb), "Incb": rle(incb),
+        }
+        extpict_ranges = extpict
+    except ImportError:
+        seg_ranges = {k: [(0, 0)] for k in ("Gcb", "Wb", "Sb", "Incb")}
+        extpict_ranges = []
+
     def fmt_u32(vals, per_line=12):
         lines = []
         for i in range(0, len(vals), per_line):
@@ -464,6 +528,23 @@ def main(out_path: str) -> None:
         w(f"inline constexpr uint32_t kFullCasePoolSize = {len(full_pool)};\n")
         w("inline constexpr uint32_t kFullCasePool[] = {\n")
         w(fmt_u32(full_pool or [0]))
+        w("};\n\n")
+
+        # UAX #29 segmentation classes (RLE) + property sets
+        for name, ranges in seg_ranges.items():
+            w(f"inline constexpr uint32_t k{name}RangeCount = {len(ranges)};\n")
+            w(f"inline constexpr uint32_t k{name}RangeStart[] = {{\n")
+            w(fmt_u32([s for s, _ in ranges]))
+            w("};\n")
+            w(f"inline constexpr uint8_t k{name}RangeValue[] = {{\n")
+            w(fmt_u32([v for _, v in ranges]))
+            w("};\n\n")
+        w(f"inline constexpr uint32_t kExtPictCount = {len(extpict_ranges)};\n")
+        w("inline constexpr uint32_t kExtPictStart[] = {\n")
+        w(fmt_u32([s for s, _ in extpict_ranges] or [0]))
+        w("};\n")
+        w("inline constexpr uint32_t kExtPictEnd[] = {\n")
+        w(fmt_u32([e for _, e in extpict_ranges] or [0]))
         w("};\n\n")
 
         # confusable skeleton map (curated homoglyph subset)

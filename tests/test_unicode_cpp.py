@@ -244,14 +244,18 @@ class TestExtendedParitySurface:
         assert not cpp.is_word_boundary(s, 1)
         assert cpp.is_grapheme_boundary("ab", 1)
         assert not cpp.is_grapheme_boundary("éx", 1)  # combining acute
-        assert cpp.is_sentence_boundary("a. b", 2)
+        # UAX #29: lowercase after "a. " means NO sentence break (SB8);
+        # uppercase does break (SB11)
+        assert not cpp.is_sentence_boundary("a. b", 3)
+        assert cpp.is_sentence_boundary("a. B", 3)
 
     def test_next_iterators(self, cpp):
         s = "hi there"
         assert cpp.next_word(s, 0) == 2
         assert cpp.next_word(s, 2) == 3
         assert cpp.next_grapheme("éx", 0) == 2
-        assert cpp.next_sentence("One. Two.", 0) == 4
+        # UAX #29 places the sentence boundary after the trailing space
+        assert cpp.next_sentence("One. Two.", 0) == 5
 
     def test_confusables(self, cpp):
         assert cpp.check_confusables("pаypal", "paypal")  # Cyrillic а
@@ -282,3 +286,96 @@ class TestExtendedParitySurface:
         assert not cpp.is_alphabetic(ord("1"))
         assert cpp.is_numeric(ord("1"))
         assert cpp.is_numeric(0x00BD)  # ½
+
+
+class TestUAX29Exact:
+    """Full UAX #29 rule sets (replacing the round-1 approximations).
+
+    Graphemes are verified exhaustively against the regex module's \\X in
+    test_graphemes_vs_regex; words and sentences against hand-derived
+    expectations for every rule."""
+
+    def _words(self, cpp, s):
+        out, prev = [], 0
+        for i in range(1, len(s)):
+            if cpp.is_word_boundary(s, i):
+                out.append(s[prev:i]); prev = i
+        out.append(s[prev:])
+        return out
+
+    def _sentences(self, cpp, s):
+        out, prev = [], 0
+        for i in range(1, len(s)):
+            if cpp.is_sentence_boundary(s, i):
+                out.append(s[prev:i]); prev = i
+        out.append(s[prev:])
+        return out
+
+    def test_graphemes_vs_regex(self, cpp, rng):
+        import regex
+
+        pool = ["a", "é", "́", "्", "क", "\U0001F600", "‍",
+                "\U0001F1FA", "\U0001F1F8", "\r", "\n", "각", "ᄀ", "ᅡ",
+                "̖", "\U0001F3FD", " "]
+        for _ in range(500):
+            k = int(rng.integers(1, 10))
+            s = "".join(pool[int(i)] for i in rng.integers(0, len(pool), k))
+            want = regex.findall(r"\X", s)
+            got, prev = [], 0
+            for i in range(1, len(s)):
+                if cpp.is_grapheme_boundary(s, i):
+                    got.append(s[prev:i]); prev = i
+            got.append(s[prev:])
+            assert got == want, s.encode("unicode_escape")
+
+    def test_word_rules(self, cpp):
+        # WB5/6/7: contractions and mid-letters join
+        assert self._words(cpp, "can't stop") == ["can't", " ", "stop"]
+        assert self._words(cpp, "a:b") == ["a:b"]  # ':' is MidLetter
+        # WB8/11/12: numbers with separators
+        assert self._words(cpp, "1,234.56 x") == ["1,234.56", " ", "x"]
+        # WB10 joins a trailing letter onto the number
+        assert self._words(cpp, "1,234.56x") == ["1,234.56x"]
+        # WB9/10: letters and digits join
+        assert self._words(cpp, "win32 api") == ["win32", " ", "api"]
+        # WB13a/b: ExtendNumLet (underscore) glues
+        assert self._words(cpp, "foo_bar baz") == ["foo_bar", " ", "baz"]
+        # WB3d: horizontal whitespace runs stay together
+        assert self._words(cpp, "a  b") == ["a", "  ", "b"]
+        # WB3a/b: newlines always break
+        assert self._words(cpp, "a\nb") == ["a", "\n", "b"]
+        # WB4: format/extend chars are invisible to the rules
+        assert self._words(cpp, "ab­cd") == ["ab­cd"]  # soft hyphen
+        # WB15/16: regional-indicator pairs
+        flags = "\U0001F1FA\U0001F1F8\U0001F1EC\U0001F1E7"
+        assert self._words(cpp, flags) == ["\U0001F1FA\U0001F1F8", "\U0001F1EC\U0001F1E7"]
+        # WB7a/b/c: Hebrew quotes
+        assert self._words(cpp, "א'") == ["א'"]
+        assert self._words(cpp, 'א"ב') == ['א"ב']
+        # Katakana joins (WB13)
+        assert self._words(cpp, "カタカナ x") == ["カタカナ", " ", "x"]
+
+    def test_sentence_rules(self, cpp):
+        s = self._sentences(cpp, "One. Two! three?")
+        assert s == ["One. ", "Two! ", "three?"]
+        # SB8: lowercase after period = abbreviation, no break
+        assert self._sentences(cpp, "etc. and more.") == ["etc. and more."]
+        # SB7 joins ONLY with no space: "J.Smith" stays, "J. Smith" breaks
+        # (vanilla UAX #29 — abbreviation suppression is a tailoring)
+        assert self._sentences(cpp, "J.Smith left.") == ["J.Smith left."]
+        assert self._sentences(cpp, "J. Smith left.") == ["J. ", "Smith left."]
+        # SB6: numbers after period
+        assert self._sentences(cpp, "3.14 is pi.") == ["3.14 is pi."]
+        # SB8a: ellipsis continuation
+        assert self._sentences(cpp, "Wait... maybe.") == ["Wait... maybe."]
+        # SB4: paragraph separators break unconditionally
+        assert self._sentences(cpp, "One\n\nTwo") == ["One\n", "\n", "Two"]
+        # SB9/10/11: closers after terminator
+        assert self._sentences(cpp, 'He said "Go." Then left.') == ['He said "Go." ', "Then left."]
+
+    def test_counts(self, cpp):
+        assert cpp.count_words("hello world, again") == 3
+        assert cpp.count_words("can't stop won't stop") == 4
+        assert cpp.count_graphemes("👨‍👩‍👧‍👦") == 1
+        assert cpp.count_sentences("One. Two! Three?") == 3
+        assert cpp.count_sentences("Mr. Smith is here.") == 2  # vanilla UAX #29
