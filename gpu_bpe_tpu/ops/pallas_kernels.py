@@ -48,6 +48,8 @@ _TILE = 1024  # HBM tile granularity for i32/u32 (8 sublanes x 128 lanes)
 _BIG = BLOCK + _TILE  # staging window: carry tile + one block
 _BROWS = _BIG // _LANES
 _UB_SIDE = 32  # 32x32 = 1024 hash bins for the created-pair ceiling
+_TRACK_SIDE = 16  # tracking-kernel histogram side (16x16=256 bins; [side, B]
+#   f32 one-hots must fit VMEM: 2 x [16, 32768] = 4 MB per hist call)
 
 
 def _fshift(x, s):
@@ -283,8 +285,8 @@ def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
                 ),
             ],
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
@@ -307,6 +309,200 @@ def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
         interpret=interpret,
     )(scalars, sym2, w2, sym2, w2)
     return out_sym, out_w, removed
+
+
+def _track_sample_kernel(
+    scalars_ref,  # SMEM [1] u32: the 16-bit token Z created by this merge
+    sym_ref,  # VMEM [ROWS, 128] u32 — front-padded block (flat t = logical p-1)
+    w_ref,  # VMEM [ROWS, 128] i32
+    sym_nxt_ref,  # VMEM halo (next block)
+    w_nxt_ref,
+    out_ref,  # SMEM [4] i32: max_wl, tok_l, max_wr, tok_r (valid at last step)
+    state_ref,  # SMEM scratch [4] i32 — running (max, tok) x 2
+):
+    i = pl.program_id(0)
+    tok_mask = jnp.uint32(TOKEN_MASK)
+    ws_bit = jnp.uint32(WORD_START_BIT)
+    z16 = scalars_ref[0] & tok_mask
+
+    @pl.when(i == 0)
+    def _():
+        state_ref[0] = -1
+        state_ref[1] = 0
+        state_ref[2] = -1
+        state_ref[3] = 0
+
+    fi = _flat_index()
+    prev_s = sym_ref[:]
+    self_s = _shift_left_patched(prev_s, sym_nxt_ref[:], 1, fi)
+    next_s = _shift_left_patched(prev_s, sym_nxt_ref[:], 2, fi)
+    w_self = _shift_left_patched(w_ref[:], w_nxt_ref[:], 1, fi)
+
+    z = (self_s & tok_mask) == z16
+    wl = jnp.where(z & ((self_s & ws_bit) == 0), w_self, 0)
+    wr = jnp.where(z & ((next_s & ws_bit) == 0), w_self, 0)
+
+    def upd(base, wv, neigh_tok):
+        blk_max = jnp.max(wv)
+        # deterministic tie-break within the block: smallest neighbor token
+        blk_tok = jnp.min(jnp.where(wv == blk_max, neigh_tok.astype(jnp.int32), 0x7FFFFFFF))
+        cur = state_ref[base]
+
+        @pl.when(blk_max > cur)
+        def _():
+            state_ref[base] = blk_max
+            state_ref[base + 1] = blk_tok
+
+    upd(0, wl, prev_s & tok_mask)
+    upd(2, wr, next_s & tok_mask)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        out_ref[0] = state_ref[0]
+        out_ref[1] = state_ref[1]
+        out_ref[2] = state_ref[2]
+        out_ref[3] = state_ref[3]
+
+
+def _track_bins_kernel(
+    scalars_ref,  # SMEM [3] u32: z16, l_tok, r_tok (exclusions; _NO_EXCL ok)
+    sym_ref,
+    w_ref,
+    sym_nxt_ref,
+    w_nxt_ref,
+    bins_ref,  # VMEM [2*SIDE, SIDE] f32 output: rows 0..S-1 left, S.. right
+    sums_ref,  # SMEM [2] i32: exact counts of the excluded pairs
+    acc_ref,  # VMEM scratch [2*SIDE, SIDE] f32
+    sacc_ref,  # SMEM scratch [2] i32
+):
+    i = pl.program_id(0)
+    tok_mask = jnp.uint32(TOKEN_MASK)
+    ws_bit = jnp.uint32(WORD_START_BIT)
+    z16 = scalars_ref[0] & tok_mask
+    l_tok = scalars_ref[1]
+    r_tok = scalars_ref[2]
+    side = _TRACK_SIDE
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        sacc_ref[0] = 0
+        sacc_ref[1] = 0
+
+    fi = _flat_index()
+    prev_s = sym_ref[:]
+    self_s = _shift_left_patched(prev_s, sym_nxt_ref[:], 1, fi)
+    next_s = _shift_left_patched(prev_s, sym_nxt_ref[:], 2, fi)
+    w_self = _shift_left_patched(w_ref[:], w_nxt_ref[:], 1, fi)
+
+    z = (self_s & tok_mask) == z16
+    p_tok = prev_s & tok_mask
+    n_tok = next_s & tok_mask
+    wl = jnp.where(z & ((self_s & ws_bit) == 0), w_self, 0)
+    wr = jnp.where(z & ((next_s & ws_bit) == 0), w_self, 0)
+
+    sacc_ref[0] = sacc_ref[0] + jnp.sum(jnp.where(p_tok == l_tok, wl, 0))
+    sacc_ref[1] = sacc_ref[1] + jnp.sum(jnp.where(n_tok == r_tok, wr, 0))
+
+    # hashed one-hot histograms on the MXU. Mosaic layout note: the
+    # [side, B] operand shape (classes in sublanes, elements in lanes) is
+    # the form whose flatten/broadcast/dot chain lowers; [B, side] via
+    # `x[:, None]` does not. The one-hots live only in VMEM — the XLA
+    # version materialized them to HBM (64 MB each at 1M symbols), which
+    # was the entire cost of the old tracking block.
+    nbins = side * side
+    half = (nbins.bit_length() - 1) // 2
+    io = lax.broadcasted_iota(jnp.int32, (side, BLOCK), 0)
+
+    def hist(toks2d, wv2d, excl):
+        toks = toks2d.reshape(BLOCK)
+        wx = jnp.where(toks == excl, 0, wv2d.reshape(BLOCK)).astype(jnp.float32)
+        h = ((toks * jnp.uint32(2654435761)) >> jnp.uint32(16)) & jnp.uint32(nbins - 1)
+        hi = (h >> jnp.uint32(half)).astype(jnp.int32)
+        lo = (h & jnp.uint32((1 << half) - 1)).astype(jnp.int32)
+        a = jnp.where(jnp.broadcast_to(hi, (side, BLOCK)) == io,
+                      jnp.broadcast_to(wx, (side, BLOCK)), 0.0)
+        c = jnp.where(jnp.broadcast_to(lo, (side, BLOCK)) == io, 1.0, 0.0)
+        return lax.dot_general(a, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    acc_ref[:side, :] = acc_ref[:side, :] + hist(p_tok, wl, l_tok)
+    acc_ref[side:, :] = acc_ref[side:, :] + hist(n_tok, wr, r_tok)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        bins_ref[:] = acc_ref[:]
+        sums_ref[0] = sacc_ref[0]
+        sums_ref[1] = sacc_ref[1]
+
+
+def _track_pad(symbols, weights):
+    cap = symbols.shape[0]
+    npad = ((cap + 1 + BLOCK - 1) // BLOCK) * BLOCK
+    sym_p = jnp.zeros((npad,), _U32).at[1 : cap + 1].set(symbols)
+    w_p = jnp.zeros((npad,), jnp.int32).at[1 : cap + 1].set(weights)
+    grid = npad // BLOCK
+    return sym_p.reshape(grid * _ROWS, _LANES), w_p.reshape(grid * _ROWS, _LANES), grid
+
+
+_TRACK_IN_SPECS = [
+    pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0)),
+    pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0)),
+    pl.BlockSpec((_ROWS, _LANES), lambda i, s: (jnp.minimum(i + 1, pl.num_programs(0) - 1), 0)),
+    pl.BlockSpec((_ROWS, _LANES), lambda i, s: (jnp.minimum(i + 1, pl.num_programs(0) - 1), 0)),
+]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def track_sample(symbols, weights, new_id, interpret=False):
+    """Heaviest created-pair sample on the post-merge compacted stream:
+    returns (max_wl, tok_l, max_wr, tok_r) as an i32[4] — the argmax
+    weight and its neighbor token per side (token tie-break: smallest).
+    Equivalent of the argmax sampling in ops/train_step._merge_and_track,
+    one fused pass instead of several XLA reductions."""
+    sym2, w2, grid = _track_pad(symbols, weights)
+    out = pl.pallas_call(
+        _track_sample_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=_TRACK_IN_SPECS,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            scratch_shapes=[pltpu.SMEM((4,), jnp.int32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((4,), jnp.int32)],
+        interpret=interpret,
+    )(jnp.stack([new_id]).astype(_U32), sym2, w2, sym2, w2)
+    return out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def track_bins(symbols, weights, new_id, l_tok, r_tok, interpret=False):
+    """Created-pair ceiling histograms + exact excluded-pair counts in one
+    fused pass. Returns (bins_l [S,S] f32, bins_r [S,S] f32, sums i32[2])."""
+    sym2, w2, grid = _track_pad(symbols, weights)
+    scalars = jnp.stack([new_id, l_tok, r_tok]).astype(_U32)
+    bins, sums = pl.pallas_call(
+        _track_bins_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=_TRACK_IN_SPECS,
+            out_specs=[
+                pl.BlockSpec((2 * _TRACK_SIDE, _TRACK_SIDE), lambda i, s: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2 * _TRACK_SIDE, _TRACK_SIDE), jnp.float32),
+                pltpu.SMEM((2,), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((2 * _TRACK_SIDE, _TRACK_SIDE), jnp.float32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scalars, sym2, w2, sym2, w2)
+    return bins[:_TRACK_SIDE], bins[_TRACK_SIDE:], sums
 
 
 def merge_compact(symbols, weights, n, pair, new_id, interpret=False):

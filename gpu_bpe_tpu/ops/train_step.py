@@ -381,20 +381,27 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
     the post-merge stream — everything the dual-merge certificate in
     ``_one_merge`` needs.
     """
+    z_tok16 = st.next_id & _TOKEN_MASK
+    has_room = st.fill <= K_CANDIDATES + S_CREATED - 2
     if _use_pallas():
-        from .pallas_kernels import merge_compact
+        from .pallas_kernels import merge_compact, track_bins, track_sample
 
         sym2, w2, n_new = merge_compact(
             st.symbols, st.weights, st.n, best_pair, st.next_id
         )
         extent2, dirty2 = n_new, jnp.asarray(0, jnp.int32)
-        # compacted stream: neighbors are single rolls (no holes)
-        tok2 = sym2 & _TOKEN_MASK
-        z_mask = tok2 == (st.next_id & _TOKEN_MASK)
-        prev2 = jnp.roll(sym2, 1)
-        next2 = jnp.roll(sym2, -1)
-        w_left = jnp.where(z_mask & ((sym2 & _WS_BIT) == 0), w2, 0)
-        w_right = jnp.where(z_mask & ((next2 & _WS_BIT) == 0), w2, 0)
+        next2 = None  # compacted stream: merge 2 never needs a hole chain
+        # ── fused created-pair tracking (one kernel pass each instead of
+        # XLA materializing [N, SIDE] one-hots to HBM): sample the
+        # heaviest-position created pairs, track them exactly, and exclude
+        # them from the ceiling histogram ──
+        samp = track_sample(sym2, w2, st.next_id)
+        l_ok = has_room & (samp[0] > 0)
+        r_ok = has_room & (samp[2] > 0)
+        l_tok = jnp.where(l_ok, samp[1].astype(_U32), _U32(_NO_EXCL))
+        r_tok = jnp.where(r_ok, samp[3].astype(_U32), _U32(_NO_EXCL))
+        bins_l, bins_r, sums = track_bins(sym2, w2, st.next_id, l_tok, r_tok)
+        c_l, c_r = sums[0], sums[1]
     else:
         (sym2, w2, n_new, extent2, dirty2,
          prev2, next2, w_left, w_right) = apply_merge_with_holes(
@@ -402,30 +409,30 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
             best_pair, st.next_id, nxt, lookahead,
         )
 
-    # ── sample the heaviest-position created pairs, track them exactly,
-    # and exclude them from the ceiling histogram. Only performed when
-    # scratch slots remain: a tracked pair must stay tracked until the
-    # next recount, or its exclusion would be unsound. ──
-    z_tok16 = st.next_id & _TOKEN_MASK
-    has_room = st.fill <= K_CANDIDATES + S_CREATED - 2
-    li = jnp.argmax(w_left)
-    ri = jnp.argmax(w_right)
-    l_ok = has_room & (w_left[li] > 0)
-    r_ok = has_room & (w_right[ri] > 0)
-    l_tok = jnp.where(l_ok, prev2[li] & _TOKEN_MASK, _U32(_NO_EXCL))
-    r_tok = jnp.where(r_ok, next2[ri] & _TOKEN_MASK, _U32(_NO_EXCL))
+        # ── sample the heaviest-position created pairs, track them
+        # exactly, and exclude them from the ceiling histogram. Only
+        # performed when scratch slots remain: a tracked pair must stay
+        # tracked until the next recount, or its exclusion would be
+        # unsound. ──
+        li = jnp.argmax(w_left)
+        ri = jnp.argmax(w_right)
+        l_ok = has_room & (w_left[li] > 0)
+        r_ok = has_room & (w_right[ri] > 0)
+        l_tok = jnp.where(l_ok, prev2[li] & _TOKEN_MASK, _U32(_NO_EXCL))
+        r_tok = jnp.where(r_ok, next2[ri] & _TOKEN_MASK, _U32(_NO_EXCL))
+        w_left_x = jnp.where((prev2 & _TOKEN_MASK) == l_tok, 0, w_left)
+        w_right_x = jnp.where((next2 & _TOKEN_MASK) == r_tok, 0, w_right)
+        bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left_x)
+        bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right_x)
+        # exact counts of the sampled pairs on the post-merge stream (the
+        # w_left/w_right masses partitioned by the neighbor token ARE the
+        # pair counts; the masked sums are exact, not histogram bounds)
+        c_l = jnp.sum(jnp.where((prev2 & _TOKEN_MASK) == l_tok, w_left, 0))
+        c_r = jnp.sum(jnp.where((next2 & _TOKEN_MASK) == r_tok, w_right, 0))
+
     l_pair = jnp.where(l_ok, (l_tok << _U32(16)) | z_tok16, _INVALID)
     r_pair = jnp.where(r_ok, (z_tok16 << _U32(16)) | r_tok, _INVALID)
-    w_left_x = jnp.where((prev2 & _TOKEN_MASK) == l_tok, 0, w_left)
-    w_right_x = jnp.where((next2 & _TOKEN_MASK) == r_tok, 0, w_right)
-    bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left_x)
-    bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right_x)
     ub_merge = jnp.maximum(_ub_from_bins(bins_l), _ub_from_bins(bins_r))
-    # exact counts of the sampled pairs on the post-merge stream (the
-    # w_left/w_right masses partitioned by the neighbor token ARE the pair
-    # counts; the masked sums are exact, not histogram bounds)
-    c_l = jnp.sum(jnp.where((prev2 & _TOKEN_MASK) == l_tok, w_left, 0))
-    c_r = jnp.sum(jnp.where((next2 & _TOKEN_MASK) == r_tok, w_right, 0))
     cand2 = lax.dynamic_update_slice(
         st.cand,
         jnp.stack([l_pair, r_pair]),

@@ -119,3 +119,87 @@ def test_garbage_tail_ignored():
     )
     for r, g in zip(ref, got):
         assert np.array_equal(np.asarray(r), np.asarray(g))
+
+
+class TestTrackingKernels:
+    """Fused created-pair tracking kernels vs the jnp computations in
+    ops/train_step._merge_and_track (interpret mode)."""
+
+    def _post_merge(self, rng, n=5000, z=300):
+        symf, wf = _random_stream(rng, n, alphabet=8)
+        # plant the "created token" z at some positions
+        idx = rng.choice(n, size=n // 20, replace=False)
+        symf[idx] = (symf[idx] & np.uint32(0x10000)) | np.uint32(z)
+        return jnp.asarray(symf), jnp.asarray(wf)
+
+    def _jnp_ref(self, sym2, w2, z, l_tok, r_tok):
+        from gpu_bpe_tpu.ops.train_step import _TOKEN_MASK, _WS_BIT
+
+        tok2 = sym2 & _TOKEN_MASK
+        zm = tok2 == jnp.uint32(z)
+        prev2 = jnp.roll(sym2, 1)
+        next2 = jnp.roll(sym2, -1)
+        wl = jnp.where(zm & ((sym2 & _WS_BIT) == 0), w2, 0)
+        wr = jnp.where(zm & ((next2 & _WS_BIT) == 0), w2, 0)
+        c_l = jnp.sum(jnp.where((prev2 & _TOKEN_MASK) == jnp.uint32(l_tok), wl, 0))
+        c_r = jnp.sum(jnp.where((next2 & _TOKEN_MASK) == jnp.uint32(r_tok), wr, 0))
+        return wl, wr, prev2, next2, int(c_l), int(c_r)
+
+    def test_sample_matches_argmax_weight(self, rng):
+        from gpu_bpe_tpu.ops.pallas_kernels import track_sample
+
+        sym2, w2 = self._post_merge(rng)
+        out = np.asarray(track_sample(sym2, w2, jnp.uint32(300), interpret=True))
+        wl, wr, prev2, next2, _, _ = self._jnp_ref(sym2, w2, 300, 0, 0)
+        assert out[0] == int(jnp.max(wl))
+        assert out[2] == int(jnp.max(wr))
+        # the sampled token must be a neighbor token at SOME max position
+        from gpu_bpe_tpu.ops.train_step import _TOKEN_MASK
+
+        lmax_toks = np.asarray(jnp.where(wl == out[0], prev2 & _TOKEN_MASK, 0xFFFF))
+        rmax_toks = np.asarray(jnp.where(wr == out[2], next2 & _TOKEN_MASK, 0xFFFF))
+        if out[0] > 0:
+            assert out[1] in lmax_toks
+        if out[2] > 0:
+            assert out[3] in rmax_toks
+
+    def test_bins_and_sums(self, rng):
+        from gpu_bpe_tpu.ops.pallas_kernels import _TRACK_SIDE as _UB_SIDE, track_bins
+        from gpu_bpe_tpu.ops.train_step import _TOKEN_MASK, _WS_BIT
+
+        sym2, w2 = self._post_merge(rng)
+        l_tok, r_tok = 3, 5
+        bl, br, sums = track_bins(
+            sym2, w2, jnp.uint32(300), jnp.uint32(l_tok), jnp.uint32(r_tok), interpret=True
+        )
+        wl, wr, prev2, next2, c_l, c_r = self._jnp_ref(sym2, w2, 300, l_tok, r_tok)
+        assert int(sums[0]) == c_l and int(sums[1]) == c_r
+        # reference histogram with the kernel's bin count
+        def ref_hist(toks, wv, excl):
+            toks = np.asarray(toks & _TOKEN_MASK).astype(np.uint64)
+            wv = np.asarray(jnp.where((toks.astype(np.uint32) == excl), 0, wv))
+            h = ((toks * 2654435761) & 0xFFFFFFFF) >> 16
+            h = h & (_UB_SIDE * _UB_SIDE - 1)
+            out = np.zeros(_UB_SIDE * _UB_SIDE)
+            np.add.at(out, h.astype(int), wv)
+            return out
+        half = ((_UB_SIDE * _UB_SIDE).bit_length() - 1) // 2
+        got_l = np.asarray(bl)
+        ref_l = ref_hist(prev2, wl, l_tok).reshape(_UB_SIDE, _UB_SIDE)
+        assert np.allclose(got_l, ref_l)
+        got_r = np.asarray(br)
+        ref_r = ref_hist(next2, wr, r_tok).reshape(_UB_SIDE, _UB_SIDE)
+        assert np.allclose(got_r, ref_r)
+
+    def test_no_z_positions(self, rng):
+        from gpu_bpe_tpu.ops.pallas_kernels import track_bins, track_sample
+
+        symf, wf = _random_stream(rng, 3000, alphabet=8)
+        sym2, w2 = jnp.asarray(symf), jnp.asarray(wf)
+        out = np.asarray(track_sample(sym2, w2, jnp.uint32(999), interpret=True))
+        assert out[0] <= 0 and out[2] <= 0
+        bl, br, sums = track_bins(
+            sym2, w2, jnp.uint32(999), jnp.uint32(0x10000), jnp.uint32(0x10000), interpret=True
+        )
+        assert float(jnp.max(bl)) == 0 and float(jnp.max(br)) == 0
+        assert int(sums[0]) == 0 and int(sums[1]) == 0
