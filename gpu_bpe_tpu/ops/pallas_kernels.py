@@ -101,6 +101,8 @@ def _merge_compact_kernel(
     out_sym_ref,  # ANY [NPAD+TILE] u32 — full output, manual DMA
     out_w_ref,  # ANY [NPAD+TILE] i32
     removed_ref,  # SMEM [1] i32 — total removed (written every step)
+    bins_ref,  # VMEM [2*TRACK_SIDE, TRACK_SIDE] f32 — created-pair histograms
+    samp_ref,  # SMEM [4] i32 — (max_wl, tok_l, max_wr, tok_r) sample
     off_ref,  # SMEM scratch [1] i32 — aligned output offset (TILE multiple)
     m_ref,  # SMEM scratch [1] i32 — carry length (0..TILE-1)
     acc_ref,  # SMEM scratch [1] i32 — running removed count
@@ -109,6 +111,9 @@ def _merge_compact_kernel(
     carry_sym,  # VMEM scratch [TILE] u32 — partial-tile carry
     carry_w,  # VMEM scratch [TILE] i32
     sem,  # DMA semaphores (2)
+    bins_acc,  # VMEM scratch [2*TRACK_SIDE, TRACK_SIDE] f32
+    samp_state,  # SMEM scratch [4] i32 — running (max, tok) x 2
+    bound_ref,  # SMEM scratch [2] i32 — stream tail (sym, w) across steps
 ):
     i = pl.program_id(0)
     tok_mask = jnp.uint32(TOKEN_MASK)
@@ -172,36 +177,38 @@ def _merge_compact_kernel(
     disp = lane_inc + (row_inc - row_tot) - rem_i
 
     # stable log-shift compaction: valid movers never collide (see module
-    # docstring); garbage slots may be overwritten freely. The keep flag
-    # rides in bit 31 of the value word (symbols use only 17 bits), so each
-    # round shifts 3 arrays instead of 4. Displacements are bounded by the
-    # block's removal count, so only bit_length(n_rem) of the 15 rounds can
-    # have movers — the loop trip count is dynamic (typical merges remove
-    # tens-to-hundreds of symbols per 32K block: 5-9 rounds, and 0 for
-    # blocks with no removals at all).
-    pk = vals | (keep.astype(jnp.uint32) << jnp.uint32(31))
+    # docstring); garbage slots may be overwritten freely. The displacement
+    # rides in bits 17..31 of the value word (symbols use 17 bits; disp is
+    # at most 32767 — removals strictly before the element — so 15 bits
+    # always fit), and a vacated or removed slot simply has its disp field
+    # zeroed: a zero-disp slot never moves again, which is exactly what the
+    # old explicit keep bit enforced. Each round therefore shifts only TWO
+    # arrays. Displacements are bounded by the block's removal count, so
+    # only bit_length(n_rem) of the 15 rounds can have movers — the loop
+    # trip count is dynamic (typical merges remove tens-to-hundreds of
+    # symbols per 32K block: 5-9 rounds, 0 for blocks with no removals).
+    sym_mask17 = jnp.uint32(0x1FFFF)
+    disp_ok = jnp.where(keep, disp, 0).astype(jnp.uint32)
+    pk = vals | (disp_ok << jnp.uint32(17))
     n_rounds = 32 - lax.clz(n_rem)
 
     def round_body(bit, carry):
-        pk, wts, disp = carry
+        pk, wts = carry
         s = 1 << bit
-        live = pk >> jnp.uint32(31) == 1
-        move = ((((disp >> bit) & 1) == 1) & live).astype(jnp.uint32)
+        sbit = jnp.uint32(17) + bit.astype(jnp.uint32)
         in_range = fi < BLOCK - s
-        src_m = jnp.where(in_range, _fshift(move, BLOCK - s), 0) == 1
         src_pk = _fshift(pk, BLOCK - s)
         src_w = _fshift(wts, BLOCK - s)
-        src_d = _fshift(disp, BLOCK - s)
-        # destination takes the mover; a slot whose element moved away and
-        # received nothing becomes garbage (keep bit cleared)
-        stay = jnp.where(move == 1, pk & jnp.uint32(0x7FFFFFFF), pk)
-        pk = jnp.where(src_m, src_pk, stay)
+        src_m = in_range & (((src_pk >> sbit) & 1) == 1)
+        self_m = ((pk >> sbit) & 1) == 1
+        # vacated slot: clear its disp so it never moves again
+        stay = jnp.where(self_m, pk & sym_mask17, pk)
+        pk = jnp.where(src_m, src_pk - (jnp.uint32(s) << jnp.uint32(17)), stay)
         wts = jnp.where(src_m, src_w, wts)
-        disp = jnp.where(src_m, src_d - s, disp)
-        return pk, wts, disp
+        return pk, wts
 
-    pk, wts, disp = lax.fori_loop(0, n_rounds, round_body, (pk, wts, disp))
-    vals = pk & jnp.uint32(0x7FFFFFFF)
+    pk, wts = lax.fori_loop(0, n_rounds, round_body, (pk, wts))
+    vals = pk & sym_mask17
 
     # ── aligned-carry output: HBM tiles are TILE elements, so DMAs go to
     # TILE-aligned offsets; the trailing partial tile rides in VMEM ──
@@ -247,6 +254,101 @@ def _merge_compact_kernel(
     acc_ref[0] = acc_ref[0] + n_rem
     removed_ref[0] = acc_ref[0]
 
+    # ── fused created-pair tracking over the staged compacted window ──
+    # Every adjacent pair (u, v) of the compacted stream is processed
+    # exactly once: window slots [max(m-1, 0), total-1) this step, plus —
+    # when m == 0 — the cross-window pair (previous stream tail, first new
+    # element), injected into the first garbage slot past the window. A
+    # pair contributes iff v lacks the word-start bit: (u, Z) to the left
+    # histogram/sample keyed by u's token with v's weight, and (Z, v) to
+    # the right ones keyed by v's token with u's weight. Histograms are
+    # UNexcluded — the caller subtracts the sampled pair's exact count
+    # from its bin, which equals in-stream exclusion exactly.
+    z16 = new_id & tok_mask
+
+    @pl.when(i == 0)
+    def _():
+        bins_acc[:] = jnp.zeros_like(bins_acc)
+        samp_state[0] = -1
+        samp_state[1] = 0
+        samp_state[2] = -1
+        samp_state[3] = 0
+        bound_ref[0] = 0
+        bound_ref[1] = 0
+
+    u_sym = big_sym
+    u_w = big_w
+    v_sym = _fshift(big_sym, _BIG - 1)
+    v_w = _fshift(big_w, _BIG - 1)
+    valid = (fib >= jnp.maximum(m - 1, 0)) & (fib < total - 1)
+    inject = (i > 0) & (m == 0) & (cnt > 0)
+    # Mosaic has no unsigned reductions — extract through i32 (symbol
+    # words are <= 0x1FFFF in the staged window)
+    first_sym = jnp.max(jnp.where(fib == m, u_sym.astype(jnp.int32), 0)).astype(jnp.uint32)
+    first_w = jnp.max(jnp.where(fib == m, u_w, 0))
+    at_slot = fib == total  # first garbage slot (total <= BIG - 1)
+    u_sym = jnp.where(inject & at_slot, jnp.uint32(bound_ref[0]), u_sym)
+    u_w = jnp.where(inject & at_slot, bound_ref[1], u_w)
+    v_sym = jnp.where(inject & at_slot, first_sym, v_sym)
+    v_w = jnp.where(inject & at_slot, first_w, v_w)
+    valid = valid | (inject & at_slot)
+    # the right-pair histogram reindexes through u_tok at slot+1, so the
+    # boundary pair's v member must also appear there (total+1 <= BIG-1:
+    # injection implies m == 0, so total = cnt <= BLOCK)
+    u_sym = jnp.where(inject & (fib == total + 1), first_sym, u_sym)
+
+    u_tok = u_sym & tok_mask
+    v_tok = v_sym & tok_mask
+    v_ok = valid & ((v_sym & ws_bit) == 0)
+    wl = jnp.where(v_ok & (v_tok == z16), v_w, 0)
+    wr = jnp.where(v_ok & (u_tok == z16), u_w, 0)
+
+    def upd(base, wv, toks):
+        blk_max = jnp.max(wv)
+        blk_tok = jnp.min(jnp.where(wv == blk_max, toks.astype(jnp.int32), 0x7FFFFFFF))
+
+        @pl.when(blk_max > samp_state[base])
+        def _():
+            samp_state[base] = blk_max
+            samp_state[base + 1] = blk_tok
+
+    upd(0, wl, u_tok)
+    upd(2, wr, v_tok)
+
+    # hashed one-hot histograms on the MXU ([side, B] orientation — the
+    # form Mosaic lowers; one-hots live only in VMEM). Both histograms key
+    # by u's token: the right-pair sum Σ_p onehot(v_tok[p])·wr[p] reindexes
+    # to Σ_p' onehot(u_tok[p'])·wr[p'-1], so ONE pair of token one-hots
+    # serves both sides (the left/right weights differ, the compares —
+    # the expensive part — are shared).
+    side = _TRACK_SIDE
+    nbins = side * side
+    half = (nbins.bit_length() - 1) // 2
+    io = lax.broadcasted_iota(jnp.int32, (side, _BIG), 0)
+    toks = u_tok.reshape(_BIG)
+    h = ((toks * jnp.uint32(2654435761)) >> jnp.uint32(16)) & jnp.uint32(nbins - 1)
+    hi = (h >> jnp.uint32(half)).astype(jnp.int32)
+    lo = (h & jnp.uint32((1 << half) - 1)).astype(jnp.int32)
+    oh_hi = (jnp.broadcast_to(hi, (side, _BIG)) == io).astype(jnp.float32)
+    oh_lo = (jnp.broadcast_to(lo, (side, _BIG)) == io).astype(jnp.float32)
+    wl_f = wl.reshape(_BIG).astype(jnp.float32)
+    wr_prev = _fshift(wr, 1).reshape(_BIG).astype(jnp.float32)
+    a_l = oh_hi * jnp.broadcast_to(wl_f, (side, _BIG))
+    a_r = oh_hi * jnp.broadcast_to(wr_prev, (side, _BIG))
+    dot = functools.partial(
+        lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    bins_acc[:side, :] = bins_acc[:side, :] + dot(a_l, oh_lo)
+    bins_acc[side:, :] = bins_acc[side:, :] + dot(a_r, oh_lo)
+
+    # boundary carry: the stream's last element so far (window slot total-1)
+    @pl.when(total > 0)
+    def _():
+        bound_ref[0] = jnp.max(jnp.where(fib == total - 1, u_sym.astype(jnp.int32), 0))
+        bound_ref[1] = jnp.max(jnp.where(fib == total - 1, u_w, 0))
+
     # final flush: write the last partial tile (aligned, full-tile DMA)
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -257,6 +359,11 @@ def _merge_compact_kernel(
         cp4.start()
         cp3.wait()
         cp4.wait()
+        bins_ref[:] = bins_acc[:]
+        samp_ref[0] = samp_state[0]
+        samp_ref[1] = samp_state[1]
+        samp_ref[2] = samp_state[2]
+        samp_ref[3] = samp_state[3]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -265,7 +372,7 @@ def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
     grid = npad // BLOCK
     sym2 = sym_padded.reshape(grid * _ROWS, _LANES)
     w2 = w_padded.reshape(grid * _ROWS, _LANES)
-    out_sym, out_w, removed = pl.pallas_call(
+    out_sym, out_w, removed, bins, samp = pl.pallas_call(
         _merge_compact_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -288,6 +395,8 @@ def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((2 * _TRACK_SIDE, _TRACK_SIDE), lambda i, s: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
                 pltpu.SMEM((1,), jnp.int32),
@@ -298,211 +407,22 @@ def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
                 pltpu.VMEM((_TILE,), jnp.uint32),
                 pltpu.VMEM((_TILE,), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2 * _TRACK_SIDE, _TRACK_SIDE), jnp.float32),
+                pltpu.SMEM((4,), jnp.int32),
+                pltpu.SMEM((2,), jnp.int32),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((npad + _TILE,), jnp.uint32),
             jax.ShapeDtypeStruct((npad + _TILE,), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((2 * _TRACK_SIDE, _TRACK_SIDE), jnp.float32),
+            jax.ShapeDtypeStruct((4,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(scalars, sym2, w2, sym2, w2)
-    return out_sym, out_w, removed
-
-
-def _track_sample_kernel(
-    scalars_ref,  # SMEM [1] u32: the 16-bit token Z created by this merge
-    sym_ref,  # VMEM [ROWS, 128] u32 — front-padded block (flat t = logical p-1)
-    w_ref,  # VMEM [ROWS, 128] i32
-    sym_nxt_ref,  # VMEM halo (next block)
-    w_nxt_ref,
-    out_ref,  # SMEM [4] i32: max_wl, tok_l, max_wr, tok_r (valid at last step)
-    state_ref,  # SMEM scratch [4] i32 — running (max, tok) x 2
-):
-    i = pl.program_id(0)
-    tok_mask = jnp.uint32(TOKEN_MASK)
-    ws_bit = jnp.uint32(WORD_START_BIT)
-    z16 = scalars_ref[0] & tok_mask
-
-    @pl.when(i == 0)
-    def _():
-        state_ref[0] = -1
-        state_ref[1] = 0
-        state_ref[2] = -1
-        state_ref[3] = 0
-
-    fi = _flat_index()
-    prev_s = sym_ref[:]
-    self_s = _shift_left_patched(prev_s, sym_nxt_ref[:], 1, fi)
-    next_s = _shift_left_patched(prev_s, sym_nxt_ref[:], 2, fi)
-    w_self = _shift_left_patched(w_ref[:], w_nxt_ref[:], 1, fi)
-
-    z = (self_s & tok_mask) == z16
-    wl = jnp.where(z & ((self_s & ws_bit) == 0), w_self, 0)
-    wr = jnp.where(z & ((next_s & ws_bit) == 0), w_self, 0)
-
-    def upd(base, wv, neigh_tok):
-        blk_max = jnp.max(wv)
-        # deterministic tie-break within the block: smallest neighbor token
-        blk_tok = jnp.min(jnp.where(wv == blk_max, neigh_tok.astype(jnp.int32), 0x7FFFFFFF))
-        cur = state_ref[base]
-
-        @pl.when(blk_max > cur)
-        def _():
-            state_ref[base] = blk_max
-            state_ref[base + 1] = blk_tok
-
-    upd(0, wl, prev_s & tok_mask)
-    upd(2, wr, next_s & tok_mask)
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        out_ref[0] = state_ref[0]
-        out_ref[1] = state_ref[1]
-        out_ref[2] = state_ref[2]
-        out_ref[3] = state_ref[3]
-
-
-def _track_bins_kernel(
-    scalars_ref,  # SMEM [3] u32: z16, l_tok, r_tok (exclusions; _NO_EXCL ok)
-    sym_ref,
-    w_ref,
-    sym_nxt_ref,
-    w_nxt_ref,
-    bins_ref,  # VMEM [2*SIDE, SIDE] f32 output: rows 0..S-1 left, S.. right
-    sums_ref,  # SMEM [2] i32: exact counts of the excluded pairs
-    acc_ref,  # VMEM scratch [2*SIDE, SIDE] f32
-    sacc_ref,  # SMEM scratch [2] i32
-):
-    i = pl.program_id(0)
-    tok_mask = jnp.uint32(TOKEN_MASK)
-    ws_bit = jnp.uint32(WORD_START_BIT)
-    z16 = scalars_ref[0] & tok_mask
-    l_tok = scalars_ref[1]
-    r_tok = scalars_ref[2]
-    side = _TRACK_SIDE
-
-    @pl.when(i == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        sacc_ref[0] = 0
-        sacc_ref[1] = 0
-
-    fi = _flat_index()
-    prev_s = sym_ref[:]
-    self_s = _shift_left_patched(prev_s, sym_nxt_ref[:], 1, fi)
-    next_s = _shift_left_patched(prev_s, sym_nxt_ref[:], 2, fi)
-    w_self = _shift_left_patched(w_ref[:], w_nxt_ref[:], 1, fi)
-
-    z = (self_s & tok_mask) == z16
-    p_tok = prev_s & tok_mask
-    n_tok = next_s & tok_mask
-    wl = jnp.where(z & ((self_s & ws_bit) == 0), w_self, 0)
-    wr = jnp.where(z & ((next_s & ws_bit) == 0), w_self, 0)
-
-    sacc_ref[0] = sacc_ref[0] + jnp.sum(jnp.where(p_tok == l_tok, wl, 0))
-    sacc_ref[1] = sacc_ref[1] + jnp.sum(jnp.where(n_tok == r_tok, wr, 0))
-
-    # hashed one-hot histograms on the MXU. Mosaic layout note: the
-    # [side, B] operand shape (classes in sublanes, elements in lanes) is
-    # the form whose flatten/broadcast/dot chain lowers; [B, side] via
-    # `x[:, None]` does not. The one-hots live only in VMEM — the XLA
-    # version materialized them to HBM (64 MB each at 1M symbols), which
-    # was the entire cost of the old tracking block.
-    nbins = side * side
-    half = (nbins.bit_length() - 1) // 2
-    io = lax.broadcasted_iota(jnp.int32, (side, BLOCK), 0)
-
-    def hist(toks2d, wv2d, excl):
-        toks = toks2d.reshape(BLOCK)
-        wx = jnp.where(toks == excl, 0, wv2d.reshape(BLOCK)).astype(jnp.float32)
-        h = ((toks * jnp.uint32(2654435761)) >> jnp.uint32(16)) & jnp.uint32(nbins - 1)
-        hi = (h >> jnp.uint32(half)).astype(jnp.int32)
-        lo = (h & jnp.uint32((1 << half) - 1)).astype(jnp.int32)
-        a = jnp.where(jnp.broadcast_to(hi, (side, BLOCK)) == io,
-                      jnp.broadcast_to(wx, (side, BLOCK)), 0.0)
-        c = jnp.where(jnp.broadcast_to(lo, (side, BLOCK)) == io, 1.0, 0.0)
-        return lax.dot_general(a, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-
-    acc_ref[:side, :] = acc_ref[:side, :] + hist(p_tok, wl, l_tok)
-    acc_ref[side:, :] = acc_ref[side:, :] + hist(n_tok, wr, r_tok)
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        bins_ref[:] = acc_ref[:]
-        sums_ref[0] = sacc_ref[0]
-        sums_ref[1] = sacc_ref[1]
-
-
-def _track_pad(symbols, weights):
-    cap = symbols.shape[0]
-    npad = ((cap + 1 + BLOCK - 1) // BLOCK) * BLOCK
-    sym_p = jnp.zeros((npad,), _U32).at[1 : cap + 1].set(symbols)
-    w_p = jnp.zeros((npad,), jnp.int32).at[1 : cap + 1].set(weights)
-    grid = npad // BLOCK
-    return sym_p.reshape(grid * _ROWS, _LANES), w_p.reshape(grid * _ROWS, _LANES), grid
-
-
-_TRACK_IN_SPECS = [
-    pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0)),
-    pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0)),
-    pl.BlockSpec((_ROWS, _LANES), lambda i, s: (jnp.minimum(i + 1, pl.num_programs(0) - 1), 0)),
-    pl.BlockSpec((_ROWS, _LANES), lambda i, s: (jnp.minimum(i + 1, pl.num_programs(0) - 1), 0)),
-]
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def track_sample(symbols, weights, new_id, interpret=False):
-    """Heaviest created-pair sample on the post-merge compacted stream:
-    returns (max_wl, tok_l, max_wr, tok_r) as an i32[4] — the argmax
-    weight and its neighbor token per side (token tie-break: smallest).
-    Equivalent of the argmax sampling in ops/train_step._merge_and_track,
-    one fused pass instead of several XLA reductions."""
-    sym2, w2, grid = _track_pad(symbols, weights)
-    out = pl.pallas_call(
-        _track_sample_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(grid,),
-            in_specs=_TRACK_IN_SPECS,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-            scratch_shapes=[pltpu.SMEM((4,), jnp.int32)],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((4,), jnp.int32)],
-        interpret=interpret,
-    )(jnp.stack([new_id]).astype(_U32), sym2, w2, sym2, w2)
-    return out[0]
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def track_bins(symbols, weights, new_id, l_tok, r_tok, interpret=False):
-    """Created-pair ceiling histograms + exact excluded-pair counts in one
-    fused pass. Returns (bins_l [S,S] f32, bins_r [S,S] f32, sums i32[2])."""
-    sym2, w2, grid = _track_pad(symbols, weights)
-    scalars = jnp.stack([new_id, l_tok, r_tok]).astype(_U32)
-    bins, sums = pl.pallas_call(
-        _track_bins_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(grid,),
-            in_specs=_TRACK_IN_SPECS,
-            out_specs=[
-                pl.BlockSpec((2 * _TRACK_SIDE, _TRACK_SIDE), lambda i, s: (0, 0)),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((2 * _TRACK_SIDE, _TRACK_SIDE), jnp.float32),
-                pltpu.SMEM((2,), jnp.int32),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((2 * _TRACK_SIDE, _TRACK_SIDE), jnp.float32),
-            jax.ShapeDtypeStruct((2,), jnp.int32),
-        ],
-        interpret=interpret,
-    )(scalars, sym2, w2, sym2, w2)
-    return bins[:_TRACK_SIDE], bins[_TRACK_SIDE:], sums
+    return out_sym, out_w, removed, bins, samp
 
 
 def merge_compact(symbols, weights, n, pair, new_id, interpret=False):
@@ -515,6 +435,20 @@ def merge_compact(symbols, weights, n, pair, new_id, interpret=False):
     Semantics identical to ops.train_step.apply_merge_device (tested
     against it); replaces the kernel trio at train.wgsl:433-731.
     """
+    sym_out, w_out, n_new, _bins_l, _bins_r, _samp = merge_compact_tracked(
+        symbols, weights, n, pair, new_id, interpret=interpret
+    )
+    return sym_out, w_out, n_new
+
+
+def merge_compact_tracked(symbols, weights, n, pair, new_id, interpret=False):
+    """``merge_compact`` plus fused created-pair tracking: also returns
+    (bins_l, bins_r) — UNexcluded [TRACK_SIDE, TRACK_SIDE] f32 hashed
+    histograms of the post-merge created-pair masses — and ``samp`` i32[4]
+    = (max_wl, tok_l, max_wr, tok_r), the heaviest created-pair sample per
+    side (token tie-break: smallest, earliest block wins ties on weight).
+    One streaming pass; the caller subtracts the sampled pair's exact
+    count from its bin to get the excluded ceiling."""
     cap = symbols.shape[0]
     # +1 front zero (shifts the window so flat t holds logical p-1) and
     # enough back zeros for (a) the +1/+2 lookahead, (b) BLOCK alignment,
@@ -523,11 +457,13 @@ def merge_compact(symbols, weights, n, pair, new_id, interpret=False):
     sym_p = jnp.zeros((npad,), _U32).at[1 : cap + 1].set(symbols)
     w_p = jnp.zeros((npad,), jnp.int32).at[1 : cap + 1].set(weights)
     scalars = jnp.stack([pair, new_id, jnp.asarray(n, jnp.int32).astype(_U32)]).astype(_U32)
-    out_sym, out_w, removed = _merge_compact_call(sym_p, w_p, scalars, interpret=interpret)
+    out_sym, out_w, removed, bins, samp = _merge_compact_call(
+        sym_p, w_p, scalars, interpret=interpret
+    )
     n_new = n - removed[0]
     # the DMA windows cover only up to the compacted stream end + one tile;
     # re-zero the tail explicitly (the buffer may be recycled memory)
     iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
     sym_out = jnp.where(iota < n_new, out_sym[:cap], _U32(0))
     w_out = jnp.where(iota < n_new, out_w[:cap], 0)
-    return sym_out, w_out, n_new
+    return sym_out, w_out, n_new, bins[:_TRACK_SIDE], bins[_TRACK_SIDE:], samp

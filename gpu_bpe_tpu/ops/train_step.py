@@ -384,24 +384,40 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
     z_tok16 = st.next_id & _TOKEN_MASK
     has_room = st.fill <= K_CANDIDATES + S_CREATED - 2
     if _use_pallas():
-        from .pallas_kernels import merge_compact, track_bins, track_sample
+        from .pallas_kernels import merge_compact_tracked
 
-        sym2, w2, n_new = merge_compact(
+        # one streaming kernel: merge + compaction + created-pair tracking
+        # (unexcluded histograms + heaviest-pair sample)
+        sym2, w2, n_new, bins_l, bins_r, samp = merge_compact_tracked(
             st.symbols, st.weights, st.n, best_pair, st.next_id
         )
         extent2, dirty2 = n_new, jnp.asarray(0, jnp.int32)
         next2 = None  # compacted stream: merge 2 never needs a hole chain
-        # ── fused created-pair tracking (one kernel pass each instead of
-        # XLA materializing [N, SIDE] one-hots to HBM): sample the
-        # heaviest-position created pairs, track them exactly, and exclude
-        # them from the ceiling histogram ──
-        samp = track_sample(sym2, w2, st.next_id)
         l_ok = has_room & (samp[0] > 0)
         r_ok = has_room & (samp[2] > 0)
         l_tok = jnp.where(l_ok, samp[1].astype(_U32), _U32(_NO_EXCL))
         r_tok = jnp.where(r_ok, samp[3].astype(_U32), _U32(_NO_EXCL))
-        bins_l, bins_r, sums = track_bins(sym2, w2, st.next_id, l_tok, r_tok)
-        c_l, c_r = sums[0], sums[1]
+        # exact counts of the sampled pairs (one fused elementwise+reduce
+        # pass), then subtract each from its bin — identical to in-stream
+        # exclusion because the pair's whole mass lives in that one bin
+        tok2 = sym2 & _TOKEN_MASK
+        z_mask = tok2 == z_tok16
+        prev_t = jnp.roll(sym2, 1) & _TOKEN_MASK
+        nxt2 = jnp.roll(sym2, -1)
+        w_left = jnp.where(z_mask & ((sym2 & _WS_BIT) == 0), w2, 0)
+        w_right = jnp.where(z_mask & ((nxt2 & _WS_BIT) == 0), w2, 0)
+        c_l = jnp.sum(jnp.where(prev_t == l_tok, w_left, 0))
+        c_r = jnp.sum(jnp.where((nxt2 & _TOKEN_MASK) == r_tok, w_right, 0))
+
+        def _excl(bins, tok, c):
+            h = ((tok * _U32(2654435761)) >> _U32(16)) & _U32(_UB_SIDE * _UB_SIDE - 1)
+            half = ((_UB_SIDE * _UB_SIDE).bit_length() - 1) // 2  # matches the kernel
+            return bins.at[(h >> _U32(half)).astype(jnp.int32),
+                           (h & _U32((1 << half) - 1)).astype(jnp.int32)].add(
+                -c.astype(jnp.float32))
+
+        bins_l = _excl(bins_l, l_tok, c_l)
+        bins_r = _excl(bins_r, r_tok, c_r)
     else:
         (sym2, w2, n_new, extent2, dirty2,
          prev2, next2, w_left, w_right) = apply_merge_with_holes(

@@ -21,8 +21,17 @@ global:
   count <= that shard's (K+1)-th best, so an untracked pair's global count
   is bounded by max(sum_d local_(K+1)th, (K+1)-th union count).
 * ub_new (ceiling for pairs containing post-recount tokens) — the per-merge
-  created-pair histograms are computed shard-locally and the [32, 32] f32
-  bins psum'd before taking the inflated max: 8 KB over ICI per merge.
+  created-pair histograms are computed shard-locally and the f32 bins
+  psum'd before taking the inflated max: 8 KB over ICI per merge. The
+  heaviest created pair per side is sampled globally (pmax weight, pmin
+  token among attaining shards), tracked exactly in append-only scratch
+  slots, and excluded from the histogram — the same window-extension
+  scheme as the single-chip step.
+* dual-merge — when the global second-best tracked candidate strictly
+  beats every ceiling (including the first merge's psum'd created-pair
+  ceiling and the exact psum'd counts of its sampled pairs), two
+  member-disjoint merges apply per iteration from one candidate-count
+  round, halving ICI round-trips per merge on certified stretches.
 
 Merges and compaction stay purely shard-local (holes + deferred compaction,
 shared code with the single-chip step). The merge log is replicated.
@@ -46,7 +55,9 @@ from ..constants import BATCH_MERGES, TOKEN_MASK, WORD_START_BIT
 from ..ops.train_step import (
     COMPACT_EVERY,
     K_CANDIDATES,
+    S_CREATED,
     _I32_MAX,
+    _NO_EXCL,
     _masked_pairs,
     _run_totals,
     _ub_bins,
@@ -70,10 +81,12 @@ class DistState(NamedTuple):
     early_stop: jax.Array  # bool scalar
     merges_done: jax.Array  # i32 scalar
     merge_log: jax.Array  # u32 [BATCH_MERGES, 3]
-    cand: jax.Array  # u32 [K_CANDIDATES] (replicated) — tracked global top pairs
+    cand: jax.Array  # u32 [K_CANDIDATES + S_CREATED] (replicated)
     theta: jax.Array  # i32 scalar — ceiling for untracked old pairs
     ub_new: jax.Array  # i32 scalar — ceiling for pairs with post-recount tokens
     recounts: jax.Array  # i32 scalar — full recounts (diagnostics)
+    fill: jax.Array  # i32 scalar — next free created-pair scratch slot
+    duals: jax.Array  # i32 scalar — dual-merge fires (diagnostics)
 
 
 def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
@@ -81,15 +94,71 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
 
     def shard_step(
         symbols, weights, n, extent, dirty, next_id, early_stop,
-        merges_done, merge_log, cand, theta, ub_new, recounts, batch_merges,
+        merges_done, merge_log, cand, theta, ub_new, recounts, fill, duals,
+        batch_merges,
     ):
         # inside shard_map: symbols [CAP/D]; n/extent/dirty [1] (this shard)
         cap = symbols.shape[0]
         iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
         lookahead = COMPACT_EVERY
+        n_slots = K_CANDIDATES + S_CREATED
+
+        def merge_and_track(sym, w, n_l, ext_l, dirty_l, nid, md, log, cnd,
+                            ub, fl, pair_sel, count, nxt):
+            """Apply one certified merge shard-locally and maintain the
+            replicated window state: global heaviest created-pair sample
+            (pmax weight, pmin token among attaining shards), its EXACT
+            global count (psum), histogram exclusion, psum'd ceiling bins,
+            scratch append, and the merge-log entry. Mirrors the
+            single-chip ``_merge_and_track``."""
+            (sym2, w2, n2, ext2, dirty2,
+             prev2, next2, w_left, w_right) = apply_merge_with_holes(
+                sym, w, n_l, ext_l, dirty_l, pair_sel, nid, nxt, lookahead
+            )
+            z16 = nid & _TOKEN_MASK
+            has_room = fl <= n_slots - 2
+            lmg = lax.pmax(jnp.max(w_left), axis)
+            rmg = lax.pmax(jnp.max(w_right), axis)
+            lt_loc = jnp.min(jnp.where(
+                (w_left == lmg) & (lmg > 0),
+                (prev2 & _TOKEN_MASK).astype(jnp.int32), 0x7FFFFFFF))
+            rt_loc = jnp.min(jnp.where(
+                (w_right == rmg) & (rmg > 0),
+                (next2 & _TOKEN_MASK).astype(jnp.int32), 0x7FFFFFFF))
+            l_ok = has_room & (lmg > 0)
+            r_ok = has_room & (rmg > 0)
+            l_tok = jnp.where(l_ok, lax.pmin(lt_loc, axis).astype(_U32), _U32(_NO_EXCL))
+            r_tok = jnp.where(r_ok, lax.pmin(rt_loc, axis).astype(_U32), _U32(_NO_EXCL))
+            c_l = lax.psum(
+                jnp.sum(jnp.where((prev2 & _TOKEN_MASK) == l_tok, w_left, 0)), axis)
+            c_r = lax.psum(
+                jnp.sum(jnp.where((next2 & _TOKEN_MASK) == r_tok, w_right, 0)), axis)
+            w_left_x = jnp.where((prev2 & _TOKEN_MASK) == l_tok, 0, w_left)
+            w_right_x = jnp.where((next2 & _TOKEN_MASK) == r_tok, 0, w_right)
+            bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left_x)
+            bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right_x)
+            ub_merge = jnp.maximum(
+                _ub_from_bins(lax.psum(bins_l, axis)),
+                _ub_from_bins(lax.psum(bins_r, axis)),
+            )
+            l_pair = jnp.where(l_ok, (l_tok << _U32(16)) | z16, _INVALID)
+            r_pair = jnp.where(r_ok, (z16 << _U32(16)) | r_tok, _INVALID)
+            cnd2 = lax.dynamic_update_slice(
+                cnd, jnp.stack([l_pair, r_pair]),
+                (jnp.where(has_room, fl, n_slots - 2),),
+            )
+            cnd2 = jnp.where(has_room, cnd2, cnd)
+            fl2 = jnp.where(has_room, fl + 2, fl)
+            log2 = lax.dynamic_update_slice(
+                log, jnp.stack([pair_sel, nid, count.astype(_U32)])[None, :], (md, 0)
+            )
+            return ((sym2, w2, n2, ext2, dirty2, nid + _U32(1), md + 1, log2,
+                     cnd2, jnp.maximum(ub, ub_merge), fl2),
+                    ub_merge, c_l, c_r, next2)
 
         def one_merge(carry):
-            sym, w, n_l, ext_l, dirty_l, nid, stop, md, log, cnd, th, ub, rc = carry
+            (sym, w, n_l, ext_l, dirty_l, nid, stop, md, log, cnd, th, ub,
+             rc, fl, du) = carry
 
             pair_vec, w_vec, nxt = _masked_pairs(sym, w, ext_l, iota, lookahead)
 
@@ -101,8 +170,21 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
             cand_winner = jnp.min(jnp.where(cand_counts == m, cnd, _INVALID))
             certified = (m > th) & (m > ub) & (m >= 2)
 
+            # ── second winner for the dual-merge certificate (identical
+            # proof to the single-chip _one_merge: all quantities global) ──
+            counts2 = jnp.where(cnd == cand_winner, -1, cand_counts)
+            m2 = jnp.max(counts2)
+            q = jnp.min(jnp.where(counts2 == m2, cnd, _INVALID))
+            a1, b1 = cand_winner >> _U32(16), cand_winner & _TOKEN_MASK
+            qa, qb = q >> _U32(16), q & _TOKEN_MASK
+            disjoint = (qa != a1) & (qa != b1) & (qb != a1) & (qb != b1)
+            dual_pre = (
+                certified & disjoint & (m2 >= 2) & (m2 > th) & (m2 > ub)
+                & (nid + _U32(1) <= _TOKEN_MASK) & (md + 2 <= batch_merges)
+            )
+
             def from_candidates(_):
-                return cand_winner, m, cnd, th, ub
+                return cand_winner, m, cnd, th, ub, fl
 
             def full_recount(_):
                 sp, sw = lax.sort((pair_vec, w_vec), num_keys=1)
@@ -166,39 +248,48 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
                     return (cand2, bc2, theta2)
 
                 new_cand, count, new_theta = lax.cond(provable, sparse, dense, None)
-                return new_cand[0], count, new_cand, new_theta, jnp.asarray(0, jnp.int32)
+                new_cand = jnp.concatenate(
+                    [new_cand, jnp.full((S_CREATED,), _INVALID, _U32)]
+                )
+                return (new_cand[0], count, new_cand, new_theta,
+                        jnp.asarray(0, jnp.int32), jnp.asarray(K_CANDIDATES, jnp.int32))
 
-            best_pair, count, cnd2, th2, ub2 = lax.cond(
+            best_pair, count, cnd2, th2, ub2, fl2 = lax.cond(
                 certified, from_candidates, full_recount, None
             )
             rc2 = rc + jnp.where(certified, 0, 1)
             do_stop = (count < 2) | (nid > _TOKEN_MASK)
 
             def merge_branch(args):
-                sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2 = args
-                (sym2, w2, n2, ext2, dirty2,
-                 prev2, next2, w_left, w_right) = apply_merge_with_holes(
-                    sym, w, n_l, ext_l, dirty_l, best_pair, nid, nxt, lookahead
+                sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2, cnd2, fl2, du = args
+                st1, ub_merge1, c_l, c_r, next2 = merge_and_track(
+                    sym, w, n_l, ext_l, dirty_l, nid, md, log, cnd2, ub2, fl2,
+                    best_pair, count, nxt,
                 )
-                bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left)
-                bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right)
-                ub_merge = jnp.maximum(
-                    _ub_from_bins(lax.psum(bins_l, axis)),
-                    _ub_from_bins(lax.psum(bins_r, axis)),
-                )
-                log2 = lax.dynamic_update_slice(
-                    log, jnp.stack([best_pair, nid, count.astype(_U32)])[None, :], (md, 0)
-                )
-                return sym2, w2, n2, ext2, dirty2, nid + _U32(1), md + 1, log2, jnp.maximum(ub2, ub_merge)
+                dual = dual_pre & (m2 > ub_merge1) & (m2 > c_l) & (m2 > c_r)
+
+                def second(st):
+                    (sym1, w1, n1, ext1, dirty1, nid1, md1, log1, cnd1, ub1, fl1) = st
+                    st2, _u, _cl, _cr, _nx = merge_and_track(
+                        sym1, w1, n1, ext1, dirty1, nid1, md1, log1, cnd1, ub1, fl1,
+                        q, m2, next2,
+                    )
+                    return st2
+
+                st = lax.cond(dual, second, lambda s: s, st1)
+                (sym2, w2, n2, ext2, dirty2, nid2, md2, log2, cnd3, ub3, fl3) = st
+                du2 = du + jnp.where(dual, 1, 0)
+                return sym2, w2, n2, ext2, dirty2, nid2, md2, log2, ub3, cnd3, fl3, du2
 
             def stop_branch(args):
                 return args
 
-            sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2 = lax.cond(
+            sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2, cnd2, fl2, du = lax.cond(
                 do_stop, stop_branch, merge_branch,
-                (sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2),
+                (sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2, cnd2, fl2, du),
             )
-            return sym, w, n_l, ext_l, dirty_l, nid, stop | do_stop, md, log, cnd2, th2, ub2, rc2
+            return (sym, w, n_l, ext_l, dirty_l, nid, stop | do_stop, md, log,
+                    cnd2, th2, ub2, rc2, fl2, du)
 
         def cond(carry):
             stop, md = carry[6], carry[7]
@@ -208,18 +299,20 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
             cond,
             one_merge,
             (symbols, weights, n[0], extent[0], dirty[0], next_id, early_stop,
-             merges_done, merge_log, cand, theta, ub_new, recounts),
+             merges_done, merge_log, cand, theta, ub_new, recounts, fill, duals),
         )
-        sym, w, n_l, ext_l, dirty_l, nid, stop, md, log, cnd, th, ub, rc = out
-        return sym, w, n_l[None], ext_l[None], dirty_l[None], nid, stop, md, log, cnd, th, ub, rc
+        (sym, w, n_l, ext_l, dirty_l, nid, stop, md, log, cnd, th, ub, rc,
+         fl, du) = out
+        return (sym, w, n_l[None], ext_l[None], dirty_l[None], nid, stop, md,
+                log, cnd, th, ub, rc, fl, du)
 
     sharded = jax.shard_map(
         shard_step,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(), P(), P(), P(), P(), P(), P(), P(), P()),
+                  P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
-                   P(), P(), P(), P(), P(), P(), P(), P()),
+                   P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
 
@@ -240,9 +333,12 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
             state.theta,
             state.ub_new,
             state.recounts,
+            state.fill,
+            state.duals,
             batch_merges,
         )
-        sym, w, n, ext, dirty, nid, stop, md, log, cnd, th, ub, rc = out
+        (sym, w, n, ext, dirty, nid, stop, md, log, cnd, th, ub, rc,
+         fl, du) = out
         return DistState(
             symbols=sym.reshape(d, -1),
             weights=w.reshape(d, -1),
@@ -257,6 +353,8 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
             theta=th,
             ub_new=ub,
             recounts=rc,
+            fill=fl,
+            duals=du,
         )
 
     return batch
@@ -312,8 +410,10 @@ def init_dist_state(mesh: Mesh, symbols, weights, n, next_id, axis: str = "data"
         early_stop=jnp.asarray(False),
         merges_done=jnp.asarray(0, jnp.int32),
         merge_log=jnp.zeros((BATCH_MERGES, 3), _U32),
-        cand=jnp.zeros((K_CANDIDATES,), _U32),
+        cand=jnp.full((K_CANDIDATES + S_CREATED,), _INVALID, _U32),
         theta=jnp.asarray(_I32_MAX, jnp.int32),  # force a recount first
         ub_new=jnp.asarray(0, jnp.int32),
         recounts=jnp.asarray(0, jnp.int32),
+        fill=jnp.asarray(K_CANDIDATES, jnp.int32),
+        duals=jnp.asarray(0, jnp.int32),
     )

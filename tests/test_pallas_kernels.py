@@ -122,17 +122,20 @@ def test_garbage_tail_ignored():
 
 
 class TestTrackingKernels:
-    """Fused created-pair tracking kernels vs the jnp computations in
-    ops/train_step._merge_and_track (interpret mode)."""
+    """Fused created-pair tracking (merge_compact_tracked) vs the jnp
+    roll-based reference computations (interpret mode)."""
 
-    def _post_merge(self, rng, n=5000, z=300):
-        symf, wf = _random_stream(rng, n, alphabet=8)
-        # plant the "created token" z at some positions
-        idx = rng.choice(n, size=n // 20, replace=False)
-        symf[idx] = (symf[idx] & np.uint32(0x10000)) | np.uint32(z)
-        return jnp.asarray(symf), jnp.asarray(wf)
+    def _setup(self, rng, n=5000, pair=(5, 7), new_id=300):
+        symf, wf = _random_stream(rng, n, alphabet=10)
+        from gpu_bpe_tpu.ops.pallas_kernels import merge_compact_tracked
 
-    def _jnp_ref(self, sym2, w2, z, l_tok, r_tok):
+        sym2, w2, n2, bl, br, samp = merge_compact_tracked(
+            jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n),
+            jnp.uint32(pack_pair(*pair)), jnp.uint32(new_id), interpret=True,
+        )
+        return sym2, w2, int(n2), np.asarray(bl), np.asarray(br), np.asarray(samp)
+
+    def _jnp_ref(self, sym2, w2, z):
         from gpu_bpe_tpu.ops.train_step import _TOKEN_MASK, _WS_BIT
 
         tok2 = sym2 & _TOKEN_MASK
@@ -141,65 +144,69 @@ class TestTrackingKernels:
         next2 = jnp.roll(sym2, -1)
         wl = jnp.where(zm & ((sym2 & _WS_BIT) == 0), w2, 0)
         wr = jnp.where(zm & ((next2 & _WS_BIT) == 0), w2, 0)
-        c_l = jnp.sum(jnp.where((prev2 & _TOKEN_MASK) == jnp.uint32(l_tok), wl, 0))
-        c_r = jnp.sum(jnp.where((next2 & _TOKEN_MASK) == jnp.uint32(r_tok), wr, 0))
-        return wl, wr, prev2, next2, int(c_l), int(c_r)
+        return wl, wr, prev2, next2
+
+    @staticmethod
+    def _ref_hist(toks, wv):
+        from gpu_bpe_tpu.ops.pallas_kernels import _TRACK_SIDE
+
+        toks = np.asarray(toks).astype(np.uint64) & 0xFFFF
+        h = (((toks * 2654435761) & 0xFFFFFFFF) >> 16) & (_TRACK_SIDE * _TRACK_SIDE - 1)
+        out = np.zeros(_TRACK_SIDE * _TRACK_SIDE)
+        np.add.at(out, h.astype(int), np.asarray(wv))
+        return out.reshape(_TRACK_SIDE, _TRACK_SIDE)
+
+    def test_bins_match_roll_reference(self, rng):
+        sym2, w2, n2, bl, br, samp = self._setup(rng)
+        wl, wr, prev2, next2 = self._jnp_ref(sym2, w2, 300)
+        assert np.allclose(bl, self._ref_hist(prev2, wl))
+        assert np.allclose(br, self._ref_hist(next2, wr))
 
     def test_sample_matches_argmax_weight(self, rng):
-        from gpu_bpe_tpu.ops.pallas_kernels import track_sample
-
-        sym2, w2 = self._post_merge(rng)
-        out = np.asarray(track_sample(sym2, w2, jnp.uint32(300), interpret=True))
-        wl, wr, prev2, next2, _, _ = self._jnp_ref(sym2, w2, 300, 0, 0)
-        assert out[0] == int(jnp.max(wl))
-        assert out[2] == int(jnp.max(wr))
-        # the sampled token must be a neighbor token at SOME max position
         from gpu_bpe_tpu.ops.train_step import _TOKEN_MASK
 
-        lmax_toks = np.asarray(jnp.where(wl == out[0], prev2 & _TOKEN_MASK, 0xFFFF))
-        rmax_toks = np.asarray(jnp.where(wr == out[2], next2 & _TOKEN_MASK, 0xFFFF))
-        if out[0] > 0:
-            assert out[1] in lmax_toks
-        if out[2] > 0:
-            assert out[3] in rmax_toks
+        sym2, w2, n2, bl, br, samp = self._setup(rng)
+        wl, wr, prev2, next2 = self._jnp_ref(sym2, w2, 300)
+        assert samp[0] == int(jnp.max(wl))
+        assert samp[2] == int(jnp.max(wr))
+        if samp[0] > 0:
+            lmax_toks = np.asarray(jnp.where(wl == samp[0], prev2 & _TOKEN_MASK, 0xFFFF))
+            assert samp[1] in lmax_toks
+        if samp[2] > 0:
+            rmax_toks = np.asarray(jnp.where(wr == samp[2], next2 & _TOKEN_MASK, 0xFFFF))
+            assert samp[3] in rmax_toks
 
-    def test_bins_and_sums(self, rng):
-        from gpu_bpe_tpu.ops.pallas_kernels import _TRACK_SIDE as _UB_SIDE, track_bins
-        from gpu_bpe_tpu.ops.train_step import _TOKEN_MASK, _WS_BIT
+    def test_exclusion_subtract_equals_in_stream(self, rng):
+        # subtracting the sampled pair's exact count from its bin must
+        # equal a histogram built with that pair's mass zeroed
+        from gpu_bpe_tpu.ops.train_step import _TOKEN_MASK
 
-        sym2, w2 = self._post_merge(rng)
-        l_tok, r_tok = 3, 5
-        bl, br, sums = track_bins(
-            sym2, w2, jnp.uint32(300), jnp.uint32(l_tok), jnp.uint32(r_tok), interpret=True
-        )
-        wl, wr, prev2, next2, c_l, c_r = self._jnp_ref(sym2, w2, 300, l_tok, r_tok)
-        assert int(sums[0]) == c_l and int(sums[1]) == c_r
-        # reference histogram with the kernel's bin count
-        def ref_hist(toks, wv, excl):
-            toks = np.asarray(toks & _TOKEN_MASK).astype(np.uint64)
-            wv = np.asarray(jnp.where((toks.astype(np.uint32) == excl), 0, wv))
-            h = ((toks * 2654435761) & 0xFFFFFFFF) >> 16
-            h = h & (_UB_SIDE * _UB_SIDE - 1)
-            out = np.zeros(_UB_SIDE * _UB_SIDE)
-            np.add.at(out, h.astype(int), wv)
-            return out
-        half = ((_UB_SIDE * _UB_SIDE).bit_length() - 1) // 2
-        got_l = np.asarray(bl)
-        ref_l = ref_hist(prev2, wl, l_tok).reshape(_UB_SIDE, _UB_SIDE)
-        assert np.allclose(got_l, ref_l)
-        got_r = np.asarray(br)
-        ref_r = ref_hist(next2, wr, r_tok).reshape(_UB_SIDE, _UB_SIDE)
-        assert np.allclose(got_r, ref_r)
+        sym2, w2, n2, bl, br, samp = self._setup(rng)
+        wl, wr, prev2, next2 = self._jnp_ref(sym2, w2, 300)
+        l_tok = int(samp[1])
+        c_l = int(jnp.sum(jnp.where((prev2 & _TOKEN_MASK) == l_tok, wl, 0)))
+        h = (((l_tok * 2654435761) & 0xFFFFFFFF) >> 16) & 255
+        bl_sub = bl.copy(); bl_sub[h >> 4, h & 15] -= c_l
+        wl_x = jnp.where((prev2 & _TOKEN_MASK) == l_tok, 0, wl)
+        assert np.allclose(bl_sub, self._ref_hist(prev2, wl_x))
 
     def test_no_z_positions(self, rng):
-        from gpu_bpe_tpu.ops.pallas_kernels import track_bins, track_sample
+        from gpu_bpe_tpu.ops.pallas_kernels import merge_compact_tracked
 
         symf, wf = _random_stream(rng, 3000, alphabet=8)
-        sym2, w2 = jnp.asarray(symf), jnp.asarray(wf)
-        out = np.asarray(track_sample(sym2, w2, jnp.uint32(999), interpret=True))
-        assert out[0] <= 0 and out[2] <= 0
-        bl, br, sums = track_bins(
-            sym2, w2, jnp.uint32(999), jnp.uint32(0x10000), jnp.uint32(0x10000), interpret=True
+        symf = np.where((symf & 0xFFFF) == 5, 6, symf).astype(np.uint32)  # no (5,7) pairs
+        sym2, w2, n2, bl, br, samp = merge_compact_tracked(
+            jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(3000),
+            jnp.uint32(pack_pair(5, 7)), jnp.uint32(999), interpret=True,
         )
-        assert float(jnp.max(bl)) == 0 and float(jnp.max(br)) == 0
-        assert int(sums[0]) == 0 and int(sums[1]) == 0
+        assert samp[0] <= 0 and samp[2] <= 0
+        assert float(np.max(np.asarray(bl))) == 0
+        assert float(np.max(np.asarray(br))) == 0
+
+    def test_multiblock_boundaries(self, rng):
+        # stream larger than one kernel block: cross-window pairs counted once
+        sym2, w2, n2, bl, br, samp = self._setup(rng, n=3 * BLOCK // 2 + 77)
+        wl, wr, prev2, next2 = self._jnp_ref(sym2, w2, 300)
+        assert np.allclose(bl, self._ref_hist(prev2, wl))
+        assert np.allclose(br, self._ref_hist(next2, wr))
+        assert samp[0] == int(jnp.max(wl))
