@@ -747,19 +747,29 @@ int decoder_is_confusable(uint32_t cp) {
   return sparse_map(kConfusableCp, kConfusableSkel, kConfusableCount, cp) >= 0;
 }
 
-// 1 if the two strings are confusable (equal skeletons after case fold).
+// 1 if the two strings are confusable (equal skeletons). Skeleton =
+// NFKD (native tables: folds fullwidth, mathematical alphanumerics,
+// ligatures, enclosed forms) -> full case fold -> curated homoglyph map,
+// with combining marks dropped (zalgo-style decorations don't defeat it).
+static void skeleton_str(const uint32_t* s, int64_t n, std::vector<uint32_t>& out) {
+  uint32_t buf[4];
+  std::vector<uint32_t> dec;
+  for (int64_t i = 0; i < n; i++) {
+    dec.clear();
+    decompose_cp(skeleton_cp(s[i]), dec, /*compat=*/true);
+    for (uint32_t d : dec) {
+      if (ccc_of(d) != 0) continue;  // strip combining decorations
+      int m = decoder_case_fold_full(skeleton_cp(d), buf, 4);
+      for (int k = 0; k < m; k++) out.push_back(skeleton_cp(buf[k]));
+    }
+  }
+}
+
 int decoder_check_confusables(const uint32_t* a, int64_t an,
                               const uint32_t* b, int64_t bn) {
   std::vector<uint32_t> sa, sb;
-  uint32_t buf[4];
-  for (int64_t i = 0; i < an; i++) {
-    int n = decoder_case_fold_full(skeleton_cp(a[i]), buf, 4);
-    for (int k = 0; k < n; k++) sa.push_back(skeleton_cp(buf[k]));
-  }
-  for (int64_t i = 0; i < bn; i++) {
-    int n = decoder_case_fold_full(skeleton_cp(b[i]), buf, 4);
-    for (int k = 0; k < n; k++) sb.push_back(skeleton_cp(buf[k]));
-  }
+  skeleton_str(a, an, sa);
+  skeleton_str(b, bn, sb);
   return sa == sb;
 }
 

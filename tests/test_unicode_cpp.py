@@ -379,3 +379,23 @@ class TestUAX29Exact:
         assert cpp.count_graphemes("👨‍👩‍👧‍👦") == 1
         assert cpp.count_sentences("One. Two! Three?") == 3
         assert cpp.count_sentences("Mr. Smith is here.") == 2  # vanilla UAX #29
+
+
+class TestConfusablesWidened:
+    """Skeleton = NFKD -> case fold -> curated homoglyph map, combining
+    marks stripped — covers the spoof classes reachable without the UTS
+    #39 data file (unavailable offline)."""
+
+    @pytest.mark.parametrize("a,b,want", [
+        ("pаypal", "paypal", True),       # Cyrillic homoglyph
+        ("𝓅𝒶𝓎𝓅𝒶𝓁", "paypal", True),     # mathematical script via NFKD
+        ("𝗉𝖺𝗒𝗉𝖺𝗅", "paypal", True),      # mathematical sans-serif
+        ("ｐａｙｐａｌ", "paypal", True),   # fullwidth
+        ("ﬁle", "FILE", True),            # ligature + case fold
+        ("p̷a̷y̷p̷a̷l̷", "paypal", True),  # combining decorations stripped
+        ("ⓟⓐⓨⓟⓐⓛ", "paypal", True),      # circled letters
+        ("paypal", "paypa1", False),
+        ("спасибо", "spasibo", False),    # real Cyrillic word, not a spoof
+    ])
+    def test_pairs(self, cpp, a, b, want):
+        assert cpp.check_confusables(a, b) == want
