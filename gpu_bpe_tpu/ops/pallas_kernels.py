@@ -114,6 +114,7 @@ def _merge_compact_kernel(
     bins_acc,  # VMEM scratch [2*TRACK_SIDE, TRACK_SIDE] f32
     samp_state,  # SMEM scratch [4] i32 — running (max, tok) x 2
     bound_ref,  # SMEM scratch [2] i32 — stream tail (sym, w) across steps
+    disp_ref,  # VMEM scratch [ROWS, 128] i32 — displacement (valid iff n_rem>0)
 ):
     i = pl.program_id(0)
     tok_mask = jnp.uint32(TOKEN_MASK)
@@ -162,19 +163,26 @@ def _merge_compact_kernel(
 
     # exclusive flat prefix sum of removals = leftward displacement.
     # Hierarchical: 7 lane-prefix rounds on the full tile + a tiny cumsum
-    # down the 256 row totals (vs 15 full-tile rounds flat).
-    lane = lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
-    lane_inc = rem_i
-    for s in (1, 2, 4, 8, 16, 32, 64):
-        lane_inc = lane_inc + jnp.where(lane >= s, pltpu.roll(lane_inc, s, axis=1), 0)
-    row_tot = lane_inc[:, _LANES - 1 :]  # [ROWS, 1] inclusive row sums
-    row_iota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
-    row_inc = row_tot
-    s = 1
-    while s < _ROWS:
-        row_inc = row_inc + jnp.where(row_iota >= s, pltpu.roll(row_inc, s, axis=0), 0)
-        s <<= 1
-    disp = lane_inc + (row_inc - row_tot) - rem_i
+    # down the 256 row totals (vs 15 full-tile rounds flat). Computed into
+    # scratch ONLY when the block removes anything: with n_rem == 0 the
+    # shift loop runs 0 rounds and the packed disp bits are stripped
+    # unread, so stale scratch is harmless.
+    @pl.when(n_rem > 0)
+    def _prefix():
+        lane = lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
+        lane_inc = rem_i
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            lane_inc = lane_inc + jnp.where(lane >= s, pltpu.roll(lane_inc, s, axis=1), 0)
+        row_tot = lane_inc[:, _LANES - 1 :]  # [ROWS, 1] inclusive row sums
+        row_iota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
+        row_inc = row_tot
+        s = 1
+        while s < _ROWS:
+            row_inc = row_inc + jnp.where(row_iota >= s, pltpu.roll(row_inc, s, axis=0), 0)
+            s <<= 1
+        disp_ref[:] = lane_inc + (row_inc - row_tot) - rem_i
+
+    disp = disp_ref[:]
 
     # stable log-shift compaction: valid movers never collide (see module
     # docstring); garbage slots may be overwritten freely. The displacement
@@ -303,45 +311,54 @@ def _merge_compact_kernel(
     wl = jnp.where(v_ok & (v_tok == z16), v_w, 0)
     wr = jnp.where(v_ok & (u_tok == z16), u_w, 0)
 
-    def upd(base, wv, toks):
-        blk_max = jnp.max(wv)
-        blk_tok = jnp.min(jnp.where(wv == blk_max, toks.astype(jnp.int32), 0x7FFFFFFF))
+    # Skip the whole tracking section for windows with no created-token
+    # mass. Late-training merges rewrite a few hundred positions spread
+    # over the stream, so MOST 32K windows carry zero Z mass — and the
+    # one-hot builds below are roughly half the kernel's per-block work.
+    lmax = jnp.max(wl)
+    rmax = jnp.max(wr)
 
-        @pl.when(blk_max > samp_state[base])
-        def _():
-            samp_state[base] = blk_max
-            samp_state[base + 1] = blk_tok
+    @pl.when((lmax > 0) | (rmax > 0))
+    def _track():
+        def upd(base, blk_max, wv, toks):
+            blk_tok = jnp.min(jnp.where(wv == blk_max, toks.astype(jnp.int32), 0x7FFFFFFF))
 
-    upd(0, wl, u_tok)
-    upd(2, wr, v_tok)
+            @pl.when(blk_max > samp_state[base])
+            def _():
+                samp_state[base] = blk_max
+                samp_state[base + 1] = blk_tok
 
-    # hashed one-hot histograms on the MXU ([side, B] orientation — the
-    # form Mosaic lowers; one-hots live only in VMEM). Both histograms key
-    # by u's token: the right-pair sum Σ_p onehot(v_tok[p])·wr[p] reindexes
-    # to Σ_p' onehot(u_tok[p'])·wr[p'-1], so ONE pair of token one-hots
-    # serves both sides (the left/right weights differ, the compares —
-    # the expensive part — are shared).
-    side = _TRACK_SIDE
-    nbins = side * side
-    half = (nbins.bit_length() - 1) // 2
-    io = lax.broadcasted_iota(jnp.int32, (side, _BIG), 0)
-    toks = u_tok.reshape(_BIG)
-    h = ((toks * jnp.uint32(2654435761)) >> jnp.uint32(16)) & jnp.uint32(nbins - 1)
-    hi = (h >> jnp.uint32(half)).astype(jnp.int32)
-    lo = (h & jnp.uint32((1 << half) - 1)).astype(jnp.int32)
-    oh_hi = (jnp.broadcast_to(hi, (side, _BIG)) == io).astype(jnp.float32)
-    oh_lo = (jnp.broadcast_to(lo, (side, _BIG)) == io).astype(jnp.float32)
-    wl_f = wl.reshape(_BIG).astype(jnp.float32)
-    wr_prev = _fshift(wr, 1).reshape(_BIG).astype(jnp.float32)
-    a_l = oh_hi * jnp.broadcast_to(wl_f, (side, _BIG))
-    a_r = oh_hi * jnp.broadcast_to(wr_prev, (side, _BIG))
-    dot = functools.partial(
-        lax.dot_general,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    bins_acc[:side, :] = bins_acc[:side, :] + dot(a_l, oh_lo)
-    bins_acc[side:, :] = bins_acc[side:, :] + dot(a_r, oh_lo)
+        upd(0, lmax, wl, u_tok)
+        upd(2, rmax, wr, v_tok)
+
+        # hashed one-hot histograms on the MXU ([side, B] orientation —
+        # the form Mosaic lowers; one-hots live only in VMEM). Both
+        # histograms key by u's token: the right-pair sum
+        # Σ_p onehot(v_tok[p])·wr[p] reindexes to
+        # Σ_p' onehot(u_tok[p'])·wr[p'-1], so ONE pair of token one-hots
+        # serves both sides (the left/right weights differ, the compares
+        # — the expensive part — are shared).
+        side = _TRACK_SIDE
+        nbins = side * side
+        half = (nbins.bit_length() - 1) // 2
+        io = lax.broadcasted_iota(jnp.int32, (side, _BIG), 0)
+        toks = u_tok.reshape(_BIG)
+        h = ((toks * jnp.uint32(2654435761)) >> jnp.uint32(16)) & jnp.uint32(nbins - 1)
+        hi = (h >> jnp.uint32(half)).astype(jnp.int32)
+        lo = (h & jnp.uint32((1 << half) - 1)).astype(jnp.int32)
+        oh_hi = (jnp.broadcast_to(hi, (side, _BIG)) == io).astype(jnp.float32)
+        oh_lo = (jnp.broadcast_to(lo, (side, _BIG)) == io).astype(jnp.float32)
+        wl_f = wl.reshape(_BIG).astype(jnp.float32)
+        wr_prev = _fshift(wr, 1).reshape(_BIG).astype(jnp.float32)
+        a_l = oh_hi * jnp.broadcast_to(wl_f, (side, _BIG))
+        a_r = oh_hi * jnp.broadcast_to(wr_prev, (side, _BIG))
+        dot = functools.partial(
+            lax.dot_general,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bins_acc[:side, :] = bins_acc[:side, :] + dot(a_l, oh_lo)
+        bins_acc[side:, :] = bins_acc[side:, :] + dot(a_r, oh_lo)
 
     # boundary carry: the stream's last element so far (window slot total-1)
     @pl.when(total > 0)
@@ -410,6 +427,7 @@ def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
                 pltpu.VMEM((2 * _TRACK_SIDE, _TRACK_SIDE), jnp.float32),
                 pltpu.SMEM((4,), jnp.int32),
                 pltpu.SMEM((2,), jnp.int32),
+                pltpu.VMEM((_ROWS, _LANES), jnp.int32),
             ],
         ),
         out_shape=[
