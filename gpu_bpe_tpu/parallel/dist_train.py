@@ -62,6 +62,7 @@ from ..ops.train_step import (
     _run_totals,
     _ub_bins,
     _ub_from_bins,
+    _use_pallas,
     apply_merge_with_holes,
 )
 
@@ -100,7 +101,14 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
         # inside shard_map: symbols [CAP/D]; n/extent/dirty [1] (this shard)
         cap = symbols.shape[0]
         iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
-        lookahead = COMPACT_EVERY
+        # On TPU the fused Pallas kernel runs per shard inside shard_map
+        # (validated on a 1-device mesh: bitwise-identical to the
+        # single-chip path; note donation of sharded state must stay off —
+        # see parallel/trainer.py). The jnp deferred-compaction path
+        # serves CPU execution and the virtual-mesh tests, or
+        # GPU_BPE_TPU_NO_PALLAS=1.
+        use_pallas = _use_pallas()
+        lookahead = 0 if use_pallas else COMPACT_EVERY
         n_slots = K_CANDIDATES + S_CREATED
 
         def merge_and_track(sym, w, n_l, ext_l, dirty_l, nid, md, log, cnd,
@@ -111,20 +119,39 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
             global count (psum), histogram exclusion, psum'd ceiling bins,
             scratch append, and the merge-log entry. Mirrors the
             single-chip ``_merge_and_track``."""
-            (sym2, w2, n2, ext2, dirty2,
-             prev2, next2, w_left, w_right) = apply_merge_with_holes(
-                sym, w, n_l, ext_l, dirty_l, pair_sel, nid, nxt, lookahead
-            )
             z16 = nid & _TOKEN_MASK
+            if use_pallas:
+                from ..ops.pallas_kernels import merge_compact_tracked
+
+                sym2, w2, n2, bins_l, bins_r, samp = merge_compact_tracked(
+                    sym, w, n_l, pair_sel, nid
+                )
+                ext2, dirty2 = n2, jnp.asarray(0, jnp.int32)
+                prev2 = jnp.roll(sym2, 1)
+                next2 = jnp.roll(sym2, -1)
+                tok2 = sym2 & _TOKEN_MASK
+                z_mask = tok2 == z16
+                w_left = jnp.where(z_mask & ((sym2 & _WS_BIT) == 0), w2, 0)
+                w_right = jnp.where(z_mask & ((next2 & _WS_BIT) == 0), w2, 0)
+                lmg = lax.pmax(samp[0], axis)
+                rmg = lax.pmax(samp[2], axis)
+                lt_loc = jnp.where(samp[0] == lmg, samp[1], 0x7FFFFFFF)
+                rt_loc = jnp.where(samp[2] == rmg, samp[3], 0x7FFFFFFF)
+            else:
+                (sym2, w2, n2, ext2, dirty2,
+                 prev2, next2, w_left, w_right) = apply_merge_with_holes(
+                    sym, w, n_l, ext_l, dirty_l, pair_sel, nid, nxt, lookahead
+                )
+                bins_l = bins_r = None
+                lmg = lax.pmax(jnp.max(w_left), axis)
+                rmg = lax.pmax(jnp.max(w_right), axis)
+                lt_loc = jnp.min(jnp.where(
+                    (w_left == lmg) & (lmg > 0),
+                    (prev2 & _TOKEN_MASK).astype(jnp.int32), 0x7FFFFFFF))
+                rt_loc = jnp.min(jnp.where(
+                    (w_right == rmg) & (rmg > 0),
+                    (next2 & _TOKEN_MASK).astype(jnp.int32), 0x7FFFFFFF))
             has_room = fl <= n_slots - 2
-            lmg = lax.pmax(jnp.max(w_left), axis)
-            rmg = lax.pmax(jnp.max(w_right), axis)
-            lt_loc = jnp.min(jnp.where(
-                (w_left == lmg) & (lmg > 0),
-                (prev2 & _TOKEN_MASK).astype(jnp.int32), 0x7FFFFFFF))
-            rt_loc = jnp.min(jnp.where(
-                (w_right == rmg) & (rmg > 0),
-                (next2 & _TOKEN_MASK).astype(jnp.int32), 0x7FFFFFFF))
             l_ok = has_room & (lmg > 0)
             r_ok = has_room & (rmg > 0)
             l_tok = jnp.where(l_ok, lax.pmin(lt_loc, axis).astype(_U32), _U32(_NO_EXCL))
@@ -133,14 +160,30 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
                 jnp.sum(jnp.where((prev2 & _TOKEN_MASK) == l_tok, w_left, 0)), axis)
             c_r = lax.psum(
                 jnp.sum(jnp.where((next2 & _TOKEN_MASK) == r_tok, w_right, 0)), axis)
-            w_left_x = jnp.where((prev2 & _TOKEN_MASK) == l_tok, 0, w_left)
-            w_right_x = jnp.where((next2 & _TOKEN_MASK) == r_tok, 0, w_right)
-            bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left_x)
-            bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right_x)
-            ub_merge = jnp.maximum(
-                _ub_from_bins(lax.psum(bins_l, axis)),
-                _ub_from_bins(lax.psum(bins_r, axis)),
-            )
+            if use_pallas:
+                # kernel histograms are unexcluded; subtract each sampled
+                # pair's exact global count from its bin after the psum
+                def _excl(bins, tok, c):
+                    nb = bins.shape[0] * bins.shape[1]
+                    h = ((tok * _U32(2654435761)) >> _U32(16)) & _U32(nb - 1)
+                    half = (nb.bit_length() - 1) // 2
+                    return bins.at[(h >> _U32(half)).astype(jnp.int32),
+                                   (h & _U32((1 << half) - 1)).astype(jnp.int32)].add(
+                        -c.astype(jnp.float32))
+
+                ub_merge = jnp.maximum(
+                    _ub_from_bins(_excl(lax.psum(bins_l, axis), l_tok, c_l)),
+                    _ub_from_bins(_excl(lax.psum(bins_r, axis), r_tok, c_r)),
+                )
+            else:
+                w_left_x = jnp.where((prev2 & _TOKEN_MASK) == l_tok, 0, w_left)
+                w_right_x = jnp.where((next2 & _TOKEN_MASK) == r_tok, 0, w_right)
+                bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left_x)
+                bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right_x)
+                ub_merge = jnp.maximum(
+                    _ub_from_bins(lax.psum(bins_l, axis)),
+                    _ub_from_bins(lax.psum(bins_r, axis)),
+                )
             l_pair = jnp.where(l_ok, (l_tok << _U32(16)) | z16, _INVALID)
             r_pair = jnp.where(r_ok, (z16 << _U32(16)) | r_tok, _INVALID)
             cnd2 = lax.dynamic_update_slice(

@@ -61,7 +61,12 @@ class DistributedTrainer:
         if self._batch is None:
             import jax
 
-            self._batch = jax.jit(make_dist_train_batch(self.mesh, axis), donate_argnums=(0,))
+            # no buffer donation here: donating sharded state into a
+            # shard_map program fails at execute time on the tunneled TPU
+            # used for validation (plain jit donation works fine — the
+            # single-chip trainer keeps it). Cost: one transient copy of
+            # the sharded arrays per batch. Re-evaluate on a physical pod.
+            self._batch = jax.jit(make_dist_train_batch(self.mesh, axis))
 
         merges: list[tuple[int, int, int]] = []
         merge_counts: list[int] = []
