@@ -40,12 +40,18 @@ _PAGE_TOKENS = 1 << 21  # u16 tokens per device->host fetch page (4 MB)
 
 # Above this many multi-byte tokens the O(vocab)-per-position dense join is
 # replaced by the sorted interval-stabbing join (O((N+V) log) regardless of
-# vocab size) for token lengths 2..16; longer tokens stay on the dense join.
+# vocab size) for token lengths 2..14; longer tokens stay on the dense join.
 _DENSE_VOCAB_CUTOFF = 2048
 _STAB_MAX_LEN = 8  # one stab level covers lengths 2..8 (8-byte sort keys)
 _GROUP_DEPTH = _STAB_MAX_LEN + 1  # overlay slot carrying the prefix-group id
-_STAB_MAX_TOTAL = 16  # two levels: 8-byte prefix group + 1..8-byte suffix
-_NO_GROUP = jnp.uint32(0xFFFFFFFF)
+# Level 2 covers suffixes of 1..6 bytes (token lengths 9..14): the
+# (group id, suffix) key then packs into 16+48 = 64 bits = TWO sort words
+# + the packed flag word — the same 3-operand sort as level 1. A wider
+# suffix needs a 4th sort operand, whose compile time explodes on TPU
+# (measured ~20 min per shape vs ~1 min for 3 operands).
+_STAB_MAX_SUFFIX = 6
+_STAB_MAX_TOTAL = _STAB_MAX_LEN + _STAB_MAX_SUFFIX
+_NO_GROUP = jnp.uint32(0xFFFF)  # group ids are 16-bit (asserted)
 
 
 def _pack_keys(token: bytes) -> np.ndarray:
@@ -68,7 +74,7 @@ class MatchTables:
     max_token_len: int
     byte_ids: np.ndarray  # [256] id of the single-byte token or -1
     byte_ids_identity: bool  # True when byte_ids[b] == b for all b
-    stab: dict | None  # interval rows for lengths 2..16 (large vocabs)
+    stab: dict | None  # interval rows for lengths 2..14 (large vocabs)
     dense_lengths: list[int]  # lengths served by the dense join
 
     @classmethod
@@ -116,15 +122,15 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
     intervals nest, so the sorted stream of opens/positions/closes is a
     balanced-parens structure.
 
-    Level 2 (lengths 9..16): each long token splits into an 8-byte prefix
-    and a 1..8-byte suffix. Distinct prefixes become *group* rows in level
+    Level 2 (lengths 9..14): each long token splits into an 8-byte prefix
+    and a 1..6-byte suffix. Distinct prefixes become *group* rows in level
     1 at pseudo-depth ``_GROUP_DEPTH`` with open == close == prefix (exact
     8-byte window equality), carrying a compact group id. The level-2 join
-    then matches (group id, suffix window at pos+8) against (group id,
-    suffix interval) rows — the same balanced-parens structure per group,
-    with depth = suffix length, so 16-byte coverage costs one extra sort
-    instead of widening the level-1 sort keys (multi-operand sort compile
-    time explodes with key count on TPU).
+    then matches (gid<<16 | suffix window at pos+8) against matching
+    suffix-interval rows — the same balanced-parens structure per group,
+    with depth = suffix length, packed into two u32 key words so BOTH
+    sorts stay 3-operand (multi-operand sort compile time explodes with
+    operand count on TPU: a 4th operand measured ~20x).
 
     Row counts are padded to powers of two with inert rows (max key,
     depth-0 close) so every model reuses the same compiled-shape ladder."""
@@ -144,8 +150,9 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
             prefix, suffix = entry[:8], entry[8:]
             gid = groups.setdefault(prefix, len(groups))
             l_gids.append(gid)
-            l_opens.append(np.frombuffer(suffix + b"\x00" * (8 - len(suffix)), dtype=np.uint8))
-            l_closes.append(np.frombuffer(suffix + b"\xff" * (8 - len(suffix)), dtype=np.uint8))
+            pad = _STAB_MAX_SUFFIX - len(suffix)
+            l_opens.append(np.frombuffer(suffix + b"\x00" * pad, dtype=np.uint8))
+            l_closes.append(np.frombuffer(suffix + b"\xff" * pad, dtype=np.uint8))
             l_lns.append(len(suffix))
             l_ids.append(token_id)
     assert len(groups) < 0xFFFF, "too many distinct 8-byte prefixes for u16 group ids"
@@ -181,20 +188,31 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
         "long_count": 0,
     }
 
-    # level-2 rows: long-token suffix intervals within their prefix group
+    # level-2 rows: long-token suffix intervals within their prefix group,
+    # packed as (gid<<16 | s0<<8 | s1, s2..s5) — two u32 key words
     if l_ids:
         lv = len(l_ids)
         lpad_to = 1 << max(8, (lv - 1).bit_length())
         lpad = lpad_to - lv
-        lob = np.concatenate([np.stack(l_opens), np.full((lpad, 8), 255, np.uint8)]).astype(np.uint32)
-        lcb = np.concatenate([np.stack(l_closes), np.full((lpad, 8), 255, np.uint8)]).astype(np.uint32)
+        lob = np.concatenate(
+            [np.stack(l_opens), np.full((lpad, _STAB_MAX_SUFFIX), 255, np.uint8)]
+        ).astype(np.uint32)
+        lcb = np.concatenate(
+            [np.stack(l_closes), np.full((lpad, _STAB_MAX_SUFFIX), 255, np.uint8)]
+        ).astype(np.uint32)
+        gid_arr = np.concatenate(
+            [np.array(l_gids, np.uint32), np.full(lpad, 0xFFFF, np.uint32)]
+        )
+
+        def pack6(b):  # [V, 6] bytes + gids -> [V, 2] u32 key words
+            w0 = (gid_arr << 16) | (b[:, 0] << 8) | b[:, 1]
+            w1 = (b[:, 2] << 24) | (b[:, 3] << 16) | (b[:, 4] << 8) | b[:, 5]
+            return np.stack([w0, w1], axis=1)
+
         out.update(
             long_count=lpad_to,
-            long_gid=np.concatenate(
-                [np.array(l_gids, np.uint32), np.full(lpad, 0xFFFFFFFF, np.uint32)]
-            ),
-            long_open=pack(lob),
-            long_close=pack(lcb),
+            long_open=pack6(lob),
+            long_close=pack6(lcb),
             long_ln=np.concatenate([np.array(l_lns, np.uint32), np.zeros(lpad, np.uint32)]),
             long_id=np.concatenate([np.array(l_ids, np.uint32), np.zeros(lpad, np.uint32)]),
         )
@@ -270,24 +288,26 @@ def _deepest_fit(vals, openb, spay, sflag, input_len, chunk_size: int,
 
 
 def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_size: int):
-    """Longest in-chunk match per position for token lengths 2..16 via the
+    """Longest in-chunk match per position for token lengths 2..14 via the
     sorted interval-stabbing join — O((N+V) log(N+V)) independent of vocab
-    size (the dense join is O(N*V) and serves lengths > 16). Returns packed
+    size (the dense join is O(N*V) and serves lengths > 14). Returns packed
     (len << 16 | id) per position, 0 where no match.
 
     Level 1: one 3-key sort orders vocab opens (flag 0), positions (flag
     1), and vocab closes (flag 2) by 8-byte key; a balanced-parens overlay
     scan then gives each position its deepest in-chunk prefix of length
     2..8 AND (at pseudo-depth 9) the group id of its exact 8-byte window
-    when some 9..16-byte token starts with it. Level 2: a second sort of
-    (gid, suffix window at pos+8, flag) against long-token suffix interval
-    rows resolves lengths 9..16 with depth = suffix length. A final 1-key
-    sort restores position order. No gathers.
+    when some 9..14-byte token starts with it. Level 2: a second 3-key
+    sort of (gid<<16 | 6-byte suffix window at pos+8, flag) against
+    long-token suffix interval rows resolves lengths 9..14 with depth =
+    suffix length (both sorts stay 3-operand: a 4th operand multiplies
+    TPU sort compile time ~20x). A final 1-key sort restores position
+    order. No gathers.
     """
     n = data_u32.shape[0]
     assert n < (1 << 25), "single pass capped at 2^25 positions (payload packing)"
     has_long = stab.get("long_count", 0) > 0
-    shifted = [jnp.roll(data_u32, -k) for k in range(16 if has_long else 8)]
+    shifted = [jnp.roll(data_u32, -k) for k in range(8 + _STAB_MAX_SUFFIX if has_long else 8)]
 
     def pack_words(base):
         return [
@@ -336,35 +356,38 @@ def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_siz
     packed1 = packed_sorted[:n]
     gid_pos = gid_sorted[:n]
 
-    # ── level 2: (gid, suffix window at pos+8) vs suffix interval rows ──
+    # ── level 2: (gid, 6-byte suffix window at pos+8) vs suffix interval
+    # rows, packed into TWO key words (gid<<16 | s0<<8 | s1, s2..s5) so
+    # the sort stays 3-operand like level 1 ──
     lv = stab["long_count"]
-    lgid = jnp.asarray(stab["long_gid"])
     low = jnp.asarray(stab["long_open"])
     lcw = jnp.asarray(stab["long_close"])
     lln = jnp.asarray(stab["long_ln"])
     lid = jnp.asarray(stab["long_id"])
-    sw = pack_words(8)
+    s8, s9 = shifted[8], shifted[9]
+    sw0 = (gid_pos << jnp.uint32(16)) | (s8 << jnp.uint32(8)) | s9
+    sw1 = ((shifted[10] << jnp.uint32(24)) | (shifted[11] << jnp.uint32(16))
+           | (shifted[12] << jnp.uint32(8)) | shifted[13])
 
-    g0 = jnp.concatenate([gid_pos, lgid, lgid])
-    g1 = jnp.concatenate([sw[0], low[:, 0], lcw[:, 0]])
-    g2 = jnp.concatenate([sw[1], low[:, 1], lcw[:, 1]])
+    g0 = jnp.concatenate([sw0, low[:, 0], lcw[:, 0]])
+    g1 = jnp.concatenate([sw1, low[:, 1], lcw[:, 1]])
     gp = jnp.concatenate([
         _k3(jnp.uint32(1), jnp.uint32(0), iota),
         _k3(jnp.uint32(0), lln, lid),
         _k3(jnp.uint32(2), lln, lid),
     ])
-    _, _, _, skp2 = lax.sort((g0, g1, g2, gp), num_keys=4)
+    _, _, skp2 = lax.sort((g0, g1, gp), num_keys=3)
     sflag2 = skp2 >> jnp.uint32(30)
     m2 = n + 2 * lv
-    vals2, openb2, spay2 = _paren_overlay(sflag2, skp2, m2, _STAB_MAX_LEN + 1)
+    vals2, openb2, spay2 = _paren_overlay(sflag2, skp2, m2, _STAB_MAX_SUFFIX + 1)
     packed2 = _deepest_fit(
-        vals2, openb2, spay2, sflag2, input_len, chunk_size, _STAB_MAX_LEN, _STAB_MAX_LEN
+        vals2, openb2, spay2, sflag2, input_len, chunk_size, _STAB_MAX_LEN, _STAB_MAX_SUFFIX
     )
     key2b = jnp.where(sflag2 == 1, spay2, jnp.uint32(0xFFFFFFFF))
     _, packed2_sorted = lax.sort((key2b, packed2), num_keys=1)
     long_hit = packed2_sorted[:n]
 
-    # a 9..16-byte match always beats any level-1 match (longer wins)
+    # a 9..14-byte match always beats any level-1 match (longer wins)
     return jnp.where(long_hit > 0, long_hit, packed1)
 
 

@@ -148,8 +148,8 @@ class TestIntervalStabbingJoin:
 
 
 class TestTwoLevelStab:
-    """Token lengths 9..16 are served by the second stab level (prefix
-    groups + suffix intervals) instead of the dense join; lengths > 16
+    """Token lengths 9..14 are served by the second stab level (prefix
+    groups + suffix intervals) instead of the dense join; lengths > 14
     stay dense. Output must stay byte-identical to the greedy oracle."""
 
     def _vocab_with_longs(self):
@@ -167,12 +167,12 @@ class TestTwoLevelStab:
         # token, and a 17-byte token (dense-join fallback)
         longs = [
             b"prefixAA" + b"s",            # 9
-            b"prefixAA" + b"suffix",       # 14
-            b"prefixAA" + b"suffixXY",     # 16 (max two-level)
+            b"prefixAA" + b"suffi",        # 13
+            b"prefixAA" + b"suffix",       # 14 (max two-level)
             b"prefixAA",                   # the shared prefix as its own token
             b"prefixBB" + b"tail",         # different group
-            b"overlongtoken001",           # 16
-            b"overlongtoken0017",          # 17 -> dense join
+            b"overlongtoken0",             # 14
+            b"overlongtoken001",           # 16 -> dense join
         ]
         return vocab + longs
 
@@ -180,14 +180,14 @@ class TestTwoLevelStab:
         vocab = self._vocab_with_longs()
         t = MatchTables.from_vocab(vocab)
         assert t.stab is not None and t.stab["long_count"] > 0
-        assert t.dense_lengths == [17]
+        assert t.dense_lengths == [16]
         rng = np.random.default_rng(6)
         filler = bytes(rng.integers(97, 105, size=3000).tolist())
         data = (
             filler
-            + b"prefixAAsuffixXYprefixAAsuffixZZprefixAAsprefixAA"
+            + b"prefixAAsuffixprefixAAsuffiZZprefixAAsprefixAA"
             + b"prefixBBtailprefixBBtaiX"
-            + b"overlongtoken0017overlongtoken001x"
+            + b"overlongtoken001overlongtoken0x"
             + filler[:100]
         )
         tok = TPUTokenizer(vocab)
@@ -198,9 +198,9 @@ class TestTwoLevelStab:
     def test_long_token_at_chunk_boundary(self):
         vocab = self._vocab_with_longs()
         tok = TPUTokenizer(vocab, chunk_size=512)
-        # place a 16-byte token straddling the 512-byte chunk boundary:
+        # place a 14-byte token straddling the 512-byte chunk boundary:
         # greedy semantics must split it (the reference artifact)
-        data = b"a" * 504 + b"prefixAAsuffixXY" + b"b" * 100
+        data = b"a" * 504 + b"prefixAAsuffix" + b"b" * 100
         ref = GreedyTrieEncoder(vocab, chunk_size=512).encode(data)
         got = tok.encode_bytes(data)
         assert np.array_equal(got, np.asarray(ref, dtype=np.uint32))
