@@ -121,6 +121,29 @@ def cmd_warmup(args) -> int:
         t0 = time.perf_counter()
         TPUTrainer().train_stream(stream, target_vocab_size=256 + 8)
         print(f"  cap 2^{logcap}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    if args.tokenize:
+        # precompile the stab-join tokenizer for common vocab-row buckets
+        # (stab rows pad to powers of two) and input-size buckets
+        from .ops.tokenize import TPUTokenizer
+
+        for rows_log2 in (12, 13, 15):  # ~4K / 8K / 32K-token models
+            rng2 = np.random.default_rng(1)
+            toks2 = {bytes([b]) for b in range(256)}
+            vocab = [bytes([b]) for b in range(256)]
+            target = (1 << rows_log2) + 200
+            while len(vocab) < target:
+                ln = int(rng2.integers(2, 13))
+                t = bytes(rng2.integers(97, 122, size=ln).tolist())
+                if t not in toks2:
+                    toks2.add(t)
+                    vocab.append(t)
+            tok = TPUTokenizer(vocab)
+            for in_log2 in range(args.min_log2, min(args.max_log2, 24) + 1, 2):
+                t0 = time.perf_counter()
+                tok.encode_bytes(bytes(rng2.integers(97, 122, size=(1 << in_log2) - 5).tolist()))
+                print(f"  tokenize rows 2^{rows_log2} in 2^{in_log2}: "
+                      f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
     print("✓ ladder compiled (persistent cache)", file=sys.stderr)
     return 0
 
@@ -208,6 +231,8 @@ def build_parser() -> argparse.ArgumentParser:
     w = sub.add_parser("warmup", help="precompile the shape ladder (one-time)")
     w.add_argument("--min-log2", type=int, default=15)
     w.add_argument("--max-log2", type=int, default=22)
+    w.add_argument("--tokenize", action="store_true",
+                   help="also precompile the stab-join tokenizer shape buckets")
     w.set_defaults(fn=cmd_warmup)
     return p
 
