@@ -521,9 +521,12 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
       histogram-excluded pairs) — beats every pair containing Z, strict
       because created pair ids are not ordered above q's.
 
-    When any condition fails, the iteration applies one merge exactly as
-    before — the dual path never changes which merges happen, only how
-    many candidate-count passes they cost.
+    The same argument applies one level deeper for a THIRD winner r3
+    (argmax excluding p1 and q): r3 must additionally be member-disjoint
+    from q and strictly beat merge 2's created-pair ceilings. When any
+    condition fails, the iteration applies fewer merges — the multi-merge
+    path never changes WHICH merges happen, only how many candidate-count
+    passes they cost.
     """
     cap = state.symbols.shape[0]
     iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
@@ -547,7 +550,7 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
         # silently ignored.)
         certified = jnp.asarray(False)
 
-    # ── second winner for the dual-merge certificate ──
+    # ── second and third winners for the multi-merge certificate ──
     counts2 = jnp.where(state.cand == cand_winner, -1, cand_counts)
     m2 = jnp.max(counts2)
     q = jnp.min(jnp.where(counts2 == m2, state.cand, _INVALID))
@@ -562,6 +565,23 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
         & (m2 > state.ub_new)
         & (state.next_id + _U32(1) <= _TOKEN_MASK)
         & (state.merges_done + 2 <= batch_merges)
+    )
+    counts3 = jnp.where(state.cand == q, -1, counts2)
+    m3 = jnp.max(counts3)
+    r3 = jnp.min(jnp.where(counts3 == m3, state.cand, _INVALID))
+    ra, rb = r3 >> _U32(16), r3 & _TOKEN_MASK
+    disjoint3 = (
+        (ra != a1) & (ra != b1) & (rb != a1) & (rb != b1)
+        & (ra != qa) & (ra != qb) & (rb != qa) & (rb != qb)
+    )
+    triple_pre = (
+        dual_pre
+        & disjoint3
+        & (m3 >= 2)
+        & (m3 > state.theta)
+        & (m3 > state.ub_new)
+        & (state.next_id + _U32(2) <= _TOKEN_MASK)
+        & (state.merges_done + 3 <= batch_merges)
     )
 
     def full_recount(_):
@@ -602,8 +622,22 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
         dual = dual_pre & (m2 > ub_merge1) & (m2 > c_l) & (m2 > c_r)
 
         def second(s: TrainState) -> TrainState:
-            s2, _ub, _cl, _cr, _nx = _merge_and_track(s, q, m2, next2, lookahead)
-            return s2._replace(duals=s2.duals + 1)
+            s2, ub_merge2, c_l2, c_r2, next3 = _merge_and_track(s, q, m2, next2, lookahead)
+            # third winner: same proof one level deeper — r3's pre-merge
+            # count is exact (member-disjoint from BOTH applied pairs, and
+            # old-pair counts only decrease), and it must strictly beat
+            # every ceiling of both merges' created pairs
+            triple = (
+                triple_pre
+                & (m3 > ub_merge1) & (m3 > c_l) & (m3 > c_r)
+                & (m3 > ub_merge2) & (m3 > c_l2) & (m3 > c_r2)
+            )
+
+            def third(t: TrainState) -> TrainState:
+                t2, _ub, _cl, _cr, _nx = _merge_and_track(t, r3, m3, next3, lookahead)
+                return t2._replace(duals=t2.duals + 2)
+
+            return lax.cond(triple, third, lambda t: t._replace(duals=t.duals + 1), s2)
 
         return lax.cond(dual, second, lambda s: s, st1)
 

@@ -225,6 +225,18 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
                 certified & disjoint & (m2 >= 2) & (m2 > th) & (m2 > ub)
                 & (nid + _U32(1) <= _TOKEN_MASK) & (md + 2 <= batch_merges)
             )
+            counts3 = jnp.where(cnd == q, -1, counts2)
+            m3 = jnp.max(counts3)
+            r3 = jnp.min(jnp.where(counts3 == m3, cnd, _INVALID))
+            ra, rb = r3 >> _U32(16), r3 & _TOKEN_MASK
+            disjoint3 = (
+                (ra != a1) & (ra != b1) & (rb != a1) & (rb != b1)
+                & (ra != qa) & (ra != qb) & (rb != qa) & (rb != qb)
+            )
+            triple_pre = (
+                dual_pre & disjoint3 & (m3 >= 2) & (m3 > th) & (m3 > ub)
+                & (nid + _U32(2) <= _TOKEN_MASK) & (md + 3 <= batch_merges)
+            )
 
             def from_candidates(_):
                 return cand_winner, m, cnd, th, ub, fl
@@ -311,17 +323,32 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
                 )
                 dual = dual_pre & (m2 > ub_merge1) & (m2 > c_l) & (m2 > c_r)
 
-                def second(st):
+                def second(args):
+                    st, du1 = args
                     (sym1, w1, n1, ext1, dirty1, nid1, md1, log1, cnd1, ub1, fl1) = st
-                    st2, _u, _cl, _cr, _nx = merge_and_track(
+                    st2, ub_merge2, c_l2, c_r2, next3 = merge_and_track(
                         sym1, w1, n1, ext1, dirty1, nid1, md1, log1, cnd1, ub1, fl1,
                         q, m2, next2,
                     )
-                    return st2
+                    triple = (
+                        triple_pre
+                        & (m3 > ub_merge1) & (m3 > c_l) & (m3 > c_r)
+                        & (m3 > ub_merge2) & (m3 > c_l2) & (m3 > c_r2)
+                    )
 
-                st = lax.cond(dual, second, lambda s: s, st1)
+                    def third(args2):
+                        st2i, _ = args2
+                        (s2, w2i, n2i, e2, d2, nid2i, md2i, lg2, cn2, u2, f2) = st2i
+                        st3, _u, _cl, _cr, _nx = merge_and_track(
+                            s2, w2i, n2i, e2, d2, nid2i, md2i, lg2, cn2, u2, f2,
+                            r3, m3, next3,
+                        )
+                        return st3, du1 + 2
+
+                    return lax.cond(triple, third, lambda a: (a[0], du1 + 1), (st2, du1))
+
+                st, du2 = lax.cond(dual, second, lambda a: a, (st1, du))
                 (sym2, w2, n2, ext2, dirty2, nid2, md2, log2, cnd3, ub3, fl3) = st
-                du2 = du + jnp.where(dual, 1, 0)
                 return sym2, w2, n2, ext2, dirty2, nid2, md2, log2, ub3, cnd3, fl3, du2
 
             def stop_branch(args):
