@@ -62,7 +62,8 @@ def collect_files(paths: list[str]) -> list[str]:
     out: list[str] = []
     for p in paths:
         if os.path.isdir(p):
-            for root, _dirs, names in os.walk(p):
+            for root, dirs, names in os.walk(p):
+                dirs.sort()  # machine-independent traversal order
                 for name in sorted(names):
                     ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""
                     if ext in TEXT_EXTENSIONS:
@@ -125,6 +126,10 @@ def _profile_ctx(config: TrainConfig):
 
 
 def _train_backend(config: TrainConfig, data, starts, on_progress) -> TrainingResult:
+    if config.backend != "cpu":
+        from .utils import enable_compile_cache
+
+        enable_compile_cache()  # device compiles are 60-160 s/shape; cache them
     if config.backend == "cpu":
         symbols = bytes_to_symbols(data)
         if starts is not None:

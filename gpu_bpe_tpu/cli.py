@@ -18,6 +18,7 @@ import argparse
 import sys
 import time
 
+from .constants import BATCH_MERGES
 from .api import (
     TrainConfig, collect_files, export_bin, export_trie, load_model, train, train_files,
 )
@@ -190,7 +191,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--byte-level", action="store_true", help="skip Unicode pre-tokenization")
     t.add_argument("--no-dedup", action="store_true")
     t.add_argument("--shuffle", action="store_true", help="paragraph shuffle at ingest")
-    t.add_argument("--batch-merges", type=int, default=128)
+    t.add_argument("--batch-merges", type=int, default=BATCH_MERGES)
     t.add_argument("--stream", action="store_true",
                    help="streamed ingestion (bounded host memory; auto above 1 GB)")
     t.add_argument("--profile", metavar="DIR", default=None,
@@ -238,6 +239,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from .utils import enable_compile_cache
+
+    enable_compile_cache()  # device compiles are 60-160 s/shape; cache them
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -88,6 +88,7 @@ def make_stream(
         # [k, ln] matrix of word bytes via strided gather
         mat = bytes_arr[sel[:, None] + np.arange(ln)[None, :]]
         uniq, cnt = np.unique(mat, axis=0, return_counts=True)
+        assert cnt.max(initial=0) < 2**31, "word frequency overflows int32"
         k = len(uniq)
         sym = uniq.astype(np.uint32)
         sym[:, 0] |= np.uint32(WORD_START_BIT)

@@ -47,7 +47,6 @@ _ROWS = BLOCK // _LANES
 _TILE = 1024  # HBM tile granularity for i32/u32 (8 sublanes x 128 lanes)
 _BIG = BLOCK + _TILE  # staging window: carry tile + one block
 _BROWS = _BIG // _LANES
-_UB_SIDE = 32  # 32x32 = 1024 hash bins for the created-pair ceiling
 _TRACK_SIDE = 16  # tracking-kernel histogram side (16x16=256 bins; [side, B]
 #   f32 one-hots must fit VMEM: 2 x [16, 32768] = 4 MB per hist call)
 

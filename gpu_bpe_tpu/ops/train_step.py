@@ -85,7 +85,10 @@ K_CANDIDATES = 64
 # the moment a dominant new pair (e.g. "th"+"e") appears.
 S_CREATED = 32
 _NO_EXCL = 0x10000  # 17-bit sentinel: matches no 16-bit token
-# Hash bins for the new-pair upper-bound histogram: 32x32 one-hot matmul.
+# Hash bins for the new-pair upper-bound histogram: 16x16 = 256 bins built
+# as a one-hot outer-product matmul. MUST equal pallas_kernels._TRACK_SIDE —
+# the host-side exclusion hash (bin subtraction in _apply_tracked) has to
+# address the same bins the kernel accumulated (asserted at the import site).
 _UB_SIDE = 16
 _I32_MAX = 2**31 - 1  # plain int: a shared jax array would die under donation
 
@@ -212,10 +215,10 @@ def _best_of_runs(sp: jax.Array, sw: jax.Array):
 
 
 def _ub_bins(toks: jax.Array, w_masked: jax.Array) -> jax.Array:
-    """Hashed weighted histogram of 16-bit token values, [32, 32] f32 bins.
+    """Hashed weighted histogram of 16-bit token values, [_UB_SIDE]^2 f32 bins.
 
-    1024 bins decomposed as a 32x32 one-hot outer product, so the whole
-    histogram is one [32, N] x [N, 32] matmul on the MXU. Positions with
+    _UB_SIDE^2 bins decomposed as a one-hot outer product, so the whole
+    histogram is one [N, S] x [N, S] matmul on the MXU. Positions with
     ``w_masked == 0`` contribute nothing; collisions only ever ADD mass.
     """
     bits = (_UB_SIDE * _UB_SIDE).bit_length() - 1
@@ -384,8 +387,9 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
     z_tok16 = st.next_id & _TOKEN_MASK
     has_room = st.fill <= K_CANDIDATES + S_CREATED - 2
     if _use_pallas():
-        from .pallas_kernels import merge_compact_tracked
+        from .pallas_kernels import _TRACK_SIDE, merge_compact_tracked
 
+        assert _UB_SIDE == _TRACK_SIDE, "host exclusion hash must match kernel bins"
         # one streaming kernel: merge + compaction + created-pair tracking
         # (unexcluded histograms + heaviest-pair sample)
         sym2, w2, n_new, bins_l, bins_r, samp = merge_compact_tracked(

@@ -524,7 +524,9 @@ class CppUnicodeBackend(PyUnicodeBackend):
         if isinstance(form, str):
             form = _FORMS[form]
         arr = np.ascontiguousarray(np.asarray(cps, dtype=np.uint32))
-        out = np.empty(max(4 * len(arr) + 16, 16), dtype=np.uint32)
+        # NFKC/NFKD can expand up to 18x per codepoint (U+FDFA -> 18 cps);
+        # match the byte path's worst-case sizing rather than retry
+        out = np.empty(max(18 * len(arr) + 16, 16), dtype=np.uint32)
         n = self._lib.decoder_normalize(
             arr.ctypes.data_as(C.POINTER(C.c_uint32)), len(arr), form,
             out.ctypes.data_as(C.POINTER(C.c_uint32)), len(out),

@@ -122,3 +122,51 @@ def test_collect_files_recursive(tmp_path):
     # explicit file always included, even with a non-text extension
     explicit = collect_files([str(tmp_path / "sub" / "c.bin")])
     assert explicit == [str(tmp_path / "sub" / "c.bin")]
+
+
+def test_collect_files_directory_order_deterministic(tmp_path, monkeypatch):
+    """Subdirectory traversal must be sorted, not filesystem-order, so the
+    corpus (hence the merge list) is identical across machines."""
+    import os
+
+    from gpu_bpe_tpu.api import collect_files
+
+    for d in ("zz", "aa", "mm"):
+        (tmp_path / d).mkdir()
+        (tmp_path / d / "f.txt").write_text(d)
+
+    real_walk = os.walk
+
+    def shuffled_walk(p, **kw):
+        for root, dirs, names in real_walk(p, **kw):
+            dirs.reverse()  # simulate a hostile filesystem order
+            yield root, dirs, names
+
+    monkeypatch.setattr(os, "walk", shuffled_walk)
+    got = [p.rsplit("/", 2)[-2] for p in collect_files([str(tmp_path)])]
+    assert got == ["aa", "mm", "zz"]
+
+
+def test_make_stream_int32_weight_guard(monkeypatch):
+    """make_stream must refuse word counts that overflow int32 weights
+    instead of silently wrapping (regression: unguarded astype(int32))."""
+    import numpy as np
+    import pytest
+
+    from gpu_bpe_tpu.ops import ingest
+
+    real_unique = np.unique
+
+    def huge_unique(arr, **kw):
+        out = real_unique(arr, **kw)
+        if kw.get("return_counts"):
+            uniq, cnt = out
+            return uniq, cnt + np.int64(2**31)
+        return out
+
+    monkeypatch.setattr(ingest.np, "unique", huge_unique)
+    data = np.frombuffer(b"aaa bbb aaa ", dtype=np.uint8)
+    starts = np.zeros(len(data), dtype=np.uint8)
+    starts[[0, 4, 8]] = 1
+    with pytest.raises(AssertionError, match="overflows int32"):
+        ingest.make_stream(data, starts, dedup=True)

@@ -270,6 +270,14 @@ class TestExtendedParitySurface:
         cps = np.array([ord("e"), 0x0301], dtype=np.uint32)  # e + combining acute
         out = cpp.normalize_codepoints(cps, "NFC")
         assert [int(c) for c in out] == [0xE9]
+        # worst-case NFKD expansion (U+FDFA -> 18 cps) must not overflow
+        # the output buffer (regression: 4x sizing raised RuntimeError)
+        import unicodedata
+
+        wide = np.array([0xFDFA] * 4, dtype=np.uint32)
+        got = cpp.normalize_codepoints(wide, "NFKD")
+        want = [ord(c) for c in unicodedata.normalize("NFKD", "ﷺ" * 4)]
+        assert [int(c) for c in got] == want
         assert cpp.quick_check("é", "NFC")
         assert not cpp.quick_check("é", "NFC")
 
