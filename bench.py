@@ -1,6 +1,14 @@
 """Headline benchmark: BPE training merges/sec on a single chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+
+Two auxiliary JSON lines go to stderr (captured in the driver's tail):
+  - kernel_selftest: the Pallas merge/tracking kernel regression cases run
+    ON THE REAL CHIP (CI runs them interpret-only; the historic 64 MB-scale
+    bugs were Mosaic-lowering artifacts invisible to interpret mode).
+  - tokenize_mb_per_sec: bulk tokenization device + wall rate and
+    bytes/token at an 8K vocab — the second performance axis the reference
+    instruments live (export-controller.js:209-265).
 
 Config: 16 MB synthetic Zipfian English-like corpus, 1024 merges (vocab
 256→1280), deduplicated unique-word stream, batched device loop. Steady-state
@@ -11,7 +19,8 @@ vs_baseline: the reference publishes no numbers (BASELINE.json
 "published": {}). We normalize against 100 merges/s — a representative rate
 for the reference's fused 8-dispatch WebGPU pipeline on a consumer GPU at
 this corpus size (O(table+N) per merge at a few hundred GB/s of effective
-bandwidth). See BASELINE.md.
+bandwidth). Tokenize vs_baseline normalizes against 250 MB/s (the same
+class of GPU walking the trie at a few bytes/cycle/thread). See BASELINE.md.
 """
 
 from __future__ import annotations
@@ -23,8 +32,10 @@ import time
 import numpy as np
 
 BASELINE_MERGES_PER_SEC = 100.0
+BASELINE_TOKENIZE_MB_S = 250.0
 TARGET_MERGES = 1024
 CORPUS_MB = 16
+TOKENIZE_VOCAB = 8192  # multi-byte-rich vocab exercising the stab join
 
 
 def synth_corpus(n_bytes: int, seed: int = 0, vocab_size: int = 120_000) -> bytes:
@@ -63,16 +74,111 @@ def synth_corpus(n_bytes: int, seed: int = 0, vocab_size: int = 120_000) -> byte
     return b"".join(parts)[:n_bytes]
 
 
+def run_selftest() -> None:
+    """Pallas kernel regressions on the real chip; fail the bench loudly."""
+    from gpu_bpe_tpu.ops.selftest import run_kernel_selftest
+
+    t0 = time.perf_counter()
+    results = run_kernel_selftest(interpret=False)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps({"metric": "kernel_selftest", "value": results, "seconds": round(dt, 1)}),
+        file=sys.stderr,
+    )
+    if not all(results.values()):
+        print("FATAL: on-TPU kernel selftest failed", file=sys.stderr)
+        raise SystemExit(1)
+
+
+def bench_tokenize(stream, corpus: bytes) -> None:
+    """Second axis: bulk tokenization MB/s at a real trained 8K vocab.
+
+    Reports BOTH the device-side rate (chained dispatches, one scalar
+    readback — ``block_until_ready`` is a no-op on this tunnel) and the
+    end-to-end wall rate including the u16 page readback.
+    """
+    from gpu_bpe_tpu.ops import TPUTrainer
+    from gpu_bpe_tpu.ops.tokenize import TPUTokenizer
+
+    trainer = TPUTrainer()
+    result = trainer.train_stream(stream, target_vocab_size=TOKENIZE_VOCAB)
+    tok = TPUTokenizer(result.vocab)
+    n_levels = len(tok.tables.stab["levels"]) + 1 if tok.tables.stab else 0
+    max_len = tok.tables.max_token_len
+    print(
+        f"# tokenize vocab {len(result.vocab)} (max token {max_len}B, "
+        f"{n_levels} stab levels, dense lengths {tok.tables.dense_lengths})",
+        file=sys.stderr,
+    )
+
+    # one full pass of data on device, padded to the pass capacity
+    pass_bytes = min(len(corpus), tok.max_pass_bytes)
+    chunk = corpus[:pass_bytes]
+
+    # warm-up compile + correctness anchor: count tokens for bytes/token
+    tokens = tok.encode_bytes(chunk)
+    bytes_per_token = pass_bytes / max(1, len(tokens))
+
+    # device rate: upload once, k chained dispatches of the jitted pass,
+    # one scalar readback at the end (the host link is ~25 MB/s here — a
+    # per-call upload would dominate; standard PCIe hosts don't pay this)
+    import jax
+    import jax.numpy as jnp
+
+    cap = 1 << 16
+    while cap < pass_bytes:
+        cap <<= 1
+    cap = -(-cap // tok.chunk_size) * tok.chunk_size
+    buf = np.zeros(cap, dtype=np.uint8)
+    buf[:pass_bytes] = np.frombuffer(chunk, dtype=np.uint8)
+    dbuf = jax.device_put(jnp.asarray(buf))
+    nlen = jnp.asarray(pass_bytes, jnp.int32)
+
+    def timed(k: int) -> float:
+        t0 = time.perf_counter()
+        total = None
+        for _ in range(k):
+            _pages, total = tok._encode_pass(dbuf, nlen)
+        int(total)  # sync: k-th completion implies all earlier (one stream)
+        return time.perf_counter() - t0
+
+    timed(1)  # warm
+    t2, t6 = timed(2), timed(6)
+    device_rate = 4 * pass_bytes / max(1e-9, t6 - t2) / 1e6
+
+    # wall rate: end-to-end encode incl. page readback
+    t0 = time.perf_counter()
+    tokens = tok.encode_bytes(chunk)
+    wall_rate = pass_bytes / (time.perf_counter() - t0) / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": "tokenize_mb_per_sec",
+                "value": round(device_rate, 1),
+                "unit": f"device MB/s ({pass_bytes >> 20}MB pass, vocab {TOKENIZE_VOCAB}, 1 chip)",
+                "wall_mb_per_sec": round(wall_rate, 1),
+                "bytes_per_token": round(bytes_per_token, 2),
+                "vs_baseline": round(device_rate / BASELINE_TOKENIZE_MB_S, 3),
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
     import jax
 
     # Persistent compile cache: amortizes the expensive TPU compiles of the
     # batched merge step across runs and capacity levels.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from gpu_bpe_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     from gpu_bpe_tpu.ops import TPUTrainer, make_stream
     from gpu_bpe_tpu.pretok import PreTokenizer
+
+    run_selftest()
 
     corpus = synth_corpus(CORPUS_MB << 20)
     pt = PreTokenizer()
@@ -84,20 +190,24 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    def fresh_stream():
+        return type(stream)(
+            stream.symbols.copy(), stream.weights.copy(), stream.n, stream.total_bytes
+        )
+
     # Warm-up: compile the batch step at the working capacity (excluded).
     warm = TPUTrainer()
-    warm.train_stream(
-        type(stream)(stream.symbols.copy(), stream.weights.copy(), stream.n, stream.total_bytes),
-        target_vocab_size=256 + 8,
-    )
+    warm.train_stream(fresh_stream(), target_vocab_size=256 + 8)
 
     trainer = TPUTrainer()
     t0 = time.perf_counter()
-    result = trainer.train_stream(stream, target_vocab_size=256 + TARGET_MERGES)
+    result = trainer.train_stream(fresh_stream(), target_vocab_size=256 + TARGET_MERGES)
     dt = time.perf_counter() - t0
     merges = len(result.merges)
     rate = merges / dt
     print(f"# {merges} merges in {dt:.2f}s", file=sys.stderr)
+
+    bench_tokenize(fresh_stream(), data.tobytes() if hasattr(data, "tobytes") else bytes(data))
 
     print(
         json.dumps(

@@ -1,0 +1,134 @@
+"""On-device Pallas kernel selftest.
+
+The CI suite pins the merge/compact/tracking kernels in *interpret* mode
+(tests/test_pallas_kernels.py), which exercises the algorithm but not the
+Mosaic lowering. The historic 64 MB-scale corruption bugs (f32 histogram
+slack, DMA tail garbage) were lowering/scale artifacts invisible to
+interpret mode — so ``bench.py`` runs this selftest on the real chip at
+the start of every benchmark and fails loudly, turning every BENCH_r*.json
+into kernel-regression evidence.
+
+Each case compares the Pallas kernel against ``apply_merge_device`` /
+jnp roll-based references (the same oracles the CI tests use; those are in
+turn conformance-tested against the CPU reference trainer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import pack_pair
+
+
+def _random_stream(rng, n, alphabet=6, ws_p=0.15):
+    cap = ((n + 1023) // 1024) * 1024 + 1024
+    toks = rng.integers(1, alphabet, size=n).astype(np.uint32)
+    ws = rng.random(n) < ws_p
+    sym = toks | (ws.astype(np.uint32) << 16)
+    sym[0] |= 1 << 16
+    w = rng.integers(1, 9, size=n).astype(np.int32)
+    symf = np.zeros(cap, np.uint32)
+    symf[:n] = sym
+    wf = np.zeros(cap, np.int32)
+    wf[:n] = w
+    return symf, wf
+
+
+def run_kernel_selftest(interpret: bool = False) -> dict[str, bool]:
+    """Run every kernel regression case; returns {case: passed}.
+
+    ``interpret=False`` (the default) lowers through Mosaic on the real
+    device — the whole point. The same cases run in interpret mode in CI.
+    """
+    import jax.numpy as jnp
+
+    from .pallas_kernels import BLOCK, _TRACK_SIDE, merge_compact, merge_compact_tracked
+    from .train_step import _TOKEN_MASK, _WS_BIT, apply_merge_device
+
+    results: dict[str, bool] = {}
+
+    def check_merge(name, symf, wf, n, pair, new_id=300):
+        clean_s = symf.copy()
+        clean_s[n:] = 0
+        clean_w = wf.copy()
+        clean_w[n:] = 0
+        ref = apply_merge_device(
+            jnp.asarray(clean_s), jnp.asarray(clean_w), jnp.asarray(n),
+            jnp.uint32(pair), jnp.uint32(new_id),
+        )
+        got = merge_compact(
+            jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n),
+            jnp.uint32(pair), jnp.uint32(new_id), interpret=interpret,
+        )
+        results[name] = all(
+            np.array_equal(np.asarray(r), np.asarray(g)) for r, g in zip(ref, got)
+        )
+
+    rng = np.random.default_rng(7)
+
+    # 1. random stream (mid-size, multi-block)
+    symf, wf = _random_stream(rng, 70_000)
+    check_merge("random_stream", symf, wf, 70_000, pack_pair(2, 3))
+
+    # 2. overlap-collapse quirk: "aaaa..." merging (a,a)
+    symf = np.zeros(2048, np.uint32)
+    symf[:300] = 1
+    symf[0] |= 1 << 16
+    wf = np.zeros(2048, np.int32)
+    wf[:300] = 1
+    check_merge("overlap_quirk", symf, wf, 300, pack_pair(1, 1))
+
+    # 3. sites straddling kernel block boundaries (halo/carry DMA path)
+    n = BLOCK * 2 + 100
+    cap = ((n + 1023) // 1024) * 1024 + 1024
+    symf = np.zeros(cap, np.uint32)
+    symf[:n] = 7
+    symf[0] |= 1 << 16
+    for p in (BLOCK - 2, BLOCK - 1, BLOCK, 2 * BLOCK - 1, 2 * BLOCK):
+        symf[p] = 2
+        symf[p + 1] = 3
+    wf = np.zeros(cap, np.int32)
+    wf[:n] = 1
+    check_merge("block_boundary_sites", symf, wf, n, pack_pair(2, 3))
+
+    # 4. poisoned tail: garbage past n must not leak (the 64 MB bug class)
+    n = 40_000
+    cap = 65_536
+    base_s, base_w = _random_stream(rng, n)
+    symf = np.zeros(cap, np.uint32)
+    symf[:n] = base_s[:n]
+    wf = np.zeros(cap, np.int32)
+    wf[:n] = base_w[:n]
+    symf[n:] = np.tile([2, 3], (cap - n) // 2).astype(np.uint32)
+    wf[n:] = 999
+    check_merge("poisoned_tail", symf, wf, n, pack_pair(2, 3))
+
+    # 5. tracked kernel: histograms + sample vs jnp roll reference,
+    #    across a block boundary
+    n = 3 * BLOCK // 2 + 77
+    symf, wf = _random_stream(rng, n, alphabet=10)
+    sym2, w2, _n2, bl, br, samp = merge_compact_tracked(
+        jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n),
+        jnp.uint32(pack_pair(5, 7)), jnp.uint32(300), interpret=interpret,
+    )
+    tok2 = sym2 & _TOKEN_MASK
+    zm = tok2 == jnp.uint32(300)
+    prev2 = jnp.roll(sym2, 1)
+    next2 = jnp.roll(sym2, -1)
+    wl = jnp.where(zm & ((sym2 & _WS_BIT) == 0), w2, 0)
+    wr = jnp.where(zm & ((next2 & _WS_BIT) == 0), w2, 0)
+
+    def ref_hist(toks, wv):
+        t = np.asarray(toks).astype(np.uint64) & 0xFFFF
+        h = (((t * 2654435761) & 0xFFFFFFFF) >> 16) & (_TRACK_SIDE * _TRACK_SIDE - 1)
+        out = np.zeros(_TRACK_SIDE * _TRACK_SIDE)
+        np.add.at(out, h.astype(int), np.asarray(wv))
+        return out.reshape(_TRACK_SIDE, _TRACK_SIDE)
+
+    samp = np.asarray(samp)
+    ok = np.allclose(np.asarray(bl), ref_hist(prev2, wl))
+    ok &= np.allclose(np.asarray(br), ref_hist(next2, wr))
+    ok &= samp[0] == int(jnp.max(wl)) and samp[2] == int(jnp.max(wr))
+    results["tracked_hist_multiblock"] = bool(ok)
+
+    return results

@@ -40,18 +40,27 @@ _PAGE_TOKENS = 1 << 21  # u16 tokens per device->host fetch page (4 MB)
 
 # Above this many multi-byte tokens the O(vocab)-per-position dense join is
 # replaced by the sorted interval-stabbing join (O((N+V) log) regardless of
-# vocab size) for token lengths 2..14; longer tokens stay on the dense join.
+# vocab size) for token lengths 2..32; longer tokens stay on the dense join.
 _DENSE_VOCAB_CUTOFF = 2048
-_STAB_MAX_LEN = 8  # one stab level covers lengths 2..8 (8-byte sort keys)
+_STAB_MAX_LEN = 8  # stab level 1 covers lengths 2..8 (8-byte sort keys)
 _GROUP_DEPTH = _STAB_MAX_LEN + 1  # overlay slot carrying the prefix-group id
-# Level 2 covers suffixes of 1..6 bytes (token lengths 9..14): the
-# (group id, suffix) key then packs into 16+48 = 64 bits = TWO sort words
-# + the packed flag word — the same 3-operand sort as level 1. A wider
-# suffix needs a 4th sort operand, whose compile time explodes on TPU
-# (measured ~20 min per shape vs ~1 min for 3 operands).
+# Levels k >= 2 each cover 6 more bytes of token length: the
+# (group id, 6-byte window) key packs into 16+48 = 64 bits = TWO sort
+# words + the packed flag word — the same 3-operand sort as level 1. A
+# wider window needs a 4th sort operand, whose compile time explodes on
+# TPU (measured ~20 min per shape vs ~1 min for 3 operands). Chaining
+# levels instead: distinct prefixes at each level boundary become exact-
+# equality "group" rows whose 16-bit gid seeds the next level's key —
+# level k covers lengths (8 + 6(k-2), 8 + 6(k-1)].
 _STAB_MAX_SUFFIX = 6
-_STAB_MAX_TOTAL = _STAB_MAX_LEN + _STAB_MAX_SUFFIX
+_LVL_GROUP_DEPTH = _STAB_MAX_SUFFIX + 1  # level-k overlay slot for gids
+_STAB_MAX_LEVELS = 5  # coverage cap: 8 + 6*4 = 32 bytes
 _NO_GROUP = jnp.uint32(0xFFFF)  # group ids are 16-bit (asserted)
+
+
+def _stab_coverage(n_levels: int) -> int:
+    """Longest token length served by an n-level stab join."""
+    return _STAB_MAX_LEN + _STAB_MAX_SUFFIX * max(0, n_levels - 1)
 
 
 def _pack_keys(token: bytes) -> np.ndarray:
@@ -100,7 +109,7 @@ class MatchTables:
         stab = _stab_vocab_rows(vocab) if use_stab else None
         if stab is not None and stab["count"] == 0:
             stab = None
-        dense_lengths = [ln for ln in lengths if ln > _STAB_MAX_TOTAL] if stab else lengths
+        dense_lengths = [ln for ln in lengths if ln > stab["max_len"]] if stab else lengths
         return cls(
             lengths=lengths,
             keys=keys,
@@ -114,7 +123,7 @@ class MatchTables:
 
 
 def _stab_vocab_rows(vocab: list[bytes]) -> dict:
-    """Host-side interval rows for the two-level stab join.
+    """Host-side interval rows for the chained multi-level stab join.
 
     Level 1 (lengths 2..8): open key = bytes padded 0x00, close key = bytes
     padded 0xFF (8 bytes as 2 big-endian u32 words). A token v is a prefix
@@ -122,21 +131,25 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
     intervals nest, so the sorted stream of opens/positions/closes is a
     balanced-parens structure.
 
-    Level 2 (lengths 9..14): each long token splits into an 8-byte prefix
-    and a 1..6-byte suffix. Distinct prefixes become *group* rows in level
-    1 at pseudo-depth ``_GROUP_DEPTH`` with open == close == prefix (exact
-    8-byte window equality), carrying a compact group id. The level-2 join
-    then matches (gid<<16 | suffix window at pos+8) against matching
-    suffix-interval rows — the same balanced-parens structure per group,
-    with depth = suffix length, packed into two u32 key words so BOTH
-    sorts stay 3-operand (multi-operand sort compile time explodes with
-    operand count on TPU: a 4th operand measured ~20x).
+    Levels k >= 2 (lengths 8+6(k-2)+1 .. 8+6(k-1)): each long token splits
+    into a prefix of length ``base = 8 + 6(k-2)`` and a 1..6-byte suffix.
+    Distinct prefixes become *group* rows in level k-1 (pseudo-depth
+    ``_GROUP_DEPTH`` in level 1, ``_LVL_GROUP_DEPTH`` after) with
+    open == close == the level's window (exact-equality interval), carrying
+    a compact 16-bit group id. The level-k join then matches
+    (gid<<16 | 6-byte window at pos+base) against that level's interval
+    rows — the same balanced-parens structure per group, with depth =
+    suffix length, packed into two u32 key words so EVERY sort stays
+    3-operand (multi-operand sort compile time explodes with operand count
+    on TPU: a 4th operand measured ~20x). The chain covers token lengths
+    up to ``_stab_coverage(_STAB_MAX_LEVELS)`` = 32 bytes; longer tokens
+    (absent from real trained vocabs) fall back to the dense join.
 
     Row counts are padded to powers of two with inert rows (max key,
     depth-0 close) so every model reuses the same compiled-shape ladder."""
+    max_cov = _stab_coverage(_STAB_MAX_LEVELS)
     opens, closes, lns, ids = [], [], [], []
-    groups: dict[bytes, int] = {}
-    l_gids, l_opens, l_closes, l_lns, l_ids = [], [], [], [], []
+    long_toks: list[tuple[int, bytes]] = []  # stab-served tokens, len > 8
     for token_id, entry in enumerate(vocab):
         entry = bytes(entry)
         if 2 <= len(entry) <= _STAB_MAX_LEN:
@@ -146,27 +159,24 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
             closes.append(c)
             lns.append(len(entry))
             ids.append(token_id)
-        elif _STAB_MAX_LEN < len(entry) <= _STAB_MAX_TOTAL:
-            prefix, suffix = entry[:8], entry[8:]
-            gid = groups.setdefault(prefix, len(groups))
-            l_gids.append(gid)
-            pad = _STAB_MAX_SUFFIX - len(suffix)
-            l_opens.append(np.frombuffer(suffix + b"\x00" * pad, dtype=np.uint8))
-            l_closes.append(np.frombuffer(suffix + b"\xff" * pad, dtype=np.uint8))
-            l_lns.append(len(suffix))
-            l_ids.append(token_id)
+        elif _STAB_MAX_LEN < len(entry) <= max_cov:
+            long_toks.append((token_id, entry))
+
+    # group chain: distinct 8-byte prefixes seed level 2
+    groups: dict[bytes, int] = {}
+    for _tid, entry in long_toks:
+        groups.setdefault(entry[:_STAB_MAX_LEN], len(groups))
     assert len(groups) < 0xFFFF, "too many distinct 8-byte prefixes for u16 group ids"
-    g_rows = [(prefix, gid) for prefix, gid in groups.items()]
-    if not opens and not g_rows:
+    if not opens and not groups:
         return {"count": 0}
 
-    def pack(b):  # [V, 8] bytes -> 2 big-endian u32 words
+    def pack8(b):  # [V, 8] bytes -> 2 big-endian u32 words
         w = b.reshape(-1, 2, 4)
         return (w[:, :, 0] << 24) | (w[:, :, 1] << 16) | (w[:, :, 2] << 8) | w[:, :, 3]
 
     # level-1 rows: short tokens + prefix-group rows (exact-equality
     # intervals at pseudo-depth _GROUP_DEPTH, payload = gid)
-    for prefix, gid in g_rows:
+    for prefix, gid in groups.items():
         pb = np.frombuffer(prefix, dtype=np.uint8)
         opens.append(pb)
         closes.append(pb)
@@ -177,45 +187,79 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
     pad = vpad - v
     ob = np.concatenate([np.stack(opens), np.full((pad, 8), 255, np.uint8)]).astype(np.uint32)
     cb = np.concatenate([np.stack(closes), np.full((pad, 8), 255, np.uint8)]).astype(np.uint32)
-    ln_arr = np.concatenate([np.array(lns, np.uint32), np.zeros(pad, np.uint32)])
-    id_arr = np.concatenate([np.array(ids, np.uint32), np.zeros(pad, np.uint32)])
     out = {
         "count": vpad,
-        "open_words": pack(ob),  # [V, 2] u32
-        "close_words": pack(cb),
-        "ln": ln_arr,
-        "id": id_arr,
-        "long_count": 0,
+        "open_words": pack8(ob),  # [V, 2] u32
+        "close_words": pack8(cb),
+        "ln": np.concatenate([np.array(lns, np.uint32), np.zeros(pad, np.uint32)]),
+        "id": np.concatenate([np.array(ids, np.uint32), np.zeros(pad, np.uint32)]),
+        "levels": [],
+        "max_len": _STAB_MAX_LEN,  # raised below as levels are added
     }
 
-    # level-2 rows: long-token suffix intervals within their prefix group,
-    # packed as (gid<<16 | s0<<8 | s1, s2..s5) — two u32 key words
-    if l_ids:
+    # levels k >= 2: suffix-interval rows within the prefix group, plus
+    # next-level group rows, packed as (gid<<16 | b0<<8 | b1, b2..b5)
+    remaining = long_toks
+    prev_groups = groups
+    k = 2
+    while remaining:
+        base = _stab_coverage(k - 1)
+        l_gids: list[int] = []
+        l_bytes: list[tuple[bytes, bytes]] = []  # (open6, close6) suffix windows
+        l_lns: list[int] = []
+        l_ids: list[int] = []
+        for token_id, entry in remaining:
+            if len(entry) <= base + _STAB_MAX_SUFFIX:
+                suffix = entry[base:]
+                padn = _STAB_MAX_SUFFIX - len(suffix)
+                l_gids.append(prev_groups[entry[:base]])
+                l_bytes.append((suffix + b"\x00" * padn, suffix + b"\xff" * padn))
+                l_lns.append(len(suffix))
+                l_ids.append(token_id)
+        next_toks = [(tid, e) for tid, e in remaining if len(e) > base + _STAB_MAX_SUFFIX]
+        next_groups: dict[bytes, int] = {}
+        for _tid, entry in next_toks:
+            p = entry[: base + _STAB_MAX_SUFFIX]
+            if p not in next_groups:
+                next_groups[p] = len(next_groups)
+                win = p[base:]
+                l_gids.append(prev_groups[p[:base]])
+                l_bytes.append((win, win))  # exact-equality group interval
+                l_lns.append(_LVL_GROUP_DEPTH)
+                l_ids.append(next_groups[p])
+        assert len(next_groups) < 0xFFFF, "too many distinct prefixes for u16 group ids"
+
         lv = len(l_ids)
         lpad_to = 1 << max(8, (lv - 1).bit_length())
         lpad = lpad_to - lv
+        gid_arr = np.concatenate([np.array(l_gids, np.uint32), np.full(lpad, 0xFFFF, np.uint32)])
         lob = np.concatenate(
-            [np.stack(l_opens), np.full((lpad, _STAB_MAX_SUFFIX), 255, np.uint8)]
+            [np.frombuffer(b"".join(o for o, _ in l_bytes), dtype=np.uint8).reshape(lv, 6),
+             np.full((lpad, _STAB_MAX_SUFFIX), 255, np.uint8)]
         ).astype(np.uint32)
         lcb = np.concatenate(
-            [np.stack(l_closes), np.full((lpad, _STAB_MAX_SUFFIX), 255, np.uint8)]
+            [np.frombuffer(b"".join(c for _, c in l_bytes), dtype=np.uint8).reshape(lv, 6),
+             np.full((lpad, _STAB_MAX_SUFFIX), 255, np.uint8)]
         ).astype(np.uint32)
-        gid_arr = np.concatenate(
-            [np.array(l_gids, np.uint32), np.full(lpad, 0xFFFF, np.uint32)]
-        )
 
         def pack6(b):  # [V, 6] bytes + gids -> [V, 2] u32 key words
             w0 = (gid_arr << 16) | (b[:, 0] << 8) | b[:, 1]
             w1 = (b[:, 2] << 24) | (b[:, 3] << 16) | (b[:, 4] << 8) | b[:, 5]
             return np.stack([w0, w1], axis=1)
 
-        out.update(
-            long_count=lpad_to,
-            long_open=pack6(lob),
-            long_close=pack6(lcb),
-            long_ln=np.concatenate([np.array(l_lns, np.uint32), np.zeros(lpad, np.uint32)]),
-            long_id=np.concatenate([np.array(l_ids, np.uint32), np.zeros(lpad, np.uint32)]),
+        out["levels"].append(
+            {
+                "count": lpad_to,
+                "open": pack6(lob),
+                "close": pack6(lcb),
+                "ln": np.concatenate([np.array(l_lns, np.uint32), np.zeros(lpad, np.uint32)]),
+                "id": np.concatenate([np.array(l_ids, np.uint32), np.zeros(lpad, np.uint32)]),
+            }
         )
+        remaining = next_toks
+        prev_groups = next_groups
+        k += 1
+    out["max_len"] = _stab_coverage(1 + len(out["levels"]))
     return out
 
 
@@ -288,26 +332,28 @@ def _deepest_fit(vals, openb, spay, sflag, input_len, chunk_size: int,
 
 
 def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_size: int):
-    """Longest in-chunk match per position for token lengths 2..14 via the
-    sorted interval-stabbing join — O((N+V) log(N+V)) independent of vocab
-    size (the dense join is O(N*V) and serves lengths > 14). Returns packed
-    (len << 16 | id) per position, 0 where no match.
+    """Longest in-chunk match per position for token lengths 2..32 via the
+    chained sorted interval-stabbing join — O(L*(N+V) log(N+V)) independent
+    of vocab size (the dense join is O(N*V) and serves only longer tokens).
+    Returns packed (len << 16 | id) per position, 0 where no match.
 
     Level 1: one 3-key sort orders vocab opens (flag 0), positions (flag
     1), and vocab closes (flag 2) by 8-byte key; a balanced-parens overlay
     scan then gives each position its deepest in-chunk prefix of length
     2..8 AND (at pseudo-depth 9) the group id of its exact 8-byte window
-    when some 9..14-byte token starts with it. Level 2: a second 3-key
-    sort of (gid<<16 | 6-byte suffix window at pos+8, flag) against
-    long-token suffix interval rows resolves lengths 9..14 with depth =
-    suffix length (both sorts stay 3-operand: a 4th operand multiplies
-    TPU sort compile time ~20x). A final 1-key sort restores position
-    order. No gathers.
+    when some longer token starts with it. Each level k >= 2 repeats the
+    pattern 6 bytes further in: a 3-key sort of (gid<<16 | 6-byte window
+    at pos+base, flag) against that level's suffix-interval rows resolves
+    lengths base+1..base+6 with depth = suffix length, and (at pseudo-
+    depth 7) yields the NEXT level's group id — every sort stays 3-operand
+    (a 4th operand multiplies TPU sort compile time ~20x). A 1-key sort
+    per level restores position order. No gathers anywhere.
     """
     n = data_u32.shape[0]
     assert n < (1 << 25), "single pass capped at 2^25 positions (payload packing)"
-    has_long = stab.get("long_count", 0) > 0
-    shifted = [jnp.roll(data_u32, -k) for k in range(8 + _STAB_MAX_SUFFIX if has_long else 8)]
+    levels = stab.get("levels", [])
+    n_shift = _STAB_MAX_LEN + _STAB_MAX_SUFFIX * len(levels)
+    shifted = [jnp.roll(data_u32, -k) for k in range(n_shift)]
 
     def pack_words(base):
         return [
@@ -337,13 +383,13 @@ def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_siz
     sflag = skp >> jnp.uint32(30)
 
     m = n + 2 * v
-    depths = _GROUP_DEPTH + 1 if has_long else _STAB_MAX_LEN + 1
+    depths = _GROUP_DEPTH + 1 if levels else _STAB_MAX_LEN + 1
     vals, openb, spay = _paren_overlay(sflag, skp, m, depths)
     packed = _deepest_fit(vals, openb, spay, sflag, input_len, chunk_size, 0, _STAB_MAX_LEN)
 
     # restore position order (vocab rows sort to the tail and are sliced off)
     key2 = jnp.where(sflag == 1, spay, jnp.uint32(0xFFFFFFFF))
-    if not has_long:
+    if not levels:
         _, packed_sorted = lax.sort((key2, packed), num_keys=1)
         return packed_sorted[:n]
 
@@ -353,42 +399,55 @@ def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_siz
         in_group & (sflag == 1), vals[:, _GROUP_DEPTH].astype(jnp.uint32), _NO_GROUP
     )
     _, packed_sorted, gid_sorted = lax.sort((key2, packed, gid), num_keys=1)
-    packed1 = packed_sorted[:n]
+    result = packed_sorted[:n]
     gid_pos = gid_sorted[:n]
 
-    # ── level 2: (gid, 6-byte suffix window at pos+8) vs suffix interval
-    # rows, packed into TWO key words (gid<<16 | s0<<8 | s1, s2..s5) so
-    # the sort stays 3-operand like level 1 ──
-    lv = stab["long_count"]
-    low = jnp.asarray(stab["long_open"])
-    lcw = jnp.asarray(stab["long_close"])
-    lln = jnp.asarray(stab["long_ln"])
-    lid = jnp.asarray(stab["long_id"])
-    s8, s9 = shifted[8], shifted[9]
-    sw0 = (gid_pos << jnp.uint32(16)) | (s8 << jnp.uint32(8)) | s9
-    sw1 = ((shifted[10] << jnp.uint32(24)) | (shifted[11] << jnp.uint32(16))
-           | (shifted[12] << jnp.uint32(8)) | shifted[13])
+    # ── levels k >= 2: (gid, 6-byte window at pos+base) vs that level's
+    # suffix-interval rows, packed into TWO key words (gid<<16 | b0<<8 |
+    # b1, b2..b5) so every sort stays 3-operand like level 1 ──
+    for li, lvl in enumerate(levels):
+        base = _stab_coverage(li + 1)
+        last = li == len(levels) - 1
+        lv = lvl["count"]
+        low = jnp.asarray(lvl["open"])
+        lcw = jnp.asarray(lvl["close"])
+        lln = jnp.asarray(lvl["ln"])
+        lid = jnp.asarray(lvl["id"])
+        sw0 = ((gid_pos << jnp.uint32(16)) | (shifted[base] << jnp.uint32(8))
+               | shifted[base + 1])
+        sw1 = ((shifted[base + 2] << jnp.uint32(24)) | (shifted[base + 3] << jnp.uint32(16))
+               | (shifted[base + 4] << jnp.uint32(8)) | shifted[base + 5])
 
-    g0 = jnp.concatenate([sw0, low[:, 0], lcw[:, 0]])
-    g1 = jnp.concatenate([sw1, low[:, 1], lcw[:, 1]])
-    gp = jnp.concatenate([
-        _k3(jnp.uint32(1), jnp.uint32(0), iota),
-        _k3(jnp.uint32(0), lln, lid),
-        _k3(jnp.uint32(2), lln, lid),
-    ])
-    _, _, skp2 = lax.sort((g0, g1, gp), num_keys=3)
-    sflag2 = skp2 >> jnp.uint32(30)
-    m2 = n + 2 * lv
-    vals2, openb2, spay2 = _paren_overlay(sflag2, skp2, m2, _STAB_MAX_SUFFIX + 1)
-    packed2 = _deepest_fit(
-        vals2, openb2, spay2, sflag2, input_len, chunk_size, _STAB_MAX_LEN, _STAB_MAX_SUFFIX
-    )
-    key2b = jnp.where(sflag2 == 1, spay2, jnp.uint32(0xFFFFFFFF))
-    _, packed2_sorted = lax.sort((key2b, packed2), num_keys=1)
-    long_hit = packed2_sorted[:n]
-
-    # a 9..14-byte match always beats any level-1 match (longer wins)
-    return jnp.where(long_hit > 0, long_hit, packed1)
+        g0 = jnp.concatenate([sw0, low[:, 0], lcw[:, 0]])
+        g1 = jnp.concatenate([sw1, low[:, 1], lcw[:, 1]])
+        gp = jnp.concatenate([
+            _k3(jnp.uint32(1), jnp.uint32(0), iota),
+            _k3(jnp.uint32(0), lln, lid),
+            _k3(jnp.uint32(2), lln, lid),
+        ])
+        _, _, skp2 = lax.sort((g0, g1, gp), num_keys=3)
+        sflag2 = skp2 >> jnp.uint32(30)
+        m2 = n + 2 * lv
+        depths2 = _LVL_GROUP_DEPTH + 1 if not last else _STAB_MAX_SUFFIX + 1
+        vals2, openb2, spay2 = _paren_overlay(sflag2, skp2, m2, depths2)
+        packed2 = _deepest_fit(
+            vals2, openb2, spay2, sflag2, input_len, chunk_size, base, _STAB_MAX_SUFFIX
+        )
+        key2b = jnp.where(sflag2 == 1, spay2, jnp.uint32(0xFFFFFFFF))
+        if last:
+            _, packed2_sorted = lax.sort((key2b, packed2), num_keys=1)
+        else:
+            in_group2 = ((openb2 >> jnp.uint32(_LVL_GROUP_DEPTH)) & 1) == 1
+            gid2 = jnp.where(
+                in_group2 & (sflag2 == 1),
+                vals2[:, _LVL_GROUP_DEPTH].astype(jnp.uint32),
+                _NO_GROUP,
+            )
+            _, packed2_sorted, gid2_sorted = lax.sort((key2b, packed2, gid2), num_keys=1)
+            gid_pos = gid2_sorted[:n]
+        # a level-k match is strictly longer than any earlier level's
+        result = jnp.maximum(result, packed2_sorted[:n])
+    return result
 
 
 def build_match_table(
@@ -501,8 +560,8 @@ def chunk_walk(
 
     matched = match_id >= 0
     tok = jnp.where(matched, match_id, data.astype(jnp.int32)).astype(jnp.uint32)
-    # jump distance, clamped to the u32 schedule window (callers guarantee
-    # max_token_len <= 31 — adaptive_chunk_size keeps real vocabs far below)
+    # jump distance, clamped to the u32 schedule window (the dispatcher
+    # routes vocabs with max_token_len > 31 to chunk_walk_wide / _gather)
     step = jnp.clip(jnp.where(matched, match_len, 1), 1, 31).astype(jnp.uint32)
     allowed = lax.broadcasted_iota(jnp.int32, (n,), 0) < input_len
 
@@ -530,6 +589,59 @@ def chunk_walk(
         (cols(tok), cols(step), cols(allowed), is_start),
     )
     # out: [chunk/U, U, C] -> [C, chunk_size] position-aligned
+    tokens = out.reshape(chunk_size, num_chunks).T
+    counts = jnp.sum(tokens != _PAD_TOKEN, axis=1, dtype=jnp.int32)
+    return tokens, counts
+
+
+def chunk_walk_wide(
+    match_id: jax.Array,
+    match_len: jax.Array,
+    data: jax.Array,
+    input_len: jax.Array,
+    chunk_size: int,
+):
+    """``chunk_walk`` with a TWO-word (64-bit) emission schedule, for
+    vocabs whose longest token is 32..63 bytes. Identical lockstep greedy
+    semantics; the carry is (lo, hi) u32 pairs per chunk shifted as one
+    64-bit window, so jump distances up to 63 stay gather-free (the old
+    fallback dropped the whole walk to one gather per emitted token)."""
+    n = match_id.shape[0]
+    num_chunks = n // chunk_size
+
+    matched = match_id >= 0
+    tok = jnp.where(matched, match_id, data.astype(jnp.int32)).astype(jnp.uint32)
+    step = jnp.clip(jnp.where(matched, match_len, 1), 1, 63).astype(jnp.uint32)
+    allowed = lax.broadcasted_iota(jnp.int32, (n,), 0) < input_len
+
+    u = _SCAN_UNROLL if chunk_size % _SCAN_UNROLL == 0 else 1
+
+    def cols(x):
+        return x.reshape(num_chunks, chunk_size // u, u).transpose(1, 2, 0)
+
+    def body(carry, xs):
+        lo, hi = carry
+        tok_u, step_u, allowed_u, is_start_u = xs
+        outs = []
+        for k in range(u):
+            emit = (((lo & 1) == 1) | is_start_u[k]) & allowed_u[k]
+            s = step_u[k]
+            lo = lo | jnp.where(emit & (s < 32), jnp.uint32(1) << s, jnp.uint32(0))
+            hi = hi | jnp.where(
+                emit & (s >= 32), jnp.uint32(1) << (s - 32), jnp.uint32(0)
+            )
+            lo = (lo >> 1) | ((hi & 1) << jnp.uint32(31))
+            hi = hi >> 1
+            outs.append(jnp.where(emit, tok_u[k], _PAD_TOKEN))
+        return (lo, hi), jnp.stack(outs)
+
+    is_start = jnp.zeros((chunk_size // u, u, num_chunks), bool).at[0, 0].set(True)
+    zeros = jnp.zeros((num_chunks,), jnp.uint32)
+    _, out = lax.scan(
+        body,
+        (zeros, zeros),
+        (cols(tok), cols(step), cols(allowed), is_start),
+    )
     tokens = out.reshape(chunk_size, num_chunks).T
     counts = jnp.sum(tokens != _PAD_TOKEN, axis=1, dtype=jnp.int32)
     return tokens, counts
@@ -604,7 +716,12 @@ class TPUTokenizer:
 
     def _encode_pass_impl(self, data_padded: jax.Array, input_len: jax.Array):
         mid, mlen = build_match_table(data_padded, self.tables, input_len, self.chunk_size)
-        walk = chunk_walk if self.tables.max_token_len <= 31 else chunk_walk_gather
+        if self.tables.max_token_len <= 31:
+            walk = chunk_walk
+        elif self.tables.max_token_len <= 63:
+            walk = chunk_walk_wide
+        else:  # pathological vocabs only; one gather-driven jump per step
+            walk = chunk_walk_gather
         tokens, _counts = walk(mid, mlen, data_padded, input_len, self.chunk_size)
         # Device-side compaction (the reference's trie_prefix_sum +
         # trie_tokenizer_compact, tokenize.wgsl:177-243): strip PAD holes
@@ -626,13 +743,18 @@ class TPUTokenizer:
         data = bytes(data)
         if not data:
             return np.zeros(0, dtype=np.uint32)
-        # dispatch every pass first: pass k+1 computes while pass k's pages
-        # stream back over the (slow) host link
-        passes = [
-            self._encode_single_pass(data[off : off + self.max_pass_bytes])
-            for off in range(0, len(data), self.max_pass_bytes)
-        ]
-        parts = [self._fetch_tokens(pages, total) for pages, total in passes]
+        # two passes in flight: pass k+1 computes while pass k's pages
+        # stream back over the (slow) host link. Dispatching ALL passes up
+        # front would hold ~3x the corpus on device (input + u16 pages per
+        # pass) and OOM multi-GB encodes; a 2-deep window overlaps compute
+        # with readback at bounded HBM.
+        parts: list[np.ndarray] = []
+        in_flight: list[tuple[jax.Array, jax.Array]] = []
+        for off in range(0, len(data), self.max_pass_bytes):
+            in_flight.append(self._encode_single_pass(data[off : off + self.max_pass_bytes]))
+            if len(in_flight) > 1:
+                parts.append(self._fetch_tokens(*in_flight.pop(0)))
+        parts.extend(self._fetch_tokens(*p) for p in in_flight)
         return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
     def _encode_single_pass(self, data: bytes):

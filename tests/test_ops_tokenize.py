@@ -179,8 +179,8 @@ class TestTwoLevelStab:
     def test_two_level_matches_oracle(self):
         vocab = self._vocab_with_longs()
         t = MatchTables.from_vocab(vocab)
-        assert t.stab is not None and t.stab["long_count"] > 0
-        assert t.dense_lengths == [16]
+        assert t.stab is not None and len(t.stab["levels"]) > 0
+        assert t.dense_lengths == []  # 16-byte token now rides stab level 3
         rng = np.random.default_rng(6)
         filler = bytes(rng.integers(97, 105, size=3000).tolist())
         data = (
@@ -212,6 +212,93 @@ class TestTwoLevelStab:
         pieces = [v for v in vocab[256:]] + [b"prefixA", b"prefixAAsuffi"]
         for trial in range(5):
             parts = [pieces[i] for i in rng.integers(0, len(pieces), size=400)]
+            data = b"".join(parts)
+            ref = GreedyTrieEncoder(vocab, chunk_size=tok.chunk_size).encode(data)
+            got = tok.encode_bytes(data)
+            assert np.array_equal(got, np.asarray(ref, dtype=np.uint32)), trial
+
+
+class TestMultiLevelStab:
+    """Token lengths 15..32 ride chained stab levels (6-byte group hops);
+    lengths 33+ fall to the dense join, and vocabs with 32..63-byte max
+    token length use the two-word wide walk instead of the gather
+    fallback. All paths must stay byte-identical to the greedy oracle."""
+
+    def _vocab(self, extra=()):
+        rng = np.random.default_rng(11)
+        toks = {bytes([b]) for b in range(256)}
+        vocab = [bytes([b]) for b in range(256)]
+        while len(vocab) < 2500:
+            ln = int(rng.integers(2, 9))
+            t = bytes(rng.integers(97, 105, size=ln).tolist())
+            if t not in toks:
+                toks.add(t)
+                vocab.append(t)
+        longs = [
+            b"the quick brown",          # 15 -> level 3
+            b"the quick brown fox j",    # 21 -> level 4
+            b"the quick brown fox jumps lover",  # 31 -> level 5
+            b"the quick brown f",        # 17, shares level-3 group chain
+            b"the quick brawn",          # 15, diverges inside level 3 window
+            b"commonprefixiscommon",     # 20
+            b"commonprefixisc",          # 15
+            b"commonprefixi",            # 13 (level 2)
+            b"commonpr",                 # 8-byte prefix as its own token
+        ]
+        return vocab + longs + list(extra)
+
+    def _check(self, vocab, data, chunk_size=None):
+        tok = TPUTokenizer(vocab, chunk_size=chunk_size)
+        ref = GreedyTrieEncoder(vocab, chunk_size=tok.chunk_size).encode(data)
+        got = tok.encode_bytes(data)
+        assert np.array_equal(got, np.asarray(ref, dtype=np.uint32))
+        return tok
+
+    def test_chained_levels_cover_to_32(self):
+        vocab = self._vocab()
+        t = MatchTables.from_vocab(vocab)
+        assert t.stab is not None
+        assert t.stab["max_len"] == 32
+        assert len(t.stab["levels"]) == 4  # coverage 14/20/26/32
+        assert t.dense_lengths == []  # nothing left for the dense join
+
+    def test_multi_level_matches_oracle(self):
+        vocab = self._vocab()
+        rng = np.random.default_rng(12)
+        filler = bytes(rng.integers(97, 105, size=2000).tolist())
+        probes = (
+            b"the quick brown fox jumps loverXXthe quick brown fox jthe quick brown"
+            b"the quick brawnthe quick brownZcommonprefixiscommoncommonprefixisc"
+            b"commonprefixicommonprXcommonprefixiscommo"
+        )
+        self._check(vocab, filler + probes + filler[:257] + probes)
+
+    def test_dense_join_beyond_32(self):
+        vocab = self._vocab(extra=[b"A" * 40])
+        t = MatchTables.from_vocab(vocab)
+        assert t.dense_lengths == [40]
+        data = b"A" * 100 + b"the quick brown fox jumps lover" + b"A" * 39
+        self._check(vocab, data)
+
+    def test_wide_walk_32_to_63(self):
+        vocab = self._vocab(extra=[b"B" * 40, b"B" * 63])
+        tok = TPUTokenizer(vocab)
+        assert tok.tables.max_token_len == 63  # -> two-word wide walk
+        data = b"B" * 200 + b"the quick brown fox jumps lover" + b"B" * 63
+        self._check(vocab, data)
+
+    def test_long_token_across_chunk_boundary(self):
+        vocab = self._vocab()
+        data = b"a" * 490 + b"the quick brown fox jumps lover" + b"b" * 100
+        self._check(vocab, data, chunk_size=512)
+
+    def test_fuzz_multi_level(self):
+        vocab = self._vocab()
+        tok = TPUTokenizer(vocab)
+        rng = np.random.default_rng(13)
+        pieces = vocab[2500:] + [b"the quick", b"the quick brown fox", b"commonprefix"]
+        for trial in range(4):
+            parts = [pieces[i] for i in rng.integers(0, len(pieces), size=300)]
             data = b"".join(parts)
             ref = GreedyTrieEncoder(vocab, chunk_size=tok.chunk_size).encode(data)
             got = tok.encode_bytes(data)

@@ -121,6 +121,15 @@ def test_garbage_tail_ignored():
         assert np.array_equal(np.asarray(r), np.asarray(g))
 
 
+def test_selftest_module_interpret():
+    """The on-TPU selftest (run by bench.py on the real chip) must pass in
+    interpret mode too — keeps the bench-side cases covered in CI."""
+    from gpu_bpe_tpu.ops.selftest import run_kernel_selftest
+
+    results = run_kernel_selftest(interpret=True)
+    assert results and all(results.values()), results
+
+
 class TestTrackingKernels:
     """Fused created-pair tracking (merge_compact_tracked) vs the jnp
     roll-based reference computations (interpret mode)."""
