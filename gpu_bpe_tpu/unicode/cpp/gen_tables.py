@@ -1,4 +1,4 @@
-"""Generate C++ Unicode property tables from CPython's unicodedata.
+"""Generate C++ Unicode property tables (Unicode 17.0 via the regex module).
 
 Produces ``unicode_tables.h`` consumed by decoder.cpp. Tables:
 
@@ -15,9 +15,21 @@ Produces ``unicode_tables.h`` consumed by decoder.cpp. Tables:
 * combining class (CCC) for canonical ordering.
 * simple case maps (upper/lower/title/fold) as sparse delta tables.
 
-Unicode version = the interpreter's (15.0 here; the reference WASM is 17.0 —
-drift affects only codepoints assigned after 15.0, documented in
-docs/CONFORMANCE.md).
+Data sources (reference parity: decoder.wasm ships Unicode 17.0):
+
+* The installed ``regex`` module (2026.x) carries the FULL Unicode 17.0
+  property database: general categories, CCC, scripts, blocks, identifier
+  properties, UAX #29 break classes, and full case folding (fold_case /
+  get_all_cases natives). These drive every classification table.
+* CPython's unicodedata (15.0) supplies what regex does not expose:
+  decomposition mappings (NFC/NFD/NFKC/NFKD data) and the
+  upper/lower/title case mappings. Post-15.0 cased letters get their
+  simple case pairs recovered from regex ``get_all_cases`` (exact for
+  one-to-one bicameral pairs, i.e. every post-15.0 case mapping).
+  Post-15.0 codepoints with decompositions — if any exist — are DETECTED
+  via regex's NFD/NFKD quick-check sets and reported at generation time
+  (see kMissingDecompCount in the header), since the mapping data itself
+  is unavailable offline.
 """
 
 from __future__ import annotations
@@ -127,6 +139,104 @@ def _property_ranges(pattern: str, all_text: str) -> list[tuple[int, int]]:
 
     pat = regex.compile(pattern + "+", regex.V1)
     return [(m.start(), m.end()) for m in pat.finditer(all_text)]
+
+
+def generate_categories_17(all_text: str) -> list[int]:
+    """Per-codepoint general category at Unicode 17.0 (regex module data).
+
+    Every non-Cn category is queried as \\p{gc=Xx} ranges; unmatched
+    codepoints stay Cn. This replaces unicodedata.category (15.0) — the
+    category table drives the pre-tokenizer's char classes, i.e. word
+    boundaries, i.e. the merge list: the primary conformance surface."""
+    cats = [CAT_INDEX["Cn"]] * MAX_CP
+    for name, idx in CAT_INDEX.items():
+        if name == "Cn":
+            continue
+        for s, e in _property_ranges(rf"\p{{gc={name}}}", all_text):
+            for cp in range(s, e):
+                cats[cp] = idx
+    return cats
+
+
+def generate_ccc_17(all_text: str) -> list[int]:
+    """Per-codepoint canonical combining class at 17.0 (regex data).
+
+    regex names CCC values both symbolically and numerically; the numeric
+    aliases enumerate every assigned value."""
+    import regex._regex_core as rc
+
+    ccc = [0] * MAX_CP
+    numeric = sorted(
+        {int(name) for name in rc.PROPERTIES["CANONICALCOMBININGCLASS"][1] if name.isdigit()}
+    )
+    for val in numeric:
+        if val == 0:
+            continue
+        for s, e in _property_ranges(rf"\p{{ccc={val}}}", all_text):
+            for cp in range(s, e):
+                ccc[cp] = val
+    return ccc
+
+
+def fold_17(cp: int, assigned_15: bool) -> str:
+    """Full case fold: unicodedata (authoritative through 15.0) for
+    codepoints assigned there, the regex module's 17.0 fold_case for the
+    rest (regex omits the U+0130 F-mapping, so 15.0 data wins where it
+    exists)."""
+    if assigned_15:
+        return chr(cp).casefold()
+    import regex._regex as rx
+    import regex._regex_core as rc
+
+    return rx.fold_case(rc.UNICODE_ENCODING | rc.FULL_CASE_FOLDING, chr(cp))
+
+
+def recover_case_pairs(cats17: list[int], assigned_15: list[bool]):
+    """Simple case maps for post-15.0 cased letters via get_all_cases.
+
+    Post-15.0 bicameral additions (Garay, ...) are one-to-one pairs: a
+    cased codepoint whose case orbit has exactly two members, one Lu/Lt
+    and one Ll by the 17.0 categories. Returns (upper_extra, lower_extra,
+    title_extra) as {cp: mapped}."""
+    import regex._regex as rx
+    import regex._regex_core as rc
+
+    lu, lt, ll = CAT_INDEX["Lu"], CAT_INDEX["Lt"], CAT_INDEX["Ll"]
+    upper_x: dict[int, int] = {}
+    lower_x: dict[int, int] = {}
+    title_x: dict[int, int] = {}
+    for cp in range(MAX_CP):
+        if assigned_15[cp] or cats17[cp] not in (lu, lt, ll):
+            continue
+        orbit = rx.get_all_cases(rc.UNICODE_ENCODING, cp)
+        others = [c for c in orbit if c != cp]
+        if len(others) != 1:
+            continue  # not a simple pair — skip rather than guess
+        other = others[0]
+        if cats17[cp] == ll and cats17[other] in (lu, lt):
+            upper_x[cp] = other
+            title_x[cp] = other
+        elif cats17[cp] in (lu, lt) and cats17[other] == ll:
+            lower_x[cp] = other
+    return upper_x, lower_x, title_x
+
+
+def detect_missing_decomps(all_text: str, have_decomp: set[int], have_compat: set[int]):
+    """Codepoints whose 17.0 NFD/NFKD quick-check is No but whose
+    decomposition mapping is absent from the 15.0 data — an explicit
+    unknowns list (the mapping itself is not recoverable offline)."""
+    missing_nfd = []
+    missing_nfkd = []
+    for s, e in _property_ranges(r"\p{NFD_Quick_Check=No}", all_text):
+        for cp in range(s, e):
+            if cp not in have_decomp and not (0xAC00 <= cp <= 0xD7A3):
+                missing_nfd.append(cp)
+    for s, e in _property_ranges(r"\p{NFKD_Quick_Check=No}", all_text):
+        for cp in range(s, e):
+            if (cp not in have_compat and cp not in have_decomp
+                    and not (0xAC00 <= cp <= 0xD7A3)):
+                missing_nfkd.append(cp)
+    return missing_nfd, missing_nfkd
 
 
 def generate_script_tables():
@@ -246,12 +356,16 @@ def rle(values) -> list[tuple[int, int]]:
 
 
 def main(out_path: str) -> None:
-    cats = []
-    classes = []
-    for cp in range(MAX_CP):
-        cat = unicodedata.category(chr(cp))
-        cats.append(CAT_INDEX[cat])
-        classes.append(char_class(cp, cat))
+    assigned_15 = [unicodedata.category(chr(cp)) != "Cn" for cp in range(MAX_CP)]
+    try:
+        all_text = "".join(chr(cp) for cp in range(MAX_CP))
+        cats = generate_categories_17(all_text)
+        data_version = "17.0"
+    except ImportError:
+        all_text = None
+        cats = [CAT_INDEX[unicodedata.category(chr(cp))] for cp in range(MAX_CP)]
+        data_version = unicodedata.unidata_version
+    classes = [char_class(cp, CATEGORIES[cats[cp]]) for cp in range(MAX_CP)]
 
     # RLE category ranges
     cat_ranges = []
@@ -275,7 +389,11 @@ def main(out_path: str) -> None:
             pages.append(key)
         page_index.append(page_map[key])
 
-    # decomposition + CCC
+    # decomposition (15.0 mappings — see module docstring) + CCC (17.0)
+    if all_text is not None:
+        ccc17 = generate_ccc_17(all_text)
+    else:
+        ccc17 = [unicodedata.combining(chr(cp)) for cp in range(MAX_CP)]
     decomp_entries = []  # (cp, offset, len)
     decomp_pool: list[int] = []
     ccc_entries = []
@@ -286,9 +404,8 @@ def main(out_path: str) -> None:
         if d:
             decomp_entries.append((cp, len(decomp_pool), len(d)))
             decomp_pool.extend(d)
-        c = unicodedata.combining(chr(cp))
-        if c:
-            ccc_entries.append((cp, c))
+        if ccc17[cp]:
+            ccc_entries.append((cp, ccc17[cp]))
 
     # compatibility (NFKD) decomposition, fully expanded
     compat_entries = []  # (cp, offset, len)
@@ -320,17 +437,26 @@ def main(out_path: str) -> None:
         out = []
         for cp in range(MAX_CP):
             try:
-                m = fn(chr(cp))
+                m = fn(cp)
             except Exception:  # noqa: BLE001
                 continue
             if len(m) == 1 and ord(m) != cp:
                 out.append((cp, ord(m)))
         return out
 
-    upper = case_table(str.upper)
-    lower = case_table(str.lower)
-    title = case_table(lambda c: c.title()[0] if c.title() else c)
-    fold = case_table(str.casefold)
+    fold_fn = (lambda cp: fold_17(cp, assigned_15[cp])) if all_text is not None \
+        else (lambda cp: chr(cp).casefold())
+    upper = case_table(lambda cp: chr(cp).upper())
+    lower = case_table(lambda cp: chr(cp).lower())
+    title = case_table(lambda cp: chr(cp).title()[0] if chr(cp).title() else chr(cp))
+    fold = case_table(fold_fn)
+
+    # post-15.0 bicameral pairs recovered from the 17.0 case orbits
+    if all_text is not None:
+        upper_x, lower_x, title_x = recover_case_pairs(cats, assigned_15)
+        upper = sorted(set(upper) | set(upper_x.items()))
+        lower = sorted(set(lower) | set(lower_x.items()))
+        title = sorted(set(title) | set(title_x.items()))
 
     # full case maps: only the multi-codepoint expansions (ß -> "ss", ﬁ ->
     # "fi" under fold, etc.); the C side falls back to the simple tables
@@ -338,7 +464,7 @@ def main(out_path: str) -> None:
         out = []
         for cp in range(MAX_CP):
             try:
-                m = fn(chr(cp))
+                m = fn(cp)
             except Exception:  # noqa: BLE001
                 continue
             if len(m) > 1:
@@ -347,10 +473,10 @@ def main(out_path: str) -> None:
         return out
 
     full_pool: list[int] = []
-    full_upper = full_case_table(str.upper, full_pool)
-    full_lower = full_case_table(str.lower, full_pool)
-    full_title = full_case_table(str.title, full_pool)
-    full_fold = full_case_table(str.casefold, full_pool)
+    full_upper = full_case_table(lambda cp: chr(cp).upper(), full_pool)
+    full_lower = full_case_table(lambda cp: chr(cp).lower(), full_pool)
+    full_title = full_case_table(lambda cp: chr(cp).title(), full_pool)
+    full_fold = full_case_table(fold_fn, full_pool)
 
     # curated confusable skeletons (UTS #39 style, common homoglyph subset:
     # Cyrillic + Greek + fullwidth lookalikes of Basic Latin)
@@ -390,6 +516,14 @@ def main(out_path: str) -> None:
     script_ranges = rle(script_ids) if script_ids else [(0, 0)]
     block_ranges = rle(block_ids) if block_ids else [(0, 0)]
 
+    # post-15.0 decompositions we cannot source offline: detect + report
+    if all_text is not None:
+        missing_nfd, missing_nfkd = detect_missing_decomps(
+            all_text, {e[0] for e in decomp_entries}, {e[0] for e in compat_entries}
+        )
+    else:
+        missing_nfd, missing_nfkd = [], []
+
     try:
         gcb, wb, sb, extpict, incb = generate_segmentation_tables()
         seg_ranges = {
@@ -409,9 +543,20 @@ def main(out_path: str) -> None:
     with open(out_path, "w") as f:
         w = f.write
         w("// Auto-generated by gen_tables.py — do not edit.\n")
-        w(f'// Source: CPython unicodedata {unicodedata.unidata_version}\n')
+        w(f"// Properties/classification: Unicode {data_version} (regex module); "
+          f"normalization mappings: CPython unicodedata {unicodedata.unidata_version}\n")
         w("#pragma once\n#include <cstdint>\n\n")
-        w(f'inline constexpr const char* kUnicodeVersion = "{unicodedata.unidata_version}";\n\n')
+        w(f'inline constexpr const char* kUnicodeVersion = "{data_version}";\n\n')
+        w(f"// Codepoints with 17.0 NFD/NFKD QC=No whose decomposition mapping is\n")
+        w(f"// not in the offline 15.0 data (explicit unknowns; empty = full parity):\n")
+        w(f"inline constexpr uint32_t kMissingDecompCount = {len(missing_nfd)};\n")
+        w("inline constexpr uint32_t kMissingDecompCp[] = {\n")
+        w(fmt_u32(missing_nfd or [0]))
+        w("};\n")
+        w(f"inline constexpr uint32_t kMissingCompatDecompCount = {len(missing_nfkd)};\n")
+        w("inline constexpr uint32_t kMissingCompatDecompCp[] = {\n")
+        w(fmt_u32(missing_nfkd or [0]))
+        w("};\n\n")
 
         w(f"inline constexpr uint32_t kCatRangeCount = {len(cat_ranges)};\n")
         w("inline constexpr uint32_t kCatRangeStart[] = {\n")

@@ -66,11 +66,40 @@ def _classify_codepoint(cp: int) -> int:
 
 @lru_cache(maxsize=1)
 def class_table() -> np.ndarray:
-    """Dense uint8 class table over the full codepoint space (1.1 MB)."""
-    table = np.empty(MAX_CODEPOINT, dtype=np.uint8)
-    classify = _classify_codepoint
-    for cp in range(MAX_CODEPOINT):
-        table[cp] = classify(cp)
+    """Dense uint8 class table over the full codepoint space (1.1 MB).
+
+    Sourced from the ``regex`` module's Unicode 17.0 property data when
+    available (matching the C++ tables and the reference's decoder.wasm);
+    falls back to unicodedata (15.0) otherwise."""
+    try:
+        return _class_table_regex()
+    except ImportError:
+        table = np.empty(MAX_CODEPOINT, dtype=np.uint8)
+        classify = _classify_codepoint
+        for cp in range(MAX_CODEPOINT):
+            table[cp] = classify(cp)
+        return table
+
+
+def _class_table_regex() -> np.ndarray:
+    import regex
+
+    all_text = "".join(map(chr, range(MAX_CODEPOINT)))
+    table = np.full(MAX_CODEPOINT, CharClass.OTHER, dtype=np.uint8)
+
+    def apply(pattern: str, value: int) -> None:
+        pat = regex.compile(pattern + "+", regex.V1)
+        for m in pat.finditer(all_text):
+            table[m.start() : m.end()] = value
+
+    apply(r"\p{L}", CharClass.LETTER)
+    apply(r"\p{M}", CharClass.LETTER)  # marks stay with letters
+    apply(r"\p{N}", CharClass.DIGIT)
+    apply(r"\p{P}", CharClass.PUNCTUATION)
+    apply(r"\p{S}", CharClass.SYMBOL)
+    # whitespace / newline classes override category-derived ones
+    table[sorted(WHITESPACE_CODEPOINTS)] = CharClass.WHITESPACE
+    table[sorted(NEWLINE_CODEPOINTS)] = CharClass.NEWLINE
     return table
 
 

@@ -125,7 +125,59 @@ class TestProperties:
         assert cpp.compose(ord("q"), 0x301) == -1
 
     def test_version(self, cpp):
-        assert cpp.unicode_version == unicodedata.unidata_version
+        # classification/properties data is Unicode 17.0 (regex module),
+        # matching the reference decoder.wasm; unicodedata here is 15.0
+        assert cpp.unicode_version == "17.0"
+
+
+class TestUnicode17Data:
+    """Post-15.0 codepoints must classify per Unicode 17.0 (the reference
+    decoder.wasm ships 17.0 tables; unicodedata here is 15.0 — these cps
+    are all Cn to it)."""
+
+    def test_new_script_letters(self, cpp):
+        for cp in (0x105C0,  # TODHRI (16.0)
+                   0x11BC0,  # SUNUWAR (16.0)
+                   0x16D40,  # KIRAT RAI (16.0)
+                   0x11DB0,  # TOLONG SIKI (17.0)
+                   0x10940,  # SIDETIC (17.0)
+                   0x16EA0):  # BERIA ERFE (17.0)
+            assert cpp.is_letter(cp), hex(cp)
+            assert unicodedata.category(chr(cp)) == "Cn"  # invisible to 15.0
+
+    def test_new_digits_classify(self, cpp):
+        import numpy as np
+
+        garay = np.arange(0x10D40, 0x10D4A, dtype=np.uint32)  # Nd (16.0)
+        assert cpp.classify_codepoints(garay).tolist() == [1] * 10  # DIGIT
+
+    def test_post_15_case_pairs(self, cpp):
+        # Garay is bicameral (16.0): pairs recovered from 17.0 case orbits
+        assert cpp.to_lower(0x10D50) == 0x10D70
+        assert cpp.to_upper(0x10D70) == 0x10D50
+        assert cpp.case_fold(0x10D50) == 0x10D70
+
+    def test_python_fallback_agrees(self, cpp):
+        # class_table (python fallback) sources the same 17.0 data, so the
+        # degradation chain cannot change word boundaries
+        from gpu_bpe_tpu.unicode.fallback import class_table
+
+        table = class_table()
+        for cp in (0x105C0, 0x10D40, 0x11DB0, 0x16EA0):
+            assert int(table[cp]) == int(cpp.classify_codepoints([cp])[0])
+
+    def test_missing_decomp_list_is_explicit(self, cpp):
+        # the only 17.0 delta left: post-15.0 decomposition mappings,
+        # pinned as an explicit unknowns list in the generated header
+        import re
+        from pathlib import Path
+
+        import gpu_bpe_tpu.unicode.cpp as cpp_pkg
+
+        txt = (Path(cpp_pkg.__file__).parent / "unicode_tables.h").read_text()
+        n = int(re.search(r"kMissingDecompCount = (\d+)", txt).group(1))
+        nk = int(re.search(r"kMissingCompatDecompCount = (\d+)", txt).group(1))
+        assert n <= 20 and nk <= 57  # shrinks if data becomes available
 
 
 class TestPretokenizePrepare:
