@@ -55,6 +55,11 @@ _GROUP_DEPTH = _STAB_MAX_LEN + 1  # overlay slot carrying the prefix-group id
 _STAB_MAX_SUFFIX = 6
 _LVL_GROUP_DEPTH = _STAB_MAX_SUFFIX + 1  # level-k overlay slot for gids
 _STAB_MAX_LEVELS = 5  # coverage cap: 8 + 6*4 = 32 bytes
+# A stab level costs two O(N log N) sorts regardless of how few tokens it
+# serves; below this many remaining tokens the O(N*V) dense join is
+# cheaper, so the chain truncates and the tail lengths go dense (e.g. a
+# real 8K vocab has ~10 tokens past 14 bytes — not worth a level).
+_LEVEL_MIN_TOKENS = 512
 _NO_GROUP = jnp.uint32(0xFFFF)  # group ids are 16-bit (asserted)
 
 
@@ -161,6 +166,18 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
             ids.append(token_id)
         elif _STAB_MAX_LEN < len(entry) <= max_cov:
             long_toks.append((token_id, entry))
+
+    # truncate the chain where a level no longer earns its two sorts:
+    # chain level k+1 only while > _LEVEL_MIN_TOKENS tokens remain beyond
+    # the current coverage (the dense join serves the dropped tail)
+    n_levels = 1
+    while _stab_coverage(n_levels) < max_cov:
+        beyond = sum(1 for _t, e in long_toks if len(e) > _stab_coverage(n_levels))
+        if beyond == 0 or beyond < _LEVEL_MIN_TOKENS:
+            break
+        n_levels += 1
+    stab_max = _stab_coverage(n_levels)
+    long_toks = [(t, e) for t, e in long_toks if len(e) <= stab_max]
 
     # group chain: distinct 8-byte prefixes seed level 2
     groups: dict[bytes, int] = {}
@@ -274,28 +291,32 @@ def _paren_overlay(sflag, skp, m: int, depths: int):
     """Balanced-parens overlay scan over a sorted open/position/close
     stream: inclusive Hillis-Steele doubling scan that propagates, per
     depth, the payload of the innermost enclosing open. Returns
-    (vals [m, depths] u16 payloads, openb [m] u32 per-depth open bits,
-    spay [m] u32 raw payloads)."""
+    (vals [depths, m] u16 payloads, openb [m] u32 per-depth open bits,
+    spay [m] u32 raw payloads).
+
+    ``vals`` is laid out [depths, m] — m minor — so every array tiles the
+    (8, 128) vector registers densely; the [m, depths] orientation pads
+    the ~10-wide minor dimension to 128 lanes (measured ~12x slower)."""
     sln = (skp >> jnp.uint32(25)) & jnp.uint32(0x1F)
     spay = skp & jnp.uint32(0x1FFFFFF)
-    depth = lax.broadcasted_iota(jnp.uint32, (1, depths), 1)
+    depth = lax.broadcasted_iota(jnp.uint32, (depths, 1), 0)
     is_open = sflag == 0
     is_close = sflag == 2
     mod = jnp.where(is_open | is_close, jnp.uint32(1) << sln, 0)
     openb = jnp.where(is_open, jnp.uint32(1) << sln, 0)
     vals = jnp.where(
-        (sln[:, None] == depth) & is_open[:, None], spay[:, None], 0
+        (sln[None, :] == depth) & is_open[None, :], spay[None, :], 0
     ).astype(jnp.uint16)
 
     # identity op has mod == 0, so left-padding with zeros is a no-op prefix
     def shift_down(x, s):
-        pad = jnp.zeros((s,) + x.shape[1:], x.dtype)
-        return jnp.concatenate([pad, x[:-s]], axis=0)
+        pad = jnp.zeros(x.shape[:-1] + (s,), x.dtype)
+        return jnp.concatenate([pad, x[..., :-s]], axis=-1)
 
     s = 1
     while s < m:
         pv, po, pm = shift_down(vals, s), shift_down(openb, s), shift_down(mod, s)
-        bmod_d = ((mod[:, None] >> depth) & 1) == 1
+        bmod_d = ((mod[None, :] >> depth) & 1) == 1
         vals = jnp.where(bmod_d, vals, pv)
         openb = (po & ~mod) | (openb & mod)
         mod = pm | mod
@@ -307,22 +328,23 @@ def _deepest_fit(vals, openb, spay, sflag, input_len, chunk_size: int,
                  base_len: int, max_depth: int):
     """Per-position extraction: the deepest open depth whose token (of
     length ``base_len + depth``) still fits within the position's chunk.
-    Returns packed (len << 16 | id) per sorted row, 0 where no match."""
-    depth = lax.broadcasted_iota(jnp.uint32, (1, vals.shape[1]), 1)
+    Returns packed (len << 16 | id) per sorted row, 0 where no match.
+    ``vals`` is [depths, m] (m minor — see _paren_overlay)."""
+    depth = lax.broadcasted_iota(jnp.uint32, (vals.shape[0], 1), 0)
     pos_i = spay.astype(jnp.int32)
     cend = jnp.minimum((pos_i // chunk_size + 1) * chunk_size, input_len)
     d_i = depth.astype(jnp.int32)
-    fits = base_len + d_i <= (cend - pos_i)[:, None]
+    fits = base_len + d_i <= (cend - pos_i)[None, :]
     openable = (
-        (((openb[:, None] >> depth) & 1) == 1)
+        (((openb[None, :] >> depth) & 1) == 1)
         & fits
-        & (sflag == 1)[:, None]
+        & (sflag == 1)[None, :]
         & (d_i <= max_depth)
     )
-    best_d = jnp.max(jnp.where(openable, d_i, 0), axis=1)
+    best_d = jnp.max(jnp.where(openable, d_i, 0), axis=0)
     best_id = jnp.max(
-        jnp.where(openable & (d_i == best_d[:, None]), vals.astype(jnp.int32), 0),
-        axis=1,
+        jnp.where(openable & (d_i == best_d[None, :]), vals.astype(jnp.int32), 0),
+        axis=0,
     )
     return jnp.where(
         (sflag == 1) & (best_d > 0),
@@ -396,7 +418,7 @@ def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_siz
     # position's prefix-group id (exact 8-byte window match), or _NO_GROUP
     in_group = ((openb >> jnp.uint32(_GROUP_DEPTH)) & 1) == 1
     gid = jnp.where(
-        in_group & (sflag == 1), vals[:, _GROUP_DEPTH].astype(jnp.uint32), _NO_GROUP
+        in_group & (sflag == 1), vals[_GROUP_DEPTH].astype(jnp.uint32), _NO_GROUP
     )
     _, packed_sorted, gid_sorted = lax.sort((key2, packed, gid), num_keys=1)
     result = packed_sorted[:n]
@@ -440,7 +462,7 @@ def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_siz
             in_group2 = ((openb2 >> jnp.uint32(_LVL_GROUP_DEPTH)) & 1) == 1
             gid2 = jnp.where(
                 in_group2 & (sflag2 == 1),
-                vals2[:, _LVL_GROUP_DEPTH].astype(jnp.uint32),
+                vals2[_LVL_GROUP_DEPTH].astype(jnp.uint32),
                 _NO_GROUP,
             )
             _, packed2_sorted, gid2_sorted = lax.sort((key2b, packed2, gid2), num_keys=1)

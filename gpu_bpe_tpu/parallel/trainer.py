@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import logging
+import os
 import time
 
 import jax.numpy as jnp
@@ -17,6 +18,17 @@ from .dist_train import init_dist_state, make_dist_train_batch, shard_stream
 from .mesh import make_mesh
 
 logger = logging.getLogger(__name__)
+
+
+def _is_tunnel_platform() -> bool:
+    """True on the axon-tunneled validation TPU (shard_map donation is
+    broken there at execute time; see DistributedTrainer.train_stream)."""
+    try:
+        import jax
+
+        return "axon" in (jax.config.jax_platforms or "")
+    except Exception:
+        return False
 
 
 class DistributedTrainer:
@@ -61,12 +73,22 @@ class DistributedTrainer:
         if self._batch is None:
             import jax
 
-            # no buffer donation here: donating sharded state into a
-            # shard_map program fails at execute time on the tunneled TPU
-            # used for validation (plain jit donation works fine — the
-            # single-chip trainer keeps it). Cost: one transient copy of
-            # the sharded arrays per batch. Re-evaluate on a physical pod.
-            self._batch = jax.jit(make_dist_train_batch(self.mesh, axis))
+            # Donate the sharded state between batches (no transient copy
+            # of the corpus arrays per batch) EXCEPT on the tunneled
+            # validation TPU, where donating into a shard_map program
+            # fails at execute time with a backend error (plain jit
+            # donation works — the single-chip trainer keeps it). The
+            # tunnel is identified by the "axon" platform in
+            # jax.config.jax_platforms; physical pods donate.
+            donate = (
+                jax.default_backend() == "tpu"
+                and not _is_tunnel_platform()
+                and not os.environ.get("GPU_BPE_TPU_NO_DIST_DONATE")
+            )
+            self._batch = jax.jit(
+                make_dist_train_batch(self.mesh, axis),
+                donate_argnums=(0,) if donate else (),
+            )
 
         merges: list[tuple[int, int, int]] = []
         merge_counts: list[int] = []

@@ -1,0 +1,96 @@
+"""Large-corpus streamed-training validation (BASELINE configs 3/5 envelope).
+
+Synthesizes an N-GB Zipfian corpus on disk (reusing bench.py's generator,
+written in slabs so host memory stays flat), streams it through
+``api.train_files`` to a 32K vocab, and records wall time, peak RSS,
+merges/s, and the model fingerprint as a checked-in artifact.
+
+    python scripts/validate_stream.py --gb 10 --vocab 32768 \
+        --out docs/artifacts/stream_10gb.json
+
+The corpus file is cached at /tmp/stream_corpus_<gb>gb.txt and reused.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import resource
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def synth_to_disk(path: str, n_bytes: int, slab: int = 1 << 28) -> None:
+    """bench.synth_corpus written slab-by-slab (distinct seeds per slab)."""
+    from bench import synth_corpus
+
+    if os.path.exists(path) and os.path.getsize(path) == n_bytes:
+        return
+    t0 = time.time()
+    with open(path, "wb") as f:
+        written = 0
+        seed = 0
+        while written < n_bytes:
+            blob = synth_corpus(min(slab, n_bytes - written), seed=seed)
+            f.write(blob)
+            written += len(blob)
+            seed += 1
+            print(f"  synth {written >> 20} / {n_bytes >> 20} MB "
+                  f"({written / max(1e-9, time.time() - t0) / 1e6:.0f} MB/s)",
+                  file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gb", type=float, default=10.0)
+    ap.add_argument("--vocab", type=int, default=32768)
+    ap.add_argument("--out", default="docs/artifacts/stream_validation.json")
+    ap.add_argument("--corpus", default=None)
+    args = ap.parse_args()
+
+    n_bytes = int(args.gb * (1 << 30))
+    corpus_path = args.corpus or f"/tmp/stream_corpus_{args.gb:g}gb.txt"
+    print(f"synthesizing {args.gb} GB corpus at {corpus_path}", file=sys.stderr)
+    synth_to_disk(corpus_path, n_bytes)
+
+    from gpu_bpe_tpu.api import TrainConfig, train_files
+
+    t0 = time.time()
+    tok, result = train_files(
+        [corpus_path],
+        TrainConfig(vocab_size=args.vocab, show_progress=True),
+    )
+    wall = time.time() - t0
+    peak_rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6  # GB (ru_maxrss in KB)
+
+    merges = result.merges
+    fp = hashlib.sha256(
+        json.dumps([[a, b, c] for a, b, c in merges]).encode()
+    ).hexdigest()[:16]
+    artifact = {
+        "corpus_bytes": n_bytes,
+        "corpus_gb": args.gb,
+        "vocab_target": args.vocab,
+        "merges": len(merges),
+        "wall_seconds": round(wall, 1),
+        "merges_per_sec_incl_ingest": round(len(merges) / wall, 1),
+        "train_seconds": round(result.training_time_s, 1),
+        "peak_rss_gb": round(peak_rss, 2),
+        "merge_list_sha256_16": fp,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()

@@ -152,6 +152,12 @@ class TestTwoLevelStab:
     groups + suffix intervals) instead of the dense join; lengths > 14
     stay dense. Output must stay byte-identical to the greedy oracle."""
 
+    @pytest.fixture(autouse=True)
+    def _force_deep_levels(self, monkeypatch):
+        from gpu_bpe_tpu.ops import tokenize as tz
+
+        monkeypatch.setattr(tz, "_LEVEL_MIN_TOKENS", 1)
+
     def _vocab_with_longs(self):
         rng = np.random.default_rng(5)
         toks = {bytes([b]) for b in range(256)}
@@ -224,6 +230,15 @@ class TestMultiLevelStab:
     token length use the two-word wide walk instead of the gather
     fallback. All paths must stay byte-identical to the greedy oracle."""
 
+    @pytest.fixture(autouse=True)
+    def _force_deep_levels(self, monkeypatch):
+        # production truncates levels that serve < _LEVEL_MIN_TOKENS
+        # tokens (dense join is cheaper there); force full chaining so
+        # these tests exercise the deep-level machinery
+        from gpu_bpe_tpu.ops import tokenize as tz
+
+        monkeypatch.setattr(tz, "_LEVEL_MIN_TOKENS", 1)
+
     def _vocab(self, extra=()):
         rng = np.random.default_rng(11)
         toks = {bytes([b]) for b in range(256)}
@@ -291,6 +306,21 @@ class TestMultiLevelStab:
         vocab = self._vocab()
         data = b"a" * 490 + b"the quick brown fox jumps lover" + b"b" * 100
         self._check(vocab, data, chunk_size=512)
+
+    def test_level_truncation_default_threshold(self, monkeypatch):
+        # with the production threshold, a handful of long tokens must NOT
+        # spawn deep levels — their lengths go to the dense join instead,
+        # and output stays identical
+        from gpu_bpe_tpu.ops import tokenize as tz
+
+        monkeypatch.setattr(tz, "_LEVEL_MIN_TOKENS", 512)
+        vocab = self._vocab()  # 9 tokens longer than 8 bytes
+        t = MatchTables.from_vocab(vocab)
+        assert t.stab is not None and t.stab["levels"] == []
+        assert t.stab["max_len"] == 8
+        assert set(t.dense_lengths) == {len(v) for v in vocab if len(v) > 8}
+        data = b"the quick brown fox jumps loverXXcommonprefixiscommonYY" * 20
+        self._check(vocab, data)
 
     def test_fuzz_multi_level(self):
         vocab = self._vocab()
