@@ -142,13 +142,14 @@ class TPUTrainer:
             # Capacities live on a power-of-two ladder whose compiles are
             # served by the persistent cache across runs and corpora, so
             # shrinking is cheap; every sort/scan in the merge loop costs
-            # O(capacity), so track n closely (the stream often collapses
-            # several fold within the first batches).
-            remaining = merges_needed - total_done
+            # O(capacity), so track n closely. The device loop returns
+            # early when the stream collapses below half capacity
+            # (train_step collapse stop), so shrink unconditionally —
+            # skipping it would re-enter at the same capacity and stop
+            # again immediately.
             new_cap = cap
-            if remaining >= 128 or early_stop:
-                while new_cap > _MIN_CAP and n_now + 32 <= new_cap // 2:
-                    new_cap //= 2
+            while new_cap > _MIN_CAP and n_now + 32 <= new_cap // 2:
+                new_cap //= 2
             if new_cap != cap:
                 # train_batch ends compacted (dirty=0, extent=n), so slicing
                 # the zero tail is safe.
