@@ -34,6 +34,47 @@ class SymbolStream:
         return self.total_bytes / max(self.n, 1)
 
 
+def _unique_rows(mat: np.ndarray, weights: np.ndarray | None = None):
+    """``np.unique(mat, axis=0, return_counts=True)`` replacement, ~5-10x
+    faster: rows are packed into big-endian u64 words (byteswapped to
+    native once) so the sort compares machine words instead of void rows.
+    ``weights`` sums per-row weights instead of counting occurrences.
+    Returns (uniq [u, ln] u8, counts int64) with rows in ascending
+    byte-lexicographic order — the order np.unique produces for
+    same-length rows."""
+    k, ln = mat.shape
+    if k == 0:
+        return mat.copy(), np.zeros(0, np.int64)
+    nw = (ln + 7) // 8
+    if ln == nw * 8 and mat.flags.c_contiguous:
+        padded = mat
+    else:
+        padded = np.zeros((k, nw * 8), np.uint8)
+        padded[:, :ln] = mat
+    # big-endian view: numeric u64 order == byte-lexicographic row order
+    words = padded.view(">u8").astype(np.uint64)  # [k, nw], native after astype
+    if nw == 1:
+        w0 = words[:, 0]
+        order = np.argsort(w0, kind="stable")
+        sw0 = w0[order]
+        neq = np.empty(k, bool)
+        neq[0] = True
+        np.not_equal(sw0[1:], sw0[:-1], out=neq[1:])
+    else:
+        order = np.lexsort(tuple(words[:, j] for j in range(nw - 1, -1, -1)))
+        sw = words[order]
+        neq = np.empty(k, bool)
+        neq[0] = True
+        np.any(sw[1:] != sw[:-1], axis=1, out=neq[1:])
+    starts = np.flatnonzero(neq)
+    if weights is None:
+        counts = np.diff(np.append(starts, k)).astype(np.int64)
+    else:
+        counts = np.add.reduceat(np.asarray(weights, np.int64)[order], starts)
+    uniq = padded[order[starts]][:, :ln]
+    return uniq, counts
+
+
 def make_stream(
     data: bytes | np.ndarray,
     word_starts: np.ndarray | None,
@@ -87,7 +128,7 @@ def make_stream(
             continue
         # [k, ln] matrix of word bytes via strided gather
         mat = bytes_arr[sel[:, None] + np.arange(ln)[None, :]]
-        uniq, cnt = np.unique(mat, axis=0, return_counts=True)
+        uniq, cnt = _unique_rows(mat)
         assert cnt.max(initial=0) < 2**31, "word frequency overflows int32"
         k = len(uniq)
         sym = uniq.astype(np.uint32)
@@ -146,16 +187,14 @@ class StreamAccumulator:
                 continue
             sel = boundaries[lengths == ln]
             mat = bytes_arr[sel[:, None] + np.arange(ln)[None, :]]
-            uniq, cnt = np.unique(mat, axis=0, return_counts=True)
+            uniq, cnt = _unique_rows(mat)
             if ln not in self._rows:
                 self._rows[ln] = uniq
-                self._counts[ln] = cnt.astype(np.int64)
+                self._counts[ln] = cnt
             else:
                 merged = np.concatenate([self._rows[ln], uniq])
-                mcnt = np.concatenate([self._counts[ln], cnt.astype(np.int64)])
-                u2, inv = np.unique(merged, axis=0, return_inverse=True)
-                self._rows[ln] = u2
-                self._counts[ln] = np.bincount(inv, weights=mcnt).astype(np.int64)
+                mcnt = np.concatenate([self._counts[ln], cnt])
+                self._rows[ln], self._counts[ln] = _unique_rows(merged, weights=mcnt)
 
     def finish(self) -> SymbolStream:
         out_syms, out_wts = [], []

@@ -196,12 +196,23 @@ def _pair_ids(symbols: jax.Array, n: jax.Array, iota: jax.Array):
 
 def _run_totals(sp: jax.Array, sw: jax.Array) -> jax.Array:
     """Per-run weight totals of a sorted pair stream, placed at run ends
-    (0 elsewhere and for the invalid pair id 0)."""
+    (0 elsewhere and for the invalid pair id 0).
+
+    The prefix sum runs in WRAPPING u32: the global stream mass may exceed
+    2^31 (a 10 GB corpus has ~10G total pair mass), but only per-run
+    DIFFERENCES are consumed, and a mod-2^32 difference is exact whenever
+    the run's own mass < 2^32 — the same envelope as the reference's u32
+    atomic counters (train.wgsl pair_counts). The previous-end lookup uses
+    a cummax over END POSITIONS (monotone by construction, wrap-immune)
+    plus one gather — recount-path only, so the gather is rare."""
+    n = sp.shape[0]
+    iota = lax.broadcasted_iota(jnp.uint32, (n,), 0)
     is_end = jnp.concatenate([sp[:-1] != sp[1:], jnp.ones((1,), bool)])
-    csum = jnp.cumsum(sw, dtype=jnp.int32)
-    end_csum = jnp.where(is_end, csum, 0)
-    prev_end = jnp.concatenate([jnp.zeros((1,), jnp.int32), lax.cummax(end_csum)[:-1]])
-    return jnp.where(is_end & (sp != 0), csum - prev_end, 0)
+    csum = jnp.cumsum(sw.astype(jnp.uint32), dtype=jnp.uint32)  # wraps; diffs exact
+    end_pos1 = jnp.where(is_end, iota + 1, 0)  # 1-based end positions
+    prev_end1 = jnp.concatenate([jnp.zeros((1,), jnp.uint32), lax.cummax(end_pos1)[:-1]])
+    prev_csum = jnp.where(prev_end1 > 0, csum[jnp.maximum(prev_end1, 1) - 1], 0)
+    return jnp.where(is_end & (sp != 0), (csum - prev_csum).astype(jnp.int32), 0)
 
 
 def _best_of_runs(sp: jax.Array, sw: jax.Array):
@@ -541,8 +552,10 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
     pair, w, nxt = _masked_pairs(state.symbols, state.weights, state.extent, iota, lookahead)
 
     # ── exact candidate recount: [N, K] masked compare, no sort ──
-    eq = pair[:, None] == state.cand[None, :]
-    cand_counts = jnp.sum(jnp.where(eq, w[:, None], 0), axis=0)
+    # [K, N] orientation (N minor): dense (8,128) tiling — the [N, K]
+    # form pads the 96-wide minor dimension to 128 lanes if materialized
+    eq = state.cand[:, None] == pair[None, :]
+    cand_counts = jnp.sum(jnp.where(eq, w[None, :], 0), axis=1)
     m = jnp.max(cand_counts)
     cand_winner = jnp.min(jnp.where(cand_counts == m, state.cand, _INVALID))
     certified = (m > state.theta) & (m > state.ub_new) & (m >= 2)
@@ -602,7 +615,7 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
         # approx_max_k is ~10x cheaper than exact lax.top_k here.
         _av, ai = lax.approx_max_k(run_total.astype(jnp.float32), K_CANDIDATES)
         new_cand = sp[ai].at[0].set(bp)  # winner must be tracked
-        tracked = jnp.any(sp[:, None] == new_cand[None, :], axis=1)
+        tracked = jnp.any(new_cand[:, None] == sp[None, :], axis=0)
         new_theta = jnp.max(jnp.where(tracked, 0, run_total))
         new_cand = jnp.concatenate([new_cand, jnp.full((S_CREATED,), _INVALID, _U32)])
         return bp, bc, new_cand, new_theta, jnp.asarray(0, jnp.int32), jnp.asarray(K_CANDIDATES, jnp.int32)

@@ -45,10 +45,18 @@ class TPUTrainer:
     ) -> TrainingResult:
         if stream.n == 0:
             raise ValueError("No symbols to train on — corpus is empty after pre-processing")
+        # Count envelope: run totals use wrapping-u32 prefix sums, so the
+        # GLOBAL stream mass is unbounded; what must fit is any single
+        # pair's mass (< 2^31, the same practical envelope as the
+        # reference's u32 atomic counters — a 10 GB natural corpus tops
+        # out around ~60M for the heaviest pair). Pathological corpora
+        # (e.g. gigabytes of one repeated byte) should be sharded
+        # (gpu_bpe_tpu.parallel) to keep per-shard pair mass in range.
         if stream.total_bytes >= 2**31:
-            raise ValueError(
-                "int32 count overflow risk: corpus larger than 2^31 symbols per shard; "
-                "shard across devices (gpu_bpe_tpu.parallel) or reduce the shard size"
+            logger.info(
+                "corpus mass %d exceeds 2^31: exact while every single "
+                "pair's mass stays < 2^31 (shard pathological corpora)",
+                stream.total_bytes,
             )
 
         merges: list[tuple[int, int, int]] = []

@@ -206,8 +206,8 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
             pair_vec, w_vec, nxt = _masked_pairs(sym, w, ext_l, iota, lookahead)
 
             # ── exact global candidate recount: K ints over ICI ──
-            eq = pair_vec[:, None] == cnd[None, :]
-            local_counts = jnp.sum(jnp.where(eq, w_vec[:, None], 0), axis=0)
+            eq = cnd[:, None] == pair_vec[None, :]  # [K, N]: N minor tiles densely
+            local_counts = jnp.sum(jnp.where(eq, w_vec[None, :], 0), axis=1)
             cand_counts = lax.psum(local_counts, axis)
             m = jnp.max(cand_counts)
             cand_winner = jnp.min(jnp.where(cand_counts == m, cnd, _INVALID))
@@ -258,8 +258,8 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
                 dup = jnp.concatenate([jnp.zeros((1,), bool), su[1:] == su[:-1]])
                 su = jnp.where(dup, _INVALID, su)
                 # exact global counts of the union
-                equ = pair_vec[:, None] == su[None, :]
-                uc_local = jnp.sum(jnp.where(equ, w_vec[:, None], 0), axis=0)
+                equ = su[:, None] == pair_vec[None, :]  # [K', N]
+                uc_local = jnp.sum(jnp.where(equ, w_vec[None, :], 0), axis=1)
                 uc = lax.psum(uc_local, axis)
                 uc = jnp.where(su == _INVALID, 0, uc)
                 # global top-K with the reference tie-break (count desc,
@@ -272,7 +272,7 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
                 # it stays sound under approximate selection. The sparse
                 # result is exact only if the union winner strictly beats
                 # that bound (ties could hide a smaller pair id outside).
-                in_loc = jnp.any(sp[:, None] == loc_pairs[None, :], axis=1)
+                in_loc = jnp.any(loc_pairs[:, None] == sp[None, :], axis=0)
                 outside_max = jnp.max(jnp.where(in_loc, 0, rt))
                 bound1 = lax.psum(outside_max, axis)
                 provable = sorted_counts[0] > bound1
@@ -298,7 +298,7 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
                     bp2 = jnp.where(bc2 > 0, bp2, jnp.uint32(0))
                     _av2, ai2 = lax.approx_max_k(rt2.astype(jnp.float32), K_CANDIDATES)
                     cand2 = sp2[ai2].at[0].set(bp2)
-                    tr2 = jnp.any(sp2[:, None] == cand2[None, :], axis=1)
+                    tr2 = jnp.any(cand2[:, None] == sp2[None, :], axis=0)
                     theta2 = jnp.max(jnp.where(tr2, 0, rt2))
                     return (cand2, bc2, theta2)
 

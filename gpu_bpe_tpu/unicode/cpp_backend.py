@@ -250,12 +250,15 @@ class CppUnicodeBackend(PyUnicodeBackend):
         if rc != 0:
             raise RuntimeError(f"decoder_pretokenize_prepare failed: {rc}")
         n = cp_count.value
-        return (
-            out[: out_len.value].tobytes(),
-            cps[:n].copy(),
-            classes[:n].copy(),
-            offsets[:n].copy(),
-        )
+
+        # copy only when it releases substantial over-allocation — the
+        # common case (ASCII-heavy, factor 1) slices off almost nothing
+        # and the copies dominated ingest wall time (~0.4 s per 100 MB)
+        def trim(a: np.ndarray) -> np.ndarray:
+            view = a[:n]
+            return view.copy() if n < (len(a) * 3) // 4 else view
+
+        return (out[: out_len.value].tobytes(), trim(cps), trim(classes), trim(offsets))
 
     # ── predicates via native lib ────────────────────────────────────
     def is_letter(self, cp: int) -> bool:

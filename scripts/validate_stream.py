@@ -27,10 +27,58 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def synth_to_disk(path: str, n_bytes: int, slab: int = 1 << 28) -> None:
-    """bench.synth_corpus written slab-by-slab (distinct seeds per slab)."""
-    from bench import synth_corpus
+def synth_slab_fast(n_bytes: int, seed: int, vocab_size: int = 120_000) -> bytes:
+    """Vectorized Zipfian corpus slab (same flavor as bench.synth_corpus,
+    ~40x faster: word table rendered once, slabs assembled with numpy)."""
+    rng = np.random.default_rng(seed)
+    syllables = [a + b for a in "btkdsmnlrpfgvz"
+                 for b in ("a", "e", "i", "o", "u", "ar", "en", "il", "on", "ust")]
+    syllables += ["tion", "ing", "er", "ed", "ly", "pre", "con", "anti", "ment", "ness"]
+    n_syll = rng.integers(1, 5, size=vocab_size)
+    syl_idx = rng.integers(0, len(syllables), size=int(n_syll.sum()))
+    words = []
+    pos = 0
+    for k in n_syll:
+        words.append("".join(syllables[i] for i in syl_idx[pos : pos + k]) + " ")
+        pos += k
+    # flat byte pool + offsets
+    blobs = [w.encode() for w in words]
+    lens = np.array([len(b) for b in blobs], np.int64)
+    offs = np.zeros(vocab_size + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    pool = np.frombuffer(b"".join(blobs), np.uint8)
 
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = ranks**-1.05
+    cdf = np.cumsum(probs / probs.sum())
+
+    draws_per_round = 1 << 20
+    out = np.empty(int(n_bytes * 1.05) + 64, np.uint8)
+    written = 0
+    while written < n_bytes:
+        # inverse-CDF sampling (rng.choice with p= is ~10x slower)
+        idx = np.searchsorted(cdf, rng.random(draws_per_round)).clip(0, vocab_size - 1)
+        total = int(lens[idx].sum())
+        # gather each word's bytes: repeat-based source index construction
+        starts = offs[idx]
+        wl = lens[idx]
+        dst_off = np.zeros(len(idx), np.int64)
+        np.cumsum(wl[:-1], out=dst_off[1:])
+        flat = np.repeat(starts + wl - 1, wl)  # end positions repeated
+        ramp = np.arange(total, dtype=np.int64) - np.repeat(dst_off + wl - 1, wl)
+        src = flat + ramp  # contiguous indices per word
+        chunk = pool[src]
+        # newline every ~80 bytes (deterministic, may split words — same
+        # artifact as the bench generator's line chunking)
+        chunk[79::80] = 0x0A
+        take = min(total, len(out) - written)
+        out[written : written + take] = chunk[:take]
+        written += take
+    return out[:n_bytes].tobytes()
+
+
+def synth_to_disk(path: str, n_bytes: int, slab: int = 1 << 28) -> None:
+    """Fast Zipfian corpus written slab-by-slab (distinct seeds per slab)."""
     if os.path.exists(path) and os.path.getsize(path) == n_bytes:
         return
     t0 = time.time()
@@ -38,7 +86,7 @@ def synth_to_disk(path: str, n_bytes: int, slab: int = 1 << 28) -> None:
         written = 0
         seed = 0
         while written < n_bytes:
-            blob = synth_corpus(min(slab, n_bytes - written), seed=seed)
+            blob = synth_slab_fast(min(slab, n_bytes - written), seed=seed)
             f.write(blob)
             written += len(blob)
             seed += 1

@@ -155,16 +155,13 @@ def test_make_stream_int32_weight_guard(monkeypatch):
 
     from gpu_bpe_tpu.ops import ingest
 
-    real_unique = np.unique
+    real_unique_rows = ingest._unique_rows
 
-    def huge_unique(arr, **kw):
-        out = real_unique(arr, **kw)
-        if kw.get("return_counts"):
-            uniq, cnt = out
-            return uniq, cnt + np.int64(2**31)
-        return out
+    def huge_unique(mat, weights=None):
+        uniq, cnt = real_unique_rows(mat, weights)
+        return uniq, cnt + np.int64(2**31)
 
-    monkeypatch.setattr(ingest.np, "unique", huge_unique)
+    monkeypatch.setattr(ingest, "_unique_rows", huge_unique)
     data = np.frombuffer(b"aaa bbb aaa ", dtype=np.uint8)
     starts = np.zeros(len(data), dtype=np.uint8)
     starts[[0, 4, 8]] = 1

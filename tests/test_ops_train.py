@@ -251,3 +251,24 @@ def test_fuzz_random_corpora_conformance(seed):
     tpu = TPUTrainer().train(data, starts, target_vocab_size=vocab_target)
     assert tpu.merges == oracle.merges
     assert tpu.merge_counts == oracle.merge_counts
+
+
+def test_run_totals_mass_beyond_int32():
+    """Global stream mass past 2^31 must not corrupt run totals: the
+    prefix sum wraps in u32 and only per-run differences (each < 2^31)
+    are consumed — the reference's u32-atomic envelope."""
+    import jax.numpy as jnp
+
+    from gpu_bpe_tpu.ops.train_step import _run_totals
+
+    # 8 runs of weight ~500M each: total mass ~4e9 > 2^32/2
+    sp = np.repeat(np.arange(1, 9, dtype=np.uint32), 4)
+    sw = np.full(32, 125_000_000, np.int32)  # per run: 5e8 < 2^31
+    rt = np.asarray(_run_totals(jnp.asarray(sp), jnp.asarray(sw)))
+    ends = np.flatnonzero(rt)
+    assert len(ends) == 8
+    assert (rt[ends] == 500_000_000).all()
+    # invalid pair id 0 yields no run total
+    sp0 = np.zeros(4, np.uint32)
+    rt0 = np.asarray(_run_totals(jnp.asarray(sp0), jnp.asarray(np.ones(4, np.int32))))
+    assert (rt0 == 0).all()
