@@ -195,9 +195,12 @@ def main() -> None:
             stream.symbols.copy(), stream.weights.copy(), stream.n, stream.total_bytes
         )
 
-    # Warm-up: compile the batch step at the working capacity (excluded).
+    # Warm-up: run the FULL merge count once (excluded) — the mid-batch
+    # collapse stop re-pads through several capacity rungs, and each rung
+    # is a compiled shape; an 8-merge warm-up would leave those compiles
+    # inside the timed run.
     warm = TPUTrainer()
-    warm.train_stream(fresh_stream(), target_vocab_size=256 + 8)
+    warm.train_stream(fresh_stream(), target_vocab_size=256 + TARGET_MERGES)
 
     trainer = TPUTrainer()
     t0 = time.perf_counter()

@@ -239,8 +239,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+
     from .utils import enable_compile_cache
 
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # Honor JAX_PLATFORMS=cpu via jax.config too: some accelerator
+        # plugins hook backend resolution and would still initialize (and
+        # possibly block on) the device even when the env var selects cpu.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     enable_compile_cache()  # device compiles are 60-160 s/shape; cache them
     args = build_parser().parse_args(argv)
     return args.fn(args)

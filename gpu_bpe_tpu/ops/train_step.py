@@ -14,11 +14,15 @@ implementation uses TPU idioms:
 * pair counting  — lazy-candidate windows: a full count is one ``lax.sort``
   of (pair_id, weight) + segmented run totals via cumsum/cummax scans (no
   scatter: TPU has no fast scatter). Between full counts, the winner is
-  certified from a top-K candidate set whose counts are recomputed exactly
-  every merge with a [N, K] masked compare (~50x cheaper than the sort);
-  the certificate (see ``_one_merge``) proves the candidate winner equals
-  the global argmax, else the step falls back to a full recount. The merge
-  list is bitwise-identical to recounting every merge.
+  certified from a top-K candidate set whose exact counts are MAINTAINED
+  incrementally: a merge (a,b) -> Z can only change counts of pairs ending
+  in a / starting with b / equal to (a,b) / containing Z (proof in
+  ``_post_counts``), so each merge recounts just that affected subset with
+  an [A_AFFECTED, N] masked compare (~6x cheaper than the round-1
+  per-iteration [K, N] pass, ~300x cheaper than the sort); the certificate
+  (see ``_one_merge``) proves the candidate winner equals the global
+  argmax, else the step falls back to a full recount. The merge list is
+  bitwise-identical to recounting every merge.
 * winner         — deterministic ordering identical to ``is_better``
   (train.wgsl:83-85): count desc, pair id asc.
 * merge          — fully vectorized elementwise rule computed from the
@@ -77,13 +81,18 @@ def _use_pallas() -> bool:
         return False
 
 # Lazy-candidate window: number of tracked top pairs between full recounts.
-K_CANDIDATES = 64
+# Round 2: with counts MAINTAINED incrementally (no per-iteration [K, N]
+# pass), K costs almost nothing per iteration, so a larger window buys
+# strictly fewer sort recounts: K 64 -> 128 (lower theta), S 32 -> 64
+# (windows were scratch-bound at ~16 merges; sampling 2 pairs/merge now
+# sustains ~32). Merge lists are invariant under K/S by construction.
+K_CANDIDATES = 128
 # Append-only scratch slots for created pairs sampled during the window
 # (2 per merge: the heaviest-position left and right neighbor of the new
 # token). A sampled pair is tracked exactly AND excluded from the ub
 # histogram, which keeps the created-pair ceiling from ending the window
 # the moment a dominant new pair (e.g. "th"+"e") appears.
-S_CREATED = 32
+S_CREATED = 64
 _NO_EXCL = 0x10000  # 17-bit sentinel: matches no 16-bit token
 # Hash bins for the new-pair upper-bound histogram: 16x16 = 256 bins built
 # as a one-hot outer-product matmul. MUST equal pallas_kernels._TRACK_SIDE —
@@ -91,6 +100,11 @@ _NO_EXCL = 0x10000  # 17-bit sentinel: matches no 16-bit token
 # address the same bins the kernel accumulated (asserted at the import site).
 _UB_SIDE = 16
 _I32_MAX = 2**31 - 1  # plain int: a shared jax array would die under donation
+# Affected-recount width: after merging (a,b) -> Z, only candidates whose
+# pair ends in ``a``, starts with ``b``, or IS (a,b) can change count (see
+# _update_counts proof); when more than A_AFFECTED candidates are affected
+# the update falls back to a dense recount of the whole window.
+A_AFFECTED = 16
 
 
 class TrainState(NamedTuple):
@@ -109,6 +123,12 @@ class TrainState(NamedTuple):
     # ceiling for every untracked old pair, and the count ceiling for every
     # pair containing a token created since the last full recount.
     cand: jax.Array  # u32 [K_CANDIDATES + S_CREATED]
+    # EXACT live count per candidate slot, maintained incrementally across
+    # merges (-1 marks a dead slot). The per-iteration [K, N] recount of
+    # round 1 is gone: a merge (a,b) -> Z can only change counts of pairs
+    # ending in a / starting with b / equal to (a,b) / containing Z, so
+    # each merge recounts just that affected subset (see _update_counts).
+    cand_counts: jax.Array  # i32 [K_CANDIDATES + S_CREATED]
     theta: jax.Array  # i32 scalar
     ub_new: jax.Array  # i32 scalar
     recounts: jax.Array  # i32 scalar — full recounts performed (diagnostics)
@@ -128,6 +148,7 @@ def init_state(symbols: jax.Array, weights: jax.Array, n, next_id) -> TrainState
         merges_done=jnp.asarray(0, jnp.int32),
         merge_log=jnp.zeros((BATCH_MERGES, 3), _U32),
         cand=jnp.full((K_CANDIDATES + S_CREATED,), _INVALID, _U32),
+        cand_counts=jnp.full((K_CANDIDATES + S_CREATED,), -1, jnp.int32),
         theta=jnp.asarray(_I32_MAX, jnp.int32),  # forces a recount first
         ub_new=jnp.asarray(0, jnp.int32),
         recounts=jnp.asarray(0, jnp.int32),
@@ -379,6 +400,63 @@ def apply_merge_with_holes(symbols, weights, n, extent, dirty, pair, new_id, nxt
     return sym2, w2, n_new, extent2, dirty2, prev2, next2, w_left, w_right
 
 
+def _post_counts(cand, counts, merged_pair, l_slot, r_slot, sym2, w2, extent2, lookahead):
+    """Maintain exact candidate counts across one merge (a,b) -> Z.
+
+    Proof that only the affected subset can change: any pair instance
+    destroyed by the merge has an endpoint at a modified position, and
+    every modified position held ``a`` (a rewritten site) or ``b`` (a
+    removed B-side) pre-merge — so destroyed pairs have second member
+    ``a``, first member ``b``, or are (a,b) itself (this covers the
+    overlap-collapse quirk: inside a collapsed run every pre-pair is
+    (a,b)). Every pair CREATED by the merge contains Z (new adjacencies
+    only form across a removed position, whose compacted left neighbor is
+    the Z its site produced), and no tracked candidate contains Z except
+    the two sampled slots appended afterwards. All counted (a,b)
+    instances are sites, so the merged pair's own count is 0 post-merge.
+
+    The affected subset is recounted exactly on the post-merge stream
+    with an [A_AFFECTED, N] masked compare; if more than A_AFFECTED
+    candidates are affected (rare), the whole window is recounted
+    densely — the round-1 per-iteration [K, N] pass, now the fallback.
+    ``l_slot``/``r_slot`` (sentinel 1 when unused: no valid stream pair
+    has a zero first member) ride the same pass, returning the sampled
+    created pairs' exact counts for scratch-slot seeding + histogram
+    exclusion. Returns (counts', c_l, c_r).
+    """
+    cap = sym2.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    pair2, w2m, _ = _masked_pairs(sym2, w2, extent2, iota, lookahead)
+    live = counts >= 0
+    a = merged_pair >> _U32(16)
+    b = merged_pair & _TOKEN_MASK
+    ca, cb = cand >> _U32(16), cand & _TOKEN_MASK
+    affected = live & ((cb == a) | (ca == b)) & (cand != merged_pair)
+    n_aff = jnp.sum(affected.astype(jnp.int32))
+
+    def sparse(_):
+        keys = jnp.where(affected, _U32(0), _U32(1))
+        _, aff_sorted = lax.sort((keys, cand), num_keys=1)
+        ia = lax.broadcasted_iota(jnp.int32, (A_AFFECTED,), 0)
+        aff = jnp.where(ia < n_aff, aff_sorted[:A_AFFECTED], _U32(1))
+        lst = jnp.concatenate([aff, jnp.stack([l_slot, r_slot])])
+        eq = lst[:, None] == pair2[None, :]
+        cnt = jnp.sum(jnp.where(eq, w2m[None, :], 0), axis=1)
+        match = cand[:, None] == aff[None, :]
+        rec = jnp.max(jnp.where(match, cnt[None, :A_AFFECTED], 0), axis=1)
+        return jnp.where(affected, rec, counts), cnt[A_AFFECTED], cnt[A_AFFECTED + 1]
+
+    def dense(_):
+        lst = jnp.concatenate([cand, jnp.stack([l_slot, r_slot])])
+        eq = lst[:, None] == pair2[None, :]
+        cnt = jnp.sum(jnp.where(eq, w2m[None, :], 0), axis=1)
+        return jnp.where(live, cnt[: cand.shape[0]], counts), cnt[-2], cnt[-1]
+
+    counts2, c_l, c_r = lax.cond(n_aff <= A_AFFECTED, sparse, dense, None)
+    counts2 = jnp.where(live & (cand == merged_pair), 0, counts2)
+    return counts2, c_l, c_r
+
+
 def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
     """Apply one certified merge to ``st`` and maintain the window state.
 
@@ -408,31 +486,14 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
         )
         extent2, dirty2 = n_new, jnp.asarray(0, jnp.int32)
         next2 = None  # compacted stream: merge 2 never needs a hole chain
-        l_ok = has_room & (samp[0] > 0)
-        r_ok = has_room & (samp[2] > 0)
+        # token-0 guard: a sampled pair with a zero member is never counted
+        # by _masked_pairs (train.wgsl:393-399 skips token 0), so tracking
+        # it would seed a maintained count that over-states its pair-stream
+        # count. Leave it unsampled — its bin mass stays in the ceiling.
+        l_ok = has_room & (samp[0] > 0) & (samp[1] != 0)
+        r_ok = has_room & (samp[2] > 0) & (samp[3] != 0)
         l_tok = jnp.where(l_ok, samp[1].astype(_U32), _U32(_NO_EXCL))
         r_tok = jnp.where(r_ok, samp[3].astype(_U32), _U32(_NO_EXCL))
-        # exact counts of the sampled pairs (one fused elementwise+reduce
-        # pass), then subtract each from its bin — identical to in-stream
-        # exclusion because the pair's whole mass lives in that one bin
-        tok2 = sym2 & _TOKEN_MASK
-        z_mask = tok2 == z_tok16
-        prev_t = jnp.roll(sym2, 1) & _TOKEN_MASK
-        nxt2 = jnp.roll(sym2, -1)
-        w_left = jnp.where(z_mask & ((sym2 & _WS_BIT) == 0), w2, 0)
-        w_right = jnp.where(z_mask & ((nxt2 & _WS_BIT) == 0), w2, 0)
-        c_l = jnp.sum(jnp.where(prev_t == l_tok, w_left, 0))
-        c_r = jnp.sum(jnp.where((nxt2 & _TOKEN_MASK) == r_tok, w_right, 0))
-
-        def _excl(bins, tok, c):
-            h = ((tok * _U32(2654435761)) >> _U32(16)) & _U32(_UB_SIDE * _UB_SIDE - 1)
-            half = ((_UB_SIDE * _UB_SIDE).bit_length() - 1) // 2  # matches the kernel
-            return bins.at[(h >> _U32(half)).astype(jnp.int32),
-                           (h & _U32((1 << half) - 1)).astype(jnp.int32)].add(
-                -c.astype(jnp.float32))
-
-        bins_l = _excl(bins_l, l_tok, c_l)
-        bins_r = _excl(bins_r, r_tok, c_r)
     else:
         (sym2, w2, n_new, extent2, dirty2,
          prev2, next2, w_left, w_right) = apply_merge_with_holes(
@@ -447,29 +508,48 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
         # unsound. ──
         li = jnp.argmax(w_left)
         ri = jnp.argmax(w_right)
-        l_ok = has_room & (w_left[li] > 0)
-        r_ok = has_room & (w_right[ri] > 0)
+        # token-0 guard: see the Pallas branch above
+        l_ok = has_room & (w_left[li] > 0) & ((prev2[li] & _TOKEN_MASK) != 0)
+        r_ok = has_room & (w_right[ri] > 0) & ((next2[ri] & _TOKEN_MASK) != 0)
         l_tok = jnp.where(l_ok, prev2[li] & _TOKEN_MASK, _U32(_NO_EXCL))
         r_tok = jnp.where(r_ok, next2[ri] & _TOKEN_MASK, _U32(_NO_EXCL))
         w_left_x = jnp.where((prev2 & _TOKEN_MASK) == l_tok, 0, w_left)
         w_right_x = jnp.where((next2 & _TOKEN_MASK) == r_tok, 0, w_right)
         bins_l = _ub_bins(prev2 & _TOKEN_MASK, w_left_x)
         bins_r = _ub_bins(next2 & _TOKEN_MASK, w_right_x)
-        # exact counts of the sampled pairs on the post-merge stream (the
-        # w_left/w_right masses partitioned by the neighbor token ARE the
-        # pair counts; the masked sums are exact, not histogram bounds)
-        c_l = jnp.sum(jnp.where((prev2 & _TOKEN_MASK) == l_tok, w_left, 0))
-        c_r = jnp.sum(jnp.where((next2 & _TOKEN_MASK) == r_tok, w_right, 0))
 
+    # ── exact counts: the sampled created pairs ride the same affected-
+    # recount pass that maintains the candidate counts (see _post_counts);
+    # the masked pair-stream sums are exact counts, not histogram bounds ──
     l_pair = jnp.where(l_ok, (l_tok << _U32(16)) | z_tok16, _INVALID)
     r_pair = jnp.where(r_ok, (z_tok16 << _U32(16)) | r_tok, _INVALID)
-    ub_merge = jnp.maximum(_ub_from_bins(bins_l), _ub_from_bins(bins_r))
-    cand2 = lax.dynamic_update_slice(
-        st.cand,
-        jnp.stack([l_pair, r_pair]),
-        (jnp.where(has_room, st.fill, K_CANDIDATES + S_CREATED - 2),),
+    l_slot = jnp.where(l_ok, l_pair, _U32(1))
+    r_slot = jnp.where(r_ok, r_pair, _U32(1))
+    counts2, c_l, c_r = _post_counts(
+        st.cand, st.cand_counts, best_pair, l_slot, r_slot, sym2, w2, extent2, lookahead
     )
+    if _use_pallas():
+        # subtract each sampled pair's exact count from its bin — identical
+        # to in-stream exclusion because the pair's whole mass lives there
+        def _excl(bins, tok, c):
+            h = ((tok * _U32(2654435761)) >> _U32(16)) & _U32(_UB_SIDE * _UB_SIDE - 1)
+            half = ((_UB_SIDE * _UB_SIDE).bit_length() - 1) // 2  # matches the kernel
+            return bins.at[(h >> _U32(half)).astype(jnp.int32),
+                           (h & _U32((1 << half) - 1)).astype(jnp.int32)].add(
+                -c.astype(jnp.float32))
+
+        bins_l = _excl(bins_l, l_tok, c_l)
+        bins_r = _excl(bins_r, r_tok, c_r)
+    ub_merge = jnp.maximum(_ub_from_bins(bins_l), _ub_from_bins(bins_r))
+    slot0 = jnp.where(has_room, st.fill, K_CANDIDATES + S_CREATED - 2)
+    cand2 = lax.dynamic_update_slice(st.cand, jnp.stack([l_pair, r_pair]), (slot0,))
     cand2 = jnp.where(has_room, cand2, st.cand)
+    counts3 = lax.dynamic_update_slice(
+        counts2,
+        jnp.stack([jnp.where(l_ok, c_l, -1), jnp.where(r_ok, c_r, -1)]),
+        (slot0,),
+    )
+    counts3 = jnp.where(has_room, counts3, counts2)
     fill2 = jnp.where(has_room, st.fill + 2, st.fill)
 
     log = lax.dynamic_update_slice(
@@ -488,6 +568,7 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
         merges_done=st.merges_done + 1,
         merge_log=log,
         cand=cand2,
+        cand_counts=counts3,
         theta=st.theta,
         ub_new=jnp.maximum(st.ub_new, ub_merge),
         recounts=st.recounts,
@@ -549,13 +630,9 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
     # never holes and the next/prev-valid chains collapse to single rolls.
     lookahead = 0 if _use_pallas() else COMPACT_EVERY
 
-    pair, w, nxt = _masked_pairs(state.symbols, state.weights, state.extent, iota, lookahead)
-
-    # ── exact candidate recount: [N, K] masked compare, no sort ──
-    # [K, N] orientation (N minor): dense (8,128) tiling — the [N, K]
-    # form pads the 96-wide minor dimension to 128 lanes if materialized
-    eq = state.cand[:, None] == pair[None, :]
-    cand_counts = jnp.sum(jnp.where(eq, w[None, :], 0), axis=1)
+    # ── winner from the MAINTAINED exact candidate counts (no stream pass:
+    # counts were updated by _post_counts when the previous merge applied) ──
+    cand_counts = state.cand_counts
     m = jnp.max(cand_counts)
     cand_winner = jnp.min(jnp.where(cand_counts == m, state.cand, _INVALID))
     certified = (m > state.theta) & (m > state.ub_new) & (m >= 2)
@@ -602,6 +679,9 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
     )
 
     def full_recount(_):
+        pair, w, _nxt = _masked_pairs(
+            state.symbols, state.weights, state.extent, iota, lookahead
+        )
         sp, sw = lax.sort((pair, w), num_keys=1)
         run_total = _run_totals(sp, sw)
         # exact winner with the reference's is_better ordering
@@ -614,16 +694,27 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
         # shortens the window (more recounts), never breaks exactness.
         # approx_max_k is ~10x cheaper than exact lax.top_k here.
         _av, ai = lax.approx_max_k(run_total.astype(jnp.float32), K_CANDIDATES)
-        new_cand = sp[ai].at[0].set(bp)  # winner must be tracked
+        picked = run_total[ai]
+        # a picked position with run_total == 0 is NOT a run end (possible
+        # when the stream has fewer than K distinct pairs): its sp value is
+        # some run's interior, and seeding it with count 0 would track a
+        # pair with a WRONG maintained count. Invalidate such slots — the
+        # pair stays untracked and theta covers it exactly.
+        ok = picked > 0
+        new_cand = jnp.where(ok, sp[ai], _INVALID).at[0].set(bp)
+        new_counts = jnp.where(ok, picked, -1).at[0].set(bc)  # exact seeds
         tracked = jnp.any(new_cand[:, None] == sp[None, :], axis=0)
         new_theta = jnp.max(jnp.where(tracked, 0, run_total))
         new_cand = jnp.concatenate([new_cand, jnp.full((S_CREATED,), _INVALID, _U32)])
-        return bp, bc, new_cand, new_theta, jnp.asarray(0, jnp.int32), jnp.asarray(K_CANDIDATES, jnp.int32)
+        new_counts = jnp.concatenate([new_counts, jnp.full((S_CREATED,), -1, jnp.int32)])
+        return (bp, bc, new_cand, new_counts, new_theta,
+                jnp.asarray(0, jnp.int32), jnp.asarray(K_CANDIDATES, jnp.int32))
 
     def from_candidates_full(_):
-        return cand_winner, m, state.cand, state.theta, state.ub_new, state.fill
+        return (cand_winner, m, state.cand, state.cand_counts, state.theta,
+                state.ub_new, state.fill)
 
-    best_pair, count, cand, theta, ub_new, fill = lax.cond(
+    best_pair, count, cand, ccounts, theta, ub_new, fill = lax.cond(
         certified, from_candidates_full, full_recount, None
     )
     recounts = state.recounts + jnp.where(certified, 0, 1)
@@ -631,8 +722,11 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
 
     def do_merge(st: TrainState) -> TrainState:
         st_base = st._replace(
-            cand=cand, theta=theta, ub_new=ub_new, fill=fill, recounts=recounts
+            cand=cand, cand_counts=ccounts, theta=theta, ub_new=ub_new,
+            fill=fill, recounts=recounts,
         )
+        # pre-merge next-valid chain, needed only by the jnp holed path
+        nxt = None if _use_pallas() else _next_valid(st.symbols, lookahead)
         st1, ub_merge1, c_l, c_r, next2 = _merge_and_track(
             st_base, best_pair, count, nxt, lookahead
         )

@@ -53,12 +53,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import BATCH_MERGES, TOKEN_MASK, WORD_START_BIT
 from ..ops.train_step import (
+    A_AFFECTED,
     COMPACT_EVERY,
     K_CANDIDATES,
     S_CREATED,
     _I32_MAX,
     _NO_EXCL,
     _masked_pairs,
+    _next_valid,
     _run_totals,
     _ub_bins,
     _ub_from_bins,
@@ -83,6 +85,11 @@ class DistState(NamedTuple):
     merges_done: jax.Array  # i32 scalar
     merge_log: jax.Array  # u32 [BATCH_MERGES, 3]
     cand: jax.Array  # u32 [K_CANDIDATES + S_CREATED] (replicated)
+    # EXACT global count per candidate slot (replicated; -1 = dead slot),
+    # maintained incrementally: each merge psums an affected-subset
+    # recount (see ops.train_step._post_counts for the affectedness proof)
+    # instead of the round-1 per-iteration [K, N/D] pass + [K] psum.
+    cand_counts: jax.Array  # i32 [K_CANDIDATES + S_CREATED] (replicated)
     theta: jax.Array  # i32 scalar — ceiling for untracked old pairs
     ub_new: jax.Array  # i32 scalar — ceiling for pairs with post-recount tokens
     recounts: jax.Array  # i32 scalar — full recounts (diagnostics)
@@ -95,8 +102,8 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
 
     def shard_step(
         symbols, weights, n, extent, dirty, next_id, early_stop,
-        merges_done, merge_log, cand, theta, ub_new, recounts, fill, duals,
-        batch_merges,
+        merges_done, merge_log, cand, cand_counts, theta, ub_new, recounts,
+        fill, duals, batch_merges,
     ):
         # inside shard_map: symbols [CAP/D]; n/extent/dirty [1] (this shard)
         cap = symbols.shape[0]
@@ -112,13 +119,14 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
         n_slots = K_CANDIDATES + S_CREATED
 
         def merge_and_track(sym, w, n_l, ext_l, dirty_l, nid, md, log, cnd,
-                            ub, fl, pair_sel, count, nxt):
+                            counts, ub, fl, pair_sel, count, nxt):
             """Apply one certified merge shard-locally and maintain the
             replicated window state: global heaviest created-pair sample
-            (pmax weight, pmin token among attaining shards), its EXACT
-            global count (psum), histogram exclusion, psum'd ceiling bins,
-            scratch append, and the merge-log entry. Mirrors the
-            single-chip ``_merge_and_track``."""
+            (pmax weight, pmin token among attaining shards), the exact
+            maintained candidate counts (affected-subset recount, one
+            [A+2] psum), histogram exclusion, psum'd ceiling bins, scratch
+            append, and the merge-log entry. Mirrors the single-chip
+            ``_merge_and_track`` + ``_post_counts``."""
             z16 = nid & _TOKEN_MASK
             if use_pallas:
                 from ..ops.pallas_kernels import merge_compact_tracked
@@ -127,12 +135,7 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
                     sym, w, n_l, pair_sel, nid
                 )
                 ext2, dirty2 = n2, jnp.asarray(0, jnp.int32)
-                prev2 = jnp.roll(sym2, 1)
-                next2 = jnp.roll(sym2, -1)
-                tok2 = sym2 & _TOKEN_MASK
-                z_mask = tok2 == z16
-                w_left = jnp.where(z_mask & ((sym2 & _WS_BIT) == 0), w2, 0)
-                w_right = jnp.where(z_mask & ((next2 & _WS_BIT) == 0), w2, 0)
+                next2 = None  # compacted stream: merge 2 never needs a hole chain
                 lmg = lax.pmax(samp[0], axis)
                 rmg = lax.pmax(samp[2], axis)
                 lt_loc = jnp.where(samp[0] == lmg, samp[1], 0x7FFFFFFF)
@@ -152,14 +155,51 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
                     (w_right == rmg) & (rmg > 0),
                     (next2 & _TOKEN_MASK).astype(jnp.int32), 0x7FFFFFFF))
             has_room = fl <= n_slots - 2
-            l_ok = has_room & (lmg > 0)
-            r_ok = has_room & (rmg > 0)
-            l_tok = jnp.where(l_ok, lax.pmin(lt_loc, axis).astype(_U32), _U32(_NO_EXCL))
-            r_tok = jnp.where(r_ok, lax.pmin(rt_loc, axis).astype(_U32), _U32(_NO_EXCL))
-            c_l = lax.psum(
-                jnp.sum(jnp.where((prev2 & _TOKEN_MASK) == l_tok, w_left, 0)), axis)
-            c_r = lax.psum(
-                jnp.sum(jnp.where((next2 & _TOKEN_MASK) == r_tok, w_right, 0)), axis)
+            lt_glob = lax.pmin(lt_loc, axis)
+            rt_glob = lax.pmin(rt_loc, axis)
+            # token-0 guard: a sampled pair with a zero member is never
+            # counted by the pair stream — tracking it would seed a wrong
+            # maintained count (see the single-chip _merge_and_track)
+            l_ok = has_room & (lmg > 0) & (lt_glob != 0)
+            r_ok = has_room & (rmg > 0) & (rt_glob != 0)
+            l_tok = jnp.where(l_ok, lt_glob.astype(_U32), _U32(_NO_EXCL))
+            r_tok = jnp.where(r_ok, rt_glob.astype(_U32), _U32(_NO_EXCL))
+
+            # ── maintained counts: affected-subset recount on the local
+            # post-merge stream, ONE [A+2] (or dense) psum; the sampled
+            # created pairs ride the same pass (c_l/c_r) ──
+            z_pair_l = jnp.where(l_ok, (l_tok << _U32(16)) | z16, _INVALID)
+            z_pair_r = jnp.where(r_ok, (z16 << _U32(16)) | r_tok, _INVALID)
+            l_slot = jnp.where(l_ok, z_pair_l, _U32(1))
+            r_slot = jnp.where(r_ok, z_pair_r, _U32(1))
+            pair2, w2m, _ = _masked_pairs(sym2, w2, ext2, iota, lookahead)
+            live = counts >= 0
+            ma, mb = pair_sel >> _U32(16), pair_sel & _TOKEN_MASK
+            ca, cb = cnd >> _U32(16), cnd & _TOKEN_MASK
+            affected = live & ((cb == ma) | (ca == mb)) & (cnd != pair_sel)
+            n_aff = jnp.sum(affected.astype(jnp.int32))
+
+            def sparse(_):
+                keys = jnp.where(affected, _U32(0), _U32(1))
+                _, aff_sorted = lax.sort((keys, cnd), num_keys=1)
+                ia = lax.broadcasted_iota(jnp.int32, (A_AFFECTED,), 0)
+                aff = jnp.where(ia < n_aff, aff_sorted[:A_AFFECTED], _U32(1))
+                lst = jnp.concatenate([aff, jnp.stack([l_slot, r_slot])])
+                eq = lst[:, None] == pair2[None, :]
+                cnt = lax.psum(jnp.sum(jnp.where(eq, w2m[None, :], 0), axis=1), axis)
+                match = cnd[:, None] == aff[None, :]
+                rec = jnp.max(jnp.where(match, cnt[None, :A_AFFECTED], 0), axis=1)
+                return (jnp.where(affected, rec, counts),
+                        cnt[A_AFFECTED], cnt[A_AFFECTED + 1])
+
+            def dense_all(_):
+                lst = jnp.concatenate([cnd, jnp.stack([l_slot, r_slot])])
+                eq = lst[:, None] == pair2[None, :]
+                cnt = lax.psum(jnp.sum(jnp.where(eq, w2m[None, :], 0), axis=1), axis)
+                return jnp.where(live, cnt[:n_slots], counts), cnt[-2], cnt[-1]
+
+            counts2, c_l, c_r = lax.cond(n_aff <= A_AFFECTED, sparse, dense_all, None)
+            counts2 = jnp.where(live & (cnd == pair_sel), 0, counts2)
             if use_pallas:
                 # kernel histograms are unexcluded; subtract each sampled
                 # pair's exact global count from its bin after the psum
@@ -184,31 +224,33 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
                     _ub_from_bins(lax.psum(bins_l, axis)),
                     _ub_from_bins(lax.psum(bins_r, axis)),
                 )
-            l_pair = jnp.where(l_ok, (l_tok << _U32(16)) | z16, _INVALID)
-            r_pair = jnp.where(r_ok, (z16 << _U32(16)) | r_tok, _INVALID)
+            slot0 = jnp.where(has_room, fl, n_slots - 2)
             cnd2 = lax.dynamic_update_slice(
-                cnd, jnp.stack([l_pair, r_pair]),
-                (jnp.where(has_room, fl, n_slots - 2),),
+                cnd, jnp.stack([z_pair_l, z_pair_r]), (slot0,)
             )
             cnd2 = jnp.where(has_room, cnd2, cnd)
+            counts3 = lax.dynamic_update_slice(
+                counts2,
+                jnp.stack([jnp.where(l_ok, c_l, -1), jnp.where(r_ok, c_r, -1)]),
+                (slot0,),
+            )
+            counts3 = jnp.where(has_room, counts3, counts2)
             fl2 = jnp.where(has_room, fl + 2, fl)
             log2 = lax.dynamic_update_slice(
                 log, jnp.stack([pair_sel, nid, count.astype(_U32)])[None, :], (md, 0)
             )
             return ((sym2, w2, n2, ext2, dirty2, nid + _U32(1), md + 1, log2,
-                     cnd2, jnp.maximum(ub, ub_merge), fl2),
+                     cnd2, counts3, jnp.maximum(ub, ub_merge), fl2),
                     ub_merge, c_l, c_r, next2)
 
         def one_merge(carry):
-            (sym, w, n_l, ext_l, dirty_l, nid, stop, md, log, cnd, th, ub,
-             rc, fl, du) = carry
+            (sym, w, n_l, ext_l, dirty_l, nid, stop, md, log, cnd, ccnt, th,
+             ub, rc, fl, du) = carry
 
-            pair_vec, w_vec, nxt = _masked_pairs(sym, w, ext_l, iota, lookahead)
-
-            # ── exact global candidate recount: K ints over ICI ──
-            eq = cnd[:, None] == pair_vec[None, :]  # [K, N]: N minor tiles densely
-            local_counts = jnp.sum(jnp.where(eq, w_vec[None, :], 0), axis=1)
-            cand_counts = lax.psum(local_counts, axis)
+            # ── winner from the MAINTAINED exact global counts (replicated;
+            # no stream pass and no collective — counts were psum-updated
+            # when the previous merge applied) ──
+            cand_counts = ccnt
             m = jnp.max(cand_counts)
             cand_winner = jnp.min(jnp.where(cand_counts == m, cnd, _INVALID))
             certified = (m > th) & (m > ub) & (m >= 2)
@@ -239,9 +281,10 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
             )
 
             def from_candidates(_):
-                return cand_winner, m, cnd, th, ub, fl
+                return cand_winner, m, cnd, ccnt, th, ub, fl
 
             def full_recount(_):
+                pair_vec, w_vec, _nxt = _masked_pairs(sym, w, ext_l, iota, lookahead)
                 sp, sw = lax.sort((pair_vec, w_vec), num_keys=1)
                 rt = _run_totals(sp, sw)
                 # approx top-(K+1) is sound here: the outside-local-set
@@ -279,7 +322,13 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
 
                 def sparse(_):
                     new_theta = jnp.maximum(bound1, sorted_counts[K_CANDIDATES])
-                    return (sorted_pairs[:K_CANDIDATES], sorted_counts[0], new_theta)
+                    # exact global seed counts ride along; INVALID padding
+                    # slots (count 0 by construction) become dead (-1)
+                    sc = jnp.where(
+                        sorted_pairs[:K_CANDIDATES] == _INVALID,
+                        -1, sorted_counts[:K_CANDIDATES],
+                    )
+                    return (sorted_pairs[:K_CANDIDATES], sc, sorted_counts[0], new_theta)
 
                 def dense(_):
                     # Exact global recount: all-gather the already-masked
@@ -297,38 +346,53 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
                     bp2 = jnp.min(jnp.where((rt2 == bc2) & (sp2 != 0), sp2, _INVALID))
                     bp2 = jnp.where(bc2 > 0, bp2, jnp.uint32(0))
                     _av2, ai2 = lax.approx_max_k(rt2.astype(jnp.float32), K_CANDIDATES)
-                    cand2 = sp2[ai2].at[0].set(bp2)
+                    picked2 = rt2[ai2]
+                    # non-run-end picks (streams with < K distinct pairs)
+                    # must not seed a wrong count 0 — invalidate the slot,
+                    # theta covers the pair (see single-chip full_recount)
+                    ok2 = picked2 > 0
+                    cand2 = jnp.where(ok2, sp2[ai2], _INVALID).at[0].set(bp2)
+                    counts_seed = jnp.where(ok2, picked2, -1).at[0].set(bc2)
                     tr2 = jnp.any(cand2[:, None] == sp2[None, :], axis=0)
                     theta2 = jnp.max(jnp.where(tr2, 0, rt2))
-                    return (cand2, bc2, theta2)
+                    return (cand2, counts_seed, bc2, theta2)
 
-                new_cand, count, new_theta = lax.cond(provable, sparse, dense, None)
+                new_cand, new_counts, count, new_theta = lax.cond(
+                    provable, sparse, dense, None
+                )
                 new_cand = jnp.concatenate(
                     [new_cand, jnp.full((S_CREATED,), _INVALID, _U32)]
                 )
-                return (new_cand[0], count, new_cand, new_theta,
+                new_counts = jnp.concatenate(
+                    [new_counts, jnp.full((S_CREATED,), -1, jnp.int32)]
+                )
+                return (new_cand[0], count, new_cand, new_counts, new_theta,
                         jnp.asarray(0, jnp.int32), jnp.asarray(K_CANDIDATES, jnp.int32))
 
-            best_pair, count, cnd2, th2, ub2, fl2 = lax.cond(
+            best_pair, count, cnd2, ccnt2, th2, ub2, fl2 = lax.cond(
                 certified, from_candidates, full_recount, None
             )
             rc2 = rc + jnp.where(certified, 0, 1)
             do_stop = (count < 2) | (nid > _TOKEN_MASK)
 
             def merge_branch(args):
-                sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2, cnd2, fl2, du = args
+                (sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2, cnd2, ccnt2,
+                 fl2, du) = args
+                # pre-merge next-valid chain, needed only by the jnp path
+                nxt = None if use_pallas else _next_valid(sym, lookahead)
                 st1, ub_merge1, c_l, c_r, next2 = merge_and_track(
-                    sym, w, n_l, ext_l, dirty_l, nid, md, log, cnd2, ub2, fl2,
-                    best_pair, count, nxt,
+                    sym, w, n_l, ext_l, dirty_l, nid, md, log, cnd2, ccnt2,
+                    ub2, fl2, best_pair, count, nxt,
                 )
                 dual = dual_pre & (m2 > ub_merge1) & (m2 > c_l) & (m2 > c_r)
 
                 def second(args):
                     st, du1 = args
-                    (sym1, w1, n1, ext1, dirty1, nid1, md1, log1, cnd1, ub1, fl1) = st
+                    (sym1, w1, n1, ext1, dirty1, nid1, md1, log1, cnd1, cc1,
+                     ub1, fl1) = st
                     st2, ub_merge2, c_l2, c_r2, next3 = merge_and_track(
-                        sym1, w1, n1, ext1, dirty1, nid1, md1, log1, cnd1, ub1, fl1,
-                        q, m2, next2,
+                        sym1, w1, n1, ext1, dirty1, nid1, md1, log1, cnd1, cc1,
+                        ub1, fl1, q, m2, next2,
                     )
                     triple = (
                         triple_pre
@@ -338,28 +402,33 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
 
                     def third(args2):
                         st2i, _ = args2
-                        (s2, w2i, n2i, e2, d2, nid2i, md2i, lg2, cn2, u2, f2) = st2i
+                        (s2, w2i, n2i, e2, d2, nid2i, md2i, lg2, cn2, cc2,
+                         u2, f2) = st2i
                         st3, _u, _cl, _cr, _nx = merge_and_track(
-                            s2, w2i, n2i, e2, d2, nid2i, md2i, lg2, cn2, u2, f2,
-                            r3, m3, next3,
+                            s2, w2i, n2i, e2, d2, nid2i, md2i, lg2, cn2, cc2,
+                            u2, f2, r3, m3, next3,
                         )
                         return st3, du1 + 2
 
                     return lax.cond(triple, third, lambda a: (a[0], du1 + 1), (st2, du1))
 
                 st, du2 = lax.cond(dual, second, lambda a: a, (st1, du))
-                (sym2, w2, n2, ext2, dirty2, nid2, md2, log2, cnd3, ub3, fl3) = st
-                return sym2, w2, n2, ext2, dirty2, nid2, md2, log2, ub3, cnd3, fl3, du2
+                (sym2, w2, n2, ext2, dirty2, nid2, md2, log2, cnd3, ccnt3,
+                 ub3, fl3) = st
+                return (sym2, w2, n2, ext2, dirty2, nid2, md2, log2, ub3,
+                        cnd3, ccnt3, fl3, du2)
 
             def stop_branch(args):
                 return args
 
-            sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2, cnd2, fl2, du = lax.cond(
+            (sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2, cnd2, ccnt2,
+             fl2, du) = lax.cond(
                 do_stop, stop_branch, merge_branch,
-                (sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2, cnd2, fl2, du),
+                (sym, w, n_l, ext_l, dirty_l, nid, md, log, ub2, cnd2, ccnt2,
+                 fl2, du),
             )
             return (sym, w, n_l, ext_l, dirty_l, nid, stop | do_stop, md, log,
-                    cnd2, th2, ub2, rc2, fl2, du)
+                    cnd2, ccnt2, th2, ub2, rc2, fl2, du)
 
         def cond(carry):
             stop, md = carry[6], carry[7]
@@ -369,20 +438,21 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
             cond,
             one_merge,
             (symbols, weights, n[0], extent[0], dirty[0], next_id, early_stop,
-             merges_done, merge_log, cand, theta, ub_new, recounts, fill, duals),
+             merges_done, merge_log, cand, cand_counts, theta, ub_new,
+             recounts, fill, duals),
         )
-        (sym, w, n_l, ext_l, dirty_l, nid, stop, md, log, cnd, th, ub, rc,
-         fl, du) = out
+        (sym, w, n_l, ext_l, dirty_l, nid, stop, md, log, cnd, ccnt, th, ub,
+         rc, fl, du) = out
         return (sym, w, n_l[None], ext_l[None], dirty_l[None], nid, stop, md,
-                log, cnd, th, ub, rc, fl, du)
+                log, cnd, ccnt, th, ub, rc, fl, du)
 
     sharded = jax.shard_map(
         shard_step,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
+                  P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
-                   P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
+                   P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
 
@@ -400,6 +470,7 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
             state.merges_done,
             state.merge_log,
             state.cand,
+            state.cand_counts,
             state.theta,
             state.ub_new,
             state.recounts,
@@ -407,7 +478,7 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
             state.duals,
             batch_merges,
         )
-        (sym, w, n, ext, dirty, nid, stop, md, log, cnd, th, ub, rc,
+        (sym, w, n, ext, dirty, nid, stop, md, log, cnd, ccnt, th, ub, rc,
          fl, du) = out
         return DistState(
             symbols=sym.reshape(d, -1),
@@ -420,6 +491,7 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
             merges_done=md,
             merge_log=log,
             cand=cnd,
+            cand_counts=ccnt,
             theta=th,
             ub_new=ub,
             recounts=rc,
@@ -481,6 +553,7 @@ def init_dist_state(mesh: Mesh, symbols, weights, n, next_id, axis: str = "data"
         merges_done=jnp.asarray(0, jnp.int32),
         merge_log=jnp.zeros((BATCH_MERGES, 3), _U32),
         cand=jnp.full((K_CANDIDATES + S_CREATED,), _INVALID, _U32),
+        cand_counts=jnp.full((K_CANDIDATES + S_CREATED,), -1, jnp.int32),
         theta=jnp.asarray(_I32_MAX, jnp.int32),  # force a recount first
         ub_new=jnp.asarray(0, jnp.int32),
         recounts=jnp.asarray(0, jnp.int32),

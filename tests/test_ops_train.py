@@ -272,3 +272,72 @@ def test_run_totals_mass_beyond_int32():
     sp0 = np.zeros(4, np.uint32)
     rt0 = np.asarray(_run_totals(jnp.asarray(sp0), jnp.asarray(np.ones(4, np.int32))))
     assert (rt0 == 0).all()
+
+
+class TestMaintainedCounts:
+    """The incremental candidate-count maintenance (round 2) must keep
+    ``state.cand_counts`` EXACT for every live slot after every batch —
+    the certificate's winner selection reads these instead of a per-
+    iteration [K, N] recount."""
+
+    def _counts_exact(self, data: bytes, starts):
+        import jax.numpy as jnp
+        from jax import lax
+
+        from gpu_bpe_tpu.ops import init_state, make_stream
+        from gpu_bpe_tpu.ops.ingest import pad_stream
+        from gpu_bpe_tpu.ops.train_step import _masked_pairs, train_batch_jit
+
+        stream = make_stream(data, starts, dedup=True)
+        padded = pad_stream(stream)
+        state = init_state(
+            jnp.asarray(padded.symbols), jnp.asarray(padded.weights), stream.n, 256
+        )
+        # several small batches so maintained counts must survive many
+        # merges, scratch appends, and window recounts
+        for _ in range(6):
+            state = train_batch_jit(state, jnp.asarray(16, jnp.int32))
+            cap = state.symbols.shape[0]
+            iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+            pair, w, _ = _masked_pairs(state.symbols, state.weights, state.extent, iota, 0)
+            cand = np.asarray(state.cand)
+            counts = np.asarray(state.cand_counts)
+            pair_np = np.asarray(pair)
+            w_np = np.asarray(w)
+            for k in range(len(cand)):
+                if counts[k] < 0:
+                    continue
+                true = int(w_np[pair_np == cand[k]].sum())
+                assert true == counts[k], (
+                    f"slot {k} pair {cand[k]:#x}: maintained {counts[k]} != {true}"
+                )
+            if bool(state.early_stop):
+                break
+
+    def test_counts_stay_exact_english(self, english_text):
+        data, starts = _pretok(english_text[:20000])
+        self._counts_exact(data, starts)
+
+    def test_counts_stay_exact_overlaps(self):
+        # heavy overlap chains (collapse quirk) + tiny alphabet: exercises
+        # the affected-recount rule under consumed/overlapping pairs
+        text = "aaaaaa bb aaaa abab baba " * 40 + "cc ccc cccc " * 30
+        data, starts = _pretok(text)
+        self._counts_exact(data, starts)
+
+
+def test_nul_adjacent_created_pairs():
+    """Token-0 guard: when the heaviest neighbor of a new token is NUL,
+    the sampled pair must NOT be tracked (pairs with a zero member are
+    never counted by the pair stream) — the merge list must still match
+    the oracle exactly."""
+    word = b"\x00ab\x00"
+    data = (word + b" ") * 300 + b"xy " * 200
+    starts = np.zeros(len(data), np.uint8)
+    starts[:: len(word) + 1][: 300] = 1
+    for pos in range(300 * (len(word) + 1), len(data), 3):
+        starts[pos] = 1
+    oracle = _oracle(data, starts, 256 + 40)
+    tpu = TPUTrainer().train(data, starts, target_vocab_size=256 + 40)
+    assert tpu.merges == oracle.merges
+    assert tpu.merge_counts == oracle.merge_counts
