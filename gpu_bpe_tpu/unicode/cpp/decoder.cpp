@@ -435,9 +435,10 @@ int decoder_quick_check(const uint32_t* in, int64_t n, int form) {
 }
 
 // ── UTF-8 sanitization (lossy decode, U+FFFD for invalid sequences) ──
-// Returns 0; out must hold up to 3x len bytes.
-int decoder_sanitize(const uint8_t* in, int64_t len,
-                     uint8_t* out, int64_t cap, int64_t* out_len) {
+// Returns 0; out must hold up to 3x len bytes. (Extra export beyond the
+// reference: its decoder_sanitize operates on codepoints, see below.)
+int decoder_sanitize_utf8(const uint8_t* in, int64_t len,
+                          uint8_t* out, int64_t cap, int64_t* out_len) {
   int64_t pos = 0;
   int64_t i = 0;
   auto put = [&](uint32_t cp) -> bool {
@@ -470,8 +471,40 @@ int decoder_sanitize(const uint8_t* in, int64_t len,
   return 0;
 }
 
-int decoder_is_well_formed(const uint8_t* in, int64_t len) {
+int decoder_is_well_formed_utf8(const uint8_t* in, int64_t len) {
   return utf8_decode(in, len, nullptr) >= 0;
+}
+
+// ── codepoint-stream sanitization (reference semantics) ──────────────
+// Matches /root/reference/src/wasm/decoder.wasm `decoder_sanitize` exactly
+// (oracle-pinned): drops surrogates, noncharacters (U+FDD0..U+FDEF and
+// plane-end U+xFFFE/U+xFFFF) and out-of-range values; keeps everything
+// else (controls, bidi overrides, ZWSP, unassigned); silently truncates
+// at `cap`; `flags` is accepted and ignored; always returns 0.
+int decoder_sanitize(const uint32_t* in, int64_t n,
+                     uint32_t* out, int64_t cap, int64_t* out_len,
+                     int flags) {
+  (void)flags;
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t cp = in[i];
+    if (cp > 0x10FFFF || decoder_is_surrogate(cp) || decoder_is_noncharacter(cp))
+      continue;
+    if (pos < cap) out[pos++] = cp;
+  }
+  *out_len = pos;
+  return 0;
+}
+
+// 1 iff the codepoint stream contains no surrogate, noncharacter, or
+// out-of-range value (reference `decoder_is_well_formed`, oracle-pinned).
+int decoder_is_well_formed(const uint32_t* in, int64_t n) {
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t cp = in[i];
+    if (cp > 0x10FFFF || decoder_is_surrogate(cp) || decoder_is_noncharacter(cp))
+      return 0;
+  }
+  return 1;
 }
 
 // ── UTF-16 / UTF-32 transcoding ──────────────────────────────────────
@@ -737,40 +770,104 @@ const char* decoder_get_block_name(int block_id) {
   return kBlockNames[block_id];
 }
 
-// ── confusables (curated homoglyph skeleton, UTS #39 subset) ─────────
+// ── confusables (UTS #39, the reference's exact extracted table) ─────
+// kConfusableCp/kConfusableSkel carry the 6,558-entry prototype map
+// extracted from decoder.wasm's confusables hash table and verified
+// entry-by-entry against the live oracle (scripts/extract_confusables.py).
+// proto(x) = table prototype's first codepoint, or x when unmapped.
 static uint32_t skeleton_cp(uint32_t cp) {
   int32_t m = sparse_map(kConfusableCp, kConfusableSkel, kConfusableCount, cp);
   return m >= 0 ? (uint32_t)m : cp;
 }
 
-int decoder_is_confusable(uint32_t cp) {
+// Reference semantics (oracle-pinned): confusable iff the codepoints are
+// DISTINCT and share a prototype. Identical codepoints are not confusable
+// — decoder_is_confusable(a, a) == 0, even for mapped a.
+int decoder_is_confusable(uint32_t a, uint32_t b) {
+  return a != b && skeleton_cp(a) == skeleton_cp(b);
+}
+
+// 1 iff the cp has a confusable prototype entry (extra helper beyond the
+// reference's export surface; its old 1-arg decoder_is_confusable role).
+int decoder_has_confusable_mapping(uint32_t cp) {
   return sparse_map(kConfusableCp, kConfusableSkel, kConfusableCount, cp) >= 0;
 }
 
-// 1 if the two strings are confusable (equal skeletons). Skeleton =
-// NFKD (native tables: folds fullwidth, mathematical alphanumerics,
-// ligatures, enclosed forms) -> full case fold -> curated homoglyph map,
-// with combining marks dropped (zalgo-style decorations don't defeat it).
+// Prototype length from the reference table (1 when unmapped). The
+// reference binary dead-strips multi-char continuation pools, so only
+// the first prototype cp + this length are observable.
+int decoder_confusable_proto_len(uint32_t cp) {
+  int64_t lo = 0, hi = (int64_t)kConfusableCount - 1;
+  while (lo <= hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (kConfusableCp[mid] < cp) lo = mid + 1;
+    else if (kConfusableCp[mid] > cp) hi = mid - 1;
+    else return kConfusableProtoLen[mid];
+  }
+  return 1;
+}
+
+// Reference semantics (oracle-pinned): equal length AND positionwise
+// prototype equality. No normalization, case folding, or multi-char
+// prototype expansion — decoder_check_confusables("ﬁ", "fi") == 0
+// in the reference because the lengths differ.
+int decoder_check_confusables(const uint32_t* a, int64_t an,
+                              const uint32_t* b, int64_t bn) {
+  if (an != bn) return 0;
+  for (int64_t i = 0; i < an; i++)
+    if (skeleton_cp(a[i]) != skeleton_cp(b[i])) return 0;
+  return 1;
+}
+
+// Widened skeleton (extra capability beyond the reference): NFKD (native
+// tables: folds fullwidth, mathematical alphanumerics, ligatures,
+// enclosed forms) -> full case fold -> prototype map, with combining
+// marks dropped (zalgo-style decorations don't defeat it).
+// Only single-cp prototypes are applied here: a multi-char table entry
+// (e.g. fi-ligature -> "fi") carries just its first cp in the reference
+// binary, and mapping through it would LOSE characters that NFKD expands
+// correctly.
+static uint32_t skeleton_cp_widened(uint32_t cp) {
+  return decoder_confusable_proto_len(cp) == 1 ? skeleton_cp(cp) : cp;
+}
+
+// Order matters: fold BEFORE mapping (the table maps 'I'->'l', so mapping
+// first would send "FILE" to "flle" while "file" stays — fold-first keeps
+// case variants of the same string on one skeleton).
 static void skeleton_str(const uint32_t* s, int64_t n, std::vector<uint32_t>& out) {
   uint32_t buf[4];
   std::vector<uint32_t> dec;
   for (int64_t i = 0; i < n; i++) {
     dec.clear();
-    decompose_cp(skeleton_cp(s[i]), dec, /*compat=*/true);
+    decompose_cp(s[i], dec, /*compat=*/true);
     for (uint32_t d : dec) {
       if (ccc_of(d) != 0) continue;  // strip combining decorations
-      int m = decoder_case_fold_full(skeleton_cp(d), buf, 4);
-      for (int k = 0; k < m; k++) out.push_back(skeleton_cp(buf[k]));
+      int m = decoder_case_fold_full(d, buf, 4);
+      for (int k = 0; k < m; k++) out.push_back(skeleton_cp_widened(buf[k]));
     }
   }
 }
 
-int decoder_check_confusables(const uint32_t* a, int64_t an,
-                              const uint32_t* b, int64_t bn) {
+// Widened-skeleton string comparison (extra export; the pre-extraction
+// behavior of decoder_check_confusables, kept for spoof detection that
+// the reference's positionwise rule cannot catch, e.g. ligatures).
+int decoder_check_confusables_widened(const uint32_t* a, int64_t an,
+                                      const uint32_t* b, int64_t bn) {
   std::vector<uint32_t> sa, sb;
   skeleton_str(a, an, sa);
   skeleton_str(b, bn, sb);
   return sa == sb;
+}
+
+// Widened skeleton of a string (extra export). Returns the skeleton
+// length, truncating at cap.
+int64_t decoder_get_skeleton(const uint32_t* in, int64_t n,
+                             uint32_t* out, int64_t cap) {
+  std::vector<uint32_t> sk;
+  skeleton_str(in, n, sk);
+  int64_t m = (int64_t)sk.size();
+  for (int64_t i = 0; i < m && i < cap; i++) out[i] = sk[i];
+  return m;
 }
 
 int decoder_is_identifier_start(uint32_t cp) {

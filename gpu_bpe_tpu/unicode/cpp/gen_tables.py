@@ -478,32 +478,15 @@ def main(out_path: str) -> None:
     full_title = full_case_table(lambda cp: chr(cp).title(), full_pool)
     full_fold = full_case_table(fold_fn, full_pool)
 
-    # curated confusable skeletons (UTS #39 style, common homoglyph subset:
-    # Cyrillic + Greek + fullwidth lookalikes of Basic Latin)
-    confusables: dict[int, int] = {}
-    _pairs = [
-        # Cyrillic lowercase -> Latin
-        (0x0430, "a"), (0x0435, "e"), (0x043E, "o"), (0x0440, "p"),
-        (0x0441, "c"), (0x0443, "y"), (0x0445, "x"), (0x0456, "i"),
-        (0x0458, "j"), (0x0455, "s"), (0x04BB, "h"), (0x0501, "d"),
-        # Cyrillic uppercase -> Latin
-        (0x0410, "A"), (0x0412, "B"), (0x0415, "E"), (0x041A, "K"),
-        (0x041C, "M"), (0x041D, "H"), (0x041E, "O"), (0x0420, "P"),
-        (0x0421, "C"), (0x0422, "T"), (0x0425, "X"), (0x0406, "I"),
-        (0x0408, "J"), (0x0405, "S"),
-        # Greek -> Latin
-        (0x0391, "A"), (0x0392, "B"), (0x0395, "E"), (0x0396, "Z"),
-        (0x0397, "H"), (0x0399, "I"), (0x039A, "K"), (0x039C, "M"),
-        (0x039D, "N"), (0x039F, "O"), (0x03A1, "P"), (0x03A4, "T"),
-        (0x03A5, "Y"), (0x03A7, "X"), (0x03BF, "o"), (0x03B9, "i"),
-        (0x03BD, "v"), (0x03C5, "u"),
-        # fullwidth forms -> ASCII
-        *[(0xFF21 + k, chr(ord("A") + k)) for k in range(26)],
-        *[(0xFF41 + k, chr(ord("a") + k)) for k in range(26)],
-        *[(0xFF10 + k, chr(ord("0") + k)) for k in range(10)],
-    ]
-    for cp, ch in _pairs:
-        confusables[cp] = ord(ch)
+    # UTS #39 confusable prototypes — the reference's exact table, extracted
+    # from decoder.wasm and oracle-verified (scripts/extract_confusables.py;
+    # provenance in unicode/data/ref_confusables.json).
+    import json as _json
+
+    _conf_path = Path(__file__).resolve().parent.parent / "data" / "ref_confusables.json"
+    _conf_data = _json.loads(_conf_path.read_text())["entries"]
+    confusables: dict[int, int] = {int(k): v for k, (v, _plen) in _conf_data.items()}
+    confusable_lens: dict[int, int] = {int(k): _plen for k, (_v, _plen) in _conf_data.items()}
     confusables = dict(sorted(confusables.items()))
 
     try:
@@ -692,13 +675,16 @@ def main(out_path: str) -> None:
         w(fmt_u32([e for _, e in extpict_ranges] or [0]))
         w("};\n\n")
 
-        # confusable skeleton map (curated homoglyph subset)
+        # UTS #39 confusable prototype map (reference's exact extracted table)
         w(f"inline constexpr uint32_t kConfusableCount = {len(confusables)};\n")
         w("inline constexpr uint32_t kConfusableCp[] = {\n")
         w(fmt_u32(list(confusables.keys()) or [0]))
         w("};\n")
         w("inline constexpr uint32_t kConfusableSkel[] = {\n")
         w(fmt_u32(list(confusables.values()) or [0]))
+        w("};\n")
+        w("inline constexpr uint8_t kConfusableProtoLen[] = {\n")
+        w(fmt_u32([confusable_lens[cp] for cp in confusables] or [0]))
         w("};\n\n")
 
         # script / block display names

@@ -81,10 +81,15 @@ def _load():
     lib.decoder_is_suspicious.argtypes = [C.POINTER(C.c_uint32), C.c_int64]
     lib.decoder_is_suspicious.restype = C.c_int
     # extended API (full parity with the reference's 71 exports)
-    for name in "decoder_is_alphabetic decoder_is_numeric decoder_is_confusable".split():
+    for name in (
+        "decoder_is_alphabetic decoder_is_numeric decoder_has_confusable_mapping "
+        "decoder_confusable_proto_len"
+    ).split():
         fn = getattr(lib, name)
         fn.argtypes = [C.c_uint32]
         fn.restype = C.c_int
+    lib.decoder_is_confusable.argtypes = [C.c_uint32, C.c_uint32]
+    lib.decoder_is_confusable.restype = C.c_int
     u32p = C.POINTER(C.c_uint32)
     for name in (
         "decoder_to_upper_full decoder_to_lower_full decoder_to_title_full "
@@ -97,6 +102,10 @@ def _load():
     lib.decoder_case_compare.restype = C.c_int
     lib.decoder_check_confusables.argtypes = [u32p, C.c_int64, u32p, C.c_int64]
     lib.decoder_check_confusables.restype = C.c_int
+    lib.decoder_check_confusables_widened.argtypes = [u32p, C.c_int64, u32p, C.c_int64]
+    lib.decoder_check_confusables_widened.restype = C.c_int
+    lib.decoder_get_skeleton.argtypes = [u32p, C.c_int64, u32p, C.c_int64]
+    lib.decoder_get_skeleton.restype = C.c_int64
     for name in "decoder_string_to_upper decoder_string_to_lower decoder_string_to_title".split():
         fn = getattr(lib, name)
         fn.argtypes = [u32p, C.c_int64, u32p]
@@ -107,11 +116,17 @@ def _load():
     lib.decoder_is_normalized.restype = C.c_int
     lib.decoder_quick_check.argtypes = [u32p, C.c_int64, C.c_int]
     lib.decoder_quick_check.restype = C.c_int
-    lib.decoder_sanitize.argtypes = [
+    lib.decoder_sanitize_utf8.argtypes = [
         C.c_char_p, C.c_int64, C.POINTER(C.c_uint8), C.c_int64, C.POINTER(C.c_int64)
     ]
+    lib.decoder_sanitize_utf8.restype = C.c_int
+    lib.decoder_is_well_formed_utf8.argtypes = [C.c_char_p, C.c_int64]
+    lib.decoder_is_well_formed_utf8.restype = C.c_int
+    lib.decoder_sanitize.argtypes = [
+        u32p, C.c_int64, u32p, C.c_int64, C.POINTER(C.c_int64), C.c_int
+    ]
     lib.decoder_sanitize.restype = C.c_int
-    lib.decoder_is_well_formed.argtypes = [C.c_char_p, C.c_int64]
+    lib.decoder_is_well_formed.argtypes = [u32p, C.c_int64]
     lib.decoder_is_well_formed.restype = C.c_int
     u16p = C.POINTER(C.c_uint16)
     lib.decoder_is_valid_utf16.argtypes = [u16p, C.c_int64]
@@ -406,30 +421,89 @@ class CppUnicodeBackend(PyUnicodeBackend):
         )
         return "".join(chr(int(c)) for c in out)
 
-    def is_confusable(self, cp: int) -> bool:
-        return bool(self._lib.decoder_is_confusable(cp))
+    def is_confusable(self, a: int, b: int) -> bool:
+        """Reference semantics: distinct codepoints sharing a UTS #39
+        prototype (decoder.wasm parity; identical cps are never
+        confusable)."""
+        return bool(self._lib.decoder_is_confusable(a, b))
+
+    def has_confusable_mapping(self, cp: int) -> bool:
+        return bool(self._lib.decoder_has_confusable_mapping(cp))
+
+    def confusable_proto_len(self, cp: int) -> int:
+        return int(self._lib.decoder_confusable_proto_len(cp))
 
     def check_confusables(self, a: str, b: str) -> bool:
+        """Reference semantics: equal length + positionwise prototype
+        equality (no normalization/case folding — decoder.wasm parity)."""
         ca, cb = _cps(a), _cps(b)
         pa = ca.ctypes.data_as(C.POINTER(C.c_uint32)) if len(ca) else None
         pb = cb.ctypes.data_as(C.POINTER(C.c_uint32)) if len(cb) else None
         return bool(self._lib.decoder_check_confusables(pa, len(ca), pb, len(cb)))
+
+    def check_confusables_widened(self, a: str, b: str) -> bool:
+        """Widened skeleton comparison (NFKD + case fold + prototype map,
+        marks stripped) — catches ligature/length-changing spoofs the
+        reference's positionwise rule cannot."""
+        ca, cb = _cps(a), _cps(b)
+        pa = ca.ctypes.data_as(C.POINTER(C.c_uint32)) if len(ca) else None
+        pb = cb.ctypes.data_as(C.POINTER(C.c_uint32)) if len(cb) else None
+        return bool(self._lib.decoder_check_confusables_widened(pa, len(ca), pb, len(cb)))
+
+    def get_skeleton(self, s: str) -> str:
+        cps = _cps(s)
+        p = cps.ctypes.data_as(C.POINTER(C.c_uint32)) if len(cps) else None
+        cap = max(4 * len(cps) + 16, 64)
+        out = np.empty(cap, dtype=np.uint32)
+        n = self._lib.decoder_get_skeleton(
+            p, len(cps), out.ctypes.data_as(C.POINTER(C.c_uint32)), cap
+        )
+        if n > cap:
+            out = np.empty(n, dtype=np.uint32)
+            n = self._lib.decoder_get_skeleton(
+                p, len(cps), out.ctypes.data_as(C.POINTER(C.c_uint32)), n
+            )
+        return "".join(chr(int(c)) for c in out[:n])
 
     def sanitize(self, data: bytes) -> bytes:
         data = bytes(data)
         cap = len(data) * 3 + 16
         out = np.empty(cap, dtype=np.uint8)
         out_len = C.c_int64(0)
-        rc = self._lib.decoder_sanitize(
+        rc = self._lib.decoder_sanitize_utf8(
             data, len(data), out.ctypes.data_as(C.POINTER(C.c_uint8)), cap, C.byref(out_len)
         )
         if rc != 0:
-            raise RuntimeError(f"decoder_sanitize failed: {rc}")
+            raise RuntimeError(f"decoder_sanitize_utf8 failed: {rc}")
         return out[: out_len.value].tobytes()
+
+    def sanitize_codepoints(self, s: str) -> str:
+        """Reference decoder_sanitize semantics (oracle-pinned): drop
+        surrogates, noncharacters, and out-of-range values; keep all else."""
+        cps = _cps(s)
+        p = cps.ctypes.data_as(C.POINTER(C.c_uint32)) if len(cps) else None
+        out = np.empty(max(len(cps), 1), dtype=np.uint32)
+        out_len = C.c_int64(0)
+        self._lib.decoder_sanitize(
+            p, len(cps), out.ctypes.data_as(C.POINTER(C.c_uint32)), len(out),
+            C.byref(out_len), 0,
+        )
+        return "".join(chr(int(c)) for c in out[: out_len.value])
+
+    def is_well_formed_codepoints(self, s) -> bool:
+        """Reference decoder_is_well_formed semantics over a codepoint
+        stream (accepts a str or an iterable of ints; raw surrogate /
+        noncharacter / out-of-range values make it ill-formed)."""
+        if isinstance(s, str):
+            cps = _cps(s)
+        else:
+            cps = np.ascontiguousarray(np.asarray(list(s), dtype=np.uint32))
+        p = cps.ctypes.data_as(C.POINTER(C.c_uint32)) if len(cps) else None
+        return bool(self._lib.decoder_is_well_formed(p, len(cps)))
 
     def is_well_formed(self, data: bytes) -> bool:
         data = bytes(data)
-        return bool(self._lib.decoder_is_well_formed(data, len(data)))
+        return bool(self._lib.decoder_is_well_formed_utf8(data, len(data)))
 
     def is_valid_utf16(self, units) -> bool:
         arr = np.ascontiguousarray(np.asarray(units, dtype=np.uint16))

@@ -46,6 +46,19 @@ class CharClass:
     OTHER = 6
 
 
+@lru_cache(maxsize=1)
+def _confusable_table() -> dict[int, tuple[int, int]]:
+    """The reference's exact UTS #39 prototype map: cp -> (proto_first_cp,
+    proto_len). Extracted from decoder.wasm (unicode/data/ref_confusables.json,
+    see scripts/extract_confusables.py)."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent / "data" / "ref_confusables.json"
+    entries = json.loads(path.read_text())["entries"]
+    return {int(k): (v, plen) for k, (v, plen) in entries.items()}
+
+
 def _classify_codepoint(cp: int) -> int:
     if cp in NEWLINE_CODEPOINTS:
         return CharClass.NEWLINE
@@ -321,20 +334,69 @@ class PyUnicodeBackend:
         fa, fb = a.casefold(), b.casefold()
         return -1 if fa < fb else (1 if fa > fb else 0)
 
-    def check_confusables(self, a: str, b: str) -> bool:
-        # skeleton approximation: compatibility-normalized case fold
-        ka = unicodedata.normalize("NFKC", a).casefold()
-        kb = unicodedata.normalize("NFKC", b).casefold()
-        return ka == kb
+    @staticmethod
+    def _confusable_proto(cp: int) -> int:
+        ent = _confusable_table().get(cp)
+        return ent[0] if ent else cp
 
-    def is_confusable(self, cp: int) -> bool:
-        return unicodedata.normalize("NFKC", chr(cp)) != chr(cp)
+    def check_confusables(self, a: str, b: str) -> bool:
+        # reference semantics: equal length + positionwise prototype equality
+        if len(a) != len(b):
+            return False
+        return all(
+            self._confusable_proto(ord(x)) == self._confusable_proto(ord(y))
+            for x, y in zip(a, b)
+        )
+
+    def check_confusables_widened(self, a: str, b: str) -> bool:
+        return self.get_skeleton(a) == self.get_skeleton(b)
+
+    @classmethod
+    def _proto_widened(cls, cp: int) -> int:
+        # only single-cp prototypes: multi-char entries carry just their
+        # first cp (reference binary dead-strips continuations) and NFKD
+        # already expands those characters correctly
+        ent = _confusable_table().get(cp)
+        return ent[0] if ent and ent[1] == 1 else cp
+
+    def get_skeleton(self, s: str) -> str:
+        k = unicodedata.normalize("NFKD", s).casefold()
+        return "".join(
+            chr(self._proto_widened(ord(c))) for c in k if unicodedata.combining(c) == 0
+        )
+
+    def is_confusable(self, a: int, b: int) -> bool:
+        # reference semantics: distinct codepoints sharing a prototype
+        return a != b and self._confusable_proto(a) == self._confusable_proto(b)
+
+    def has_confusable_mapping(self, cp: int) -> bool:
+        return cp in _confusable_table()
+
+    def confusable_proto_len(self, cp: int) -> int:
+        ent = _confusable_table().get(cp)
+        return ent[1] if ent else 1
+
+    @staticmethod
+    def _cp_ill_formed(cp: int) -> bool:
+        return (
+            cp > 0x10FFFF
+            or 0xD800 <= cp <= 0xDFFF
+            or 0xFDD0 <= cp <= 0xFDEF
+            or (cp & 0xFFFE) == 0xFFFE
+        )
 
     def sanitize(self, data: bytes) -> bytes:
         return bytes(data).decode("utf-8", errors="replace").encode("utf-8")
 
+    def sanitize_codepoints(self, s: str) -> str:
+        return "".join(c for c in s if not self._cp_ill_formed(ord(c)))
+
     def is_well_formed(self, data: bytes) -> bool:
         return self.is_valid_utf8(data)
+
+    def is_well_formed_codepoints(self, s) -> bool:
+        cps = [ord(c) for c in s] if isinstance(s, str) else list(s)
+        return not any(self._cp_ill_formed(cp) for cp in cps)
 
     def is_valid_utf16(self, units) -> bool:
         try:

@@ -972,7 +972,7 @@ def load_name_map(glue_path: str = REFERENCE_GLUE) -> dict[str, str]:
     """Real C symbol -> minified wasm export name, parsed from the
     emscripten glue's assignWasmExports."""
     src = open(glue_path).read()
-    pairs = re.findall(r'_(\w+)=Module\["_\w+"\]=wasmExports\["(\w+)"\]', src)
+    pairs = re.findall(r'_(\w+)=Module\["_\w+"\]=wasmExports\["([^"]+)"\]', src)
     return dict(pairs)
 
 

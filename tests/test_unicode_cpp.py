@@ -313,8 +313,10 @@ class TestExtendedParitySurface:
         assert cpp.check_confusables("pаypal", "paypal")  # Cyrillic а
         assert cpp.check_confusables("ΑΒ", "AB")  # Greek capitals
         assert not cpp.check_confusables("hello", "world")
-        assert cpp.is_confusable(0x0430)
-        assert not cpp.is_confusable(ord("a"))
+        assert cpp.is_confusable(0x0430, ord("a"))
+        assert not cpp.is_confusable(ord("a"), ord("b"))
+        assert cpp.has_confusable_mapping(0x0430)
+        assert not cpp.has_confusable_mapping(ord("a"))
 
     def test_normalize_codepoints_and_quick_check(self, cpp):
         import numpy as np
@@ -441,10 +443,53 @@ class TestUAX29Exact:
         assert cpp.count_sentences("Mr. Smith is here.") == 2  # vanilla UAX #29
 
 
+class TestConfusablesReference:
+    """check_confusables = the reference's exact semantics, pinned against
+    the decoder.wasm oracle (scripts/wasm_vm.py): equal length +
+    positionwise prototype equality over the extracted 6,558-entry
+    UTS #39 table. No normalization or case folding."""
+
+    @pytest.mark.parametrize("a,b,want", [
+        ("pаypal", "paypal", True),       # Cyrillic homoglyph
+        ("раура", "paypa", True),         # all-Cyrillic spoof
+        ("𝓅𝒶𝓎𝓅𝒶𝓁", "paypal", True),     # mathematical script (in table)
+        ("ｐａｙｐａｌ", "paypal", True),   # fullwidth (in table)
+        ("paypal", "paypa1", True),       # '1' -> 'l' IS in the table
+        ("abc", "abc", True),             # identical strings are confusable
+        ("œ", "o", True),                 # first-prototype-cp comparison only
+        ("ﬁ", "fi", False),               # length mismatch (no expansion)
+        ("…", "...", False),              # length mismatch (no expansion)
+        ("ﬁle", "FILE", False),           # no case folding
+        ("hello", "world", False),
+        ("ab", "a", False),               # length mismatch
+        ("", "", True),                   # oracle: empty vs empty is 1
+    ])
+    def test_pairs(self, cpp, a, b, want):
+        assert cpp.check_confusables(a, b) == want
+
+    def test_is_confusable_reference_semantics(self, cpp):
+        # oracle-pinned: identical cps never confusable, even when mapped
+        assert not cpp.is_confusable(0x430, 0x430)
+        assert not cpp.is_confusable(ord("a"), ord("a"))
+        assert cpp.is_confusable(0x430, ord("a"))      # Cyrillic а ~ a
+        assert cpp.is_confusable(0xFB01, 0xFB00)       # ﬁ ~ ﬀ (proto 'f')
+        assert cpp.is_confusable(0x2026, ord("."))     # … ~ . (first cp)
+        assert cpp.is_confusable(ord("1"), ord("l"))   # 1 ~ l
+        assert not cpp.is_confusable(ord("a"), ord("A"))
+
+    def test_extracted_table_spot_values(self, cpp):
+        # spot entries from the verified extraction
+        assert cpp.confusable_proto_len(0xFB01) == 2   # fi-ligature -> "fi"
+        assert cpp.confusable_proto_len(0x2026) == 3   # ellipsis -> "..."
+        assert cpp.confusable_proto_len(0x430) == 1
+        assert cpp.confusable_proto_len(ord("a")) == 1  # unmapped
+
+
 class TestConfusablesWidened:
-    """Skeleton = NFKD -> case fold -> curated homoglyph map, combining
-    marks stripped — covers the spoof classes reachable without the UTS
-    #39 data file (unavailable offline)."""
+    """Widened skeleton (extra capability beyond the reference): NFKD ->
+    case fold -> prototype map, combining marks stripped — catches
+    length-changing spoofs (ligatures) the reference's positionwise rule
+    cannot."""
 
     @pytest.mark.parametrize("a,b,want", [
         ("pаypal", "paypal", True),       # Cyrillic homoglyph
@@ -454,8 +499,7 @@ class TestConfusablesWidened:
         ("ﬁle", "FILE", True),            # ligature + case fold
         ("p̷a̷y̷p̷a̷l̷", "paypal", True),  # combining decorations stripped
         ("ⓟⓐⓨⓟⓐⓛ", "paypal", True),      # circled letters
-        ("paypal", "paypa1", False),
         ("спасибо", "spasibo", False),    # real Cyrillic word, not a spoof
     ])
     def test_pairs(self, cpp, a, b, want):
-        assert cpp.check_confusables(a, b) == want
+        assert cpp.check_confusables_widened(a, b) == want
