@@ -398,6 +398,30 @@ def _trunc(v: float) -> int:
     return math.trunc(v)
 
 
+# ── SIMD lane helpers (v128 values are 128-bit Python ints) ──────────────
+
+def _vlanes(v: int, w: int) -> list[int]:
+    n = 128 // w
+    m = (1 << w) - 1
+    return [(v >> (w * i)) & m for i in range(n)]
+
+
+def _vpack(lanes: list[int], w: int) -> int:
+    m = (1 << w) - 1
+    v = 0
+    for i, x in enumerate(lanes):
+        v |= (x & m) << (w * i)
+    return v
+
+
+def _sx(x: int, w: int) -> int:
+    return x - (1 << w) if x >> (w - 1) else x
+
+
+def _sat(x: int, lo: int, hi: int) -> int:
+    return lo if x < lo else (hi if x > hi else x)
+
+
 class Trap(Exception):
     pass
 
@@ -453,6 +477,253 @@ class Instance:
         if not results:
             return None
         return ret
+
+    def _simd(self, sub_imm, stack: list, mem: bytearray) -> None:  # noqa: PLR0912, PLR0915
+        """Execute one SIMD (0xFD-prefixed) instruction.
+
+        Covers the integer/bitwise/lane/load-store subset Emscripten emits
+        for the decoder's UTF-8 fast paths; float SIMD raises (the decoder
+        has no float data paths)."""
+        sub, imm = sub_imm
+        M128 = (1 << 128) - 1
+        if sub == 0:  # v128.load
+            a = stack.pop() + imm
+            stack.append(int.from_bytes(mem[a:a + 16], "little"))
+        elif 1 <= sub <= 6:  # load8x8 / load16x4 / load32x2 (s/u)
+            a = stack.pop() + imm
+            w = (8, 8, 16, 16, 32, 32)[sub - 1]
+            signed = sub % 2 == 1
+            n = 64 // w
+            lanes = [int.from_bytes(mem[a + i * (w // 8): a + (i + 1) * (w // 8)], "little")
+                     for i in range(n)]
+            if signed:
+                lanes = [_sx(x, w) for x in lanes]
+            stack.append(_vpack(lanes, 2 * w))
+        elif 7 <= sub <= 10:  # load splats
+            a = stack.pop() + imm
+            w = (8, 16, 32, 64)[sub - 7]
+            x = int.from_bytes(mem[a:a + w // 8], "little")
+            stack.append(_vpack([x] * (128 // w), w))
+        elif sub == 11:  # v128.store
+            v = stack.pop()
+            a = stack.pop() + imm
+            mem[a:a + 16] = (v & M128).to_bytes(16, "little")
+        elif sub == 12:  # v128.const
+            stack.append(imm)
+        elif sub == 13:  # i8x16.shuffle
+            b = _vlanes(stack.pop(), 8)
+            a = _vlanes(stack.pop(), 8)
+            ab = a + b
+            stack.append(_vpack([ab[i] for i in imm], 8))
+        elif sub == 14:  # i8x16.swizzle
+            s = _vlanes(stack.pop(), 8)
+            a = _vlanes(stack.pop(), 8)
+            stack.append(_vpack([a[i] if i < 16 else 0 for i in s], 8))
+        elif 15 <= sub <= 18:  # int splats
+            w = (8, 16, 32, 64)[sub - 15]
+            x = stack.pop()
+            stack.append(_vpack([x] * (128 // w), w))
+        elif sub in (21, 22, 24, 25, 27, 29):  # extract_lane int
+            w, signed = {21: (8, True), 22: (8, False), 24: (16, True),
+                         25: (16, False), 27: (32, True), 29: (64, True)}[sub]
+            x = _vlanes(stack.pop(), w)[imm]
+            if signed and w < 64:
+                x = _sx(x, w)
+            stack.append(x & (_M64 if w == 64 else _M32))
+        elif sub in (23, 26, 28, 30):  # replace_lane int
+            w = {23: 8, 26: 16, 28: 32, 30: 64}[sub]
+            x = stack.pop()
+            lanes = _vlanes(stack.pop(), w)
+            lanes[imm] = x
+            stack.append(_vpack(lanes, w))
+        elif 35 <= sub <= 64:  # integer comparisons
+            w = 8 if sub <= 44 else (16 if sub <= 54 else 32)
+            kind = (sub - 35) % 10
+            m = (1 << w) - 1
+            b = _vlanes(stack.pop(), w)
+            a = _vlanes(stack.pop(), w)
+            out = []
+            for x, y in zip(a, b):
+                if kind in (2, 4, 6, 8):  # signed lt/gt/le/ge
+                    x2, y2 = _sx(x, w), _sx(y, w)
+                else:
+                    x2, y2 = x, y
+                t = (x == y, x != y, x2 < y2, x < y, x2 > y2, x > y,
+                     x2 <= y2, x <= y, x2 >= y2, x >= y)[kind]
+                out.append(m if t else 0)
+            stack.append(_vpack(out, w))
+        elif sub == 77:  # v128.not
+            stack.append(stack.pop() ^ M128)
+        elif sub == 78:
+            b = stack.pop(); stack.append(stack.pop() & b)
+        elif sub == 79:  # andnot
+            b = stack.pop(); stack.append(stack.pop() & (b ^ M128))
+        elif sub == 80:
+            b = stack.pop(); stack.append(stack.pop() | b)
+        elif sub == 81:
+            b = stack.pop(); stack.append(stack.pop() ^ b)
+        elif sub == 82:  # bitselect
+            c = stack.pop(); b = stack.pop(); a = stack.pop()
+            stack.append((a & c) | (b & (c ^ M128)))
+        elif sub == 83:  # v128.any_true
+            stack.append(1 if stack.pop() != 0 else 0)
+        elif 84 <= sub <= 87:  # load lane
+            off, lane = imm
+            w = (8, 16, 32, 64)[sub - 84]
+            v = stack.pop()
+            a = stack.pop() + off
+            lanes = _vlanes(v, w)
+            lanes[lane] = int.from_bytes(mem[a:a + w // 8], "little")
+            stack.append(_vpack(lanes, w))
+        elif 88 <= sub <= 91:  # store lane
+            off, lane = imm
+            w = (8, 16, 32, 64)[sub - 88]
+            v = stack.pop()
+            a = stack.pop() + off
+            mem[a:a + w // 8] = _vlanes(v, w)[lane].to_bytes(w // 8, "little")
+        elif sub in (92, 93):  # load32_zero / load64_zero
+            a = stack.pop() + imm
+            w = 32 if sub == 92 else 64
+            stack.append(int.from_bytes(mem[a:a + w // 8], "little"))
+        elif sub in (96, 128, 160, 192):  # abs
+            w = {96: 8, 128: 16, 160: 32, 192: 64}[sub]
+            stack.append(_vpack([abs(_sx(x, w)) for x in _vlanes(stack.pop(), w)], w))
+        elif sub in (97, 129, 161, 193):  # neg
+            w = {97: 8, 129: 16, 161: 32, 193: 64}[sub]
+            stack.append(_vpack([-x for x in _vlanes(stack.pop(), w)], w))
+        elif sub == 98:  # i8x16.popcnt
+            stack.append(_vpack([bin(x).count("1") for x in _vlanes(stack.pop(), 8)], 8))
+        elif sub in (99, 131, 163, 195):  # all_true
+            w = {99: 8, 131: 16, 163: 32, 195: 64}[sub]
+            stack.append(1 if all(x != 0 for x in _vlanes(stack.pop(), w)) else 0)
+        elif sub in (100, 132, 164, 196):  # bitmask
+            w = {100: 8, 132: 16, 164: 32, 196: 64}[sub]
+            lanes = _vlanes(stack.pop(), w)
+            stack.append(sum(1 << i for i, x in enumerate(lanes) if x >> (w - 1)))
+        elif sub in (101, 102, 133, 134):  # narrow
+            w, signed = {101: (16, True), 102: (16, False),
+                         133: (32, True), 134: (32, False)}[sub]
+            half = w // 2
+            lo, hi = ((-(1 << (half - 1)), (1 << (half - 1)) - 1) if signed
+                      else (0, (1 << half) - 1))
+            b = [_sx(x, w) for x in _vlanes(stack.pop(), w)]
+            a = [_sx(x, w) for x in _vlanes(stack.pop(), w)]
+            stack.append(_vpack([_sat(x, lo, hi) for x in a + b], half))
+        elif sub in (135, 136, 137, 138, 167, 168, 169, 170, 199, 200, 201, 202):
+            # extend low/high s/u
+            w = 8 if sub <= 138 else (16 if sub <= 170 else 32)
+            k = (sub - 135) % 32 if sub <= 138 else ((sub - 167) if sub <= 170 else (sub - 199))
+            low = k in (0, 2)
+            signed = k in (0, 1)
+            lanes = _vlanes(stack.pop(), w)
+            half = len(lanes) // 2
+            sel = lanes[:half] if low else lanes[half:]
+            if signed:
+                sel = [_sx(x, w) for x in sel]
+            stack.append(_vpack(sel, 2 * w))
+        elif sub in (107, 139, 171, 203):  # shl
+            w = {107: 8, 139: 16, 171: 32, 203: 64}[sub]
+            s = stack.pop() % w
+            stack.append(_vpack([x << s for x in _vlanes(stack.pop(), w)], w))
+        elif sub in (108, 140, 172, 204):  # shr_s
+            w = {108: 8, 140: 16, 172: 32, 204: 64}[sub]
+            s = stack.pop() % w
+            stack.append(_vpack([_sx(x, w) >> s for x in _vlanes(stack.pop(), w)], w))
+        elif sub in (109, 141, 173, 205):  # shr_u
+            w = {109: 8, 141: 16, 173: 32, 205: 64}[sub]
+            s = stack.pop() % w
+            stack.append(_vpack([x >> s for x in _vlanes(stack.pop(), w)], w))
+        elif sub in (110, 142, 174, 206):  # add
+            w = {110: 8, 142: 16, 174: 32, 206: 64}[sub]
+            b = _vlanes(stack.pop(), w)
+            a = _vlanes(stack.pop(), w)
+            stack.append(_vpack([x + y for x, y in zip(a, b)], w))
+        elif sub in (113, 145, 177, 209):  # sub
+            w = {113: 8, 145: 16, 177: 32, 209: 64}[sub]
+            b = _vlanes(stack.pop(), w)
+            a = _vlanes(stack.pop(), w)
+            stack.append(_vpack([x - y for x, y in zip(a, b)], w))
+        elif sub in (149, 181, 213):  # mul
+            w = {149: 16, 181: 32, 213: 64}[sub]
+            b = _vlanes(stack.pop(), w)
+            a = _vlanes(stack.pop(), w)
+            stack.append(_vpack([x * y for x, y in zip(a, b)], w))
+        elif sub in (111, 112, 114, 115, 143, 144, 146, 147):  # add/sub sat
+            w = 8 if sub <= 115 else 16
+            addop = sub in (111, 112, 143, 144)
+            signed = sub in (111, 114, 143, 146)
+            lo, hi = ((-(1 << (w - 1)), (1 << (w - 1)) - 1) if signed
+                      else (0, (1 << w) - 1))
+            b = _vlanes(stack.pop(), w)
+            a = _vlanes(stack.pop(), w)
+            out = []
+            for x, y in zip(a, b):
+                if signed:
+                    x, y = _sx(x, w), _sx(y, w)
+                out.append(_sat(x + y if addop else x - y, lo, hi))
+            stack.append(_vpack(out, w))
+        elif sub in (118, 119, 120, 121, 150, 151, 152, 153, 182, 183, 184, 185):
+            # min_s/min_u/max_s/max_u
+            w = 8 if sub <= 121 else (16 if sub <= 153 else 32)
+            kind = sub - {8: 118, 16: 150, 32: 182}[w]  # min_s/min_u/max_s/max_u
+            b = _vlanes(stack.pop(), w)
+            a = _vlanes(stack.pop(), w)
+            out = []
+            for x, y in zip(a, b):
+                if kind in (0, 2):
+                    xs, ys = _sx(x, w), _sx(y, w)
+                    out.append((min if kind == 0 else max)(xs, ys))
+                else:
+                    out.append((min if kind == 1 else max)(x, y))
+            stack.append(_vpack(out, w))
+        elif sub in (123, 155):  # avgr_u
+            w = 8 if sub == 123 else 16
+            b = _vlanes(stack.pop(), w)
+            a = _vlanes(stack.pop(), w)
+            stack.append(_vpack([(x + y + 1) >> 1 for x, y in zip(a, b)], w))
+        elif sub in (124, 125, 126, 127):  # extadd_pairwise
+            w = 8 if sub in (124, 125) else 16
+            signed = sub in (124, 126)
+            lanes = _vlanes(stack.pop(), w)
+            if signed:
+                lanes = [_sx(x, w) for x in lanes]
+            stack.append(_vpack([lanes[2 * i] + lanes[2 * i + 1]
+                                 for i in range(len(lanes) // 2)], 2 * w))
+        elif sub == 186:  # i32x4.dot_i16x8_s
+            b = [_sx(x, 16) for x in _vlanes(stack.pop(), 16)]
+            a = [_sx(x, 16) for x in _vlanes(stack.pop(), 16)]
+            stack.append(_vpack([a[2 * i] * b[2 * i] + a[2 * i + 1] * b[2 * i + 1]
+                                 for i in range(4)], 32))
+        elif 214 <= sub <= 219:  # i64x2 comparisons (signed)
+            kind = sub - 214  # eq ne lt_s gt_s le_s ge_s
+            m = (1 << 64) - 1
+            b = _vlanes(stack.pop(), 64)
+            a = _vlanes(stack.pop(), 64)
+            out = []
+            for x, y in zip(a, b):
+                xs, ys = _sx(x, 64), _sx(y, 64)
+                t = (x == y, x != y, xs < ys, xs > ys, xs <= ys, xs >= ys)[kind]
+                out.append(m if t else 0)
+            stack.append(_vpack(out, 64))
+        elif sub in (156, 157, 158, 159, 188, 189, 190, 191, 220, 221, 222, 223):
+            # extmul low/high s/u (i16x8 from i8x16 / i32x4 from i16x8 /
+            # i64x2 from i32x4)
+            w = 8 if sub <= 159 else (16 if sub <= 191 else 32)
+            base = 156 if sub <= 159 else (188 if sub <= 191 else 220)
+            k = sub - base  # 0 low_s 1 high_s 2 low_u 3 high_u
+            low = k in (0, 2)
+            signed = k in (0, 1)
+            b = _vlanes(stack.pop(), w)
+            a = _vlanes(stack.pop(), w)
+            half = len(a) // 2
+            sa = a[:half] if low else a[half:]
+            sb = b[:half] if low else b[half:]
+            if signed:
+                sa = [_sx(x, w) for x in sa]
+                sb = [_sx(x, w) for x in sb]
+            stack.append(_vpack([x * y for x, y in zip(sa, sb)], 2 * w))
+        else:  # pragma: no cover
+            raise NotImplementedError(f"SIMD op {sub} executed")
 
     def _exec(self, code: list, locals_: list):  # noqa: PLR0912, PLR0915
         """Execute one decoded function body.  Returns the top of stack
@@ -864,8 +1135,8 @@ class Instance:
                             stack.append(t)
                 else:  # pragma: no cover
                     raise NotImplementedError(f"0xFC sub {sub}")
-            elif op == 0xFD:  # pragma: no cover - scalar API paths avoid SIMD
-                raise NotImplementedError(f"SIMD op {instr[1][0]} executed")
+            elif op == 0xFD:  # SIMD (integer subset; see _simd)
+                self._simd(instr[1], stack, mem)
             else:  # pragma: no cover
                 raise NotImplementedError(f"opcode {op:#x}")
         self._depth -= 1
