@@ -58,20 +58,48 @@ def main() -> None:
     d.inst.trace_loads = None
     lo, hi = min(entry_addrs), max(entry_addrs)
     assert hi - lo <= SLOTS * STRIDE, "probed span exceeds one table"
-    base = lo  # with thousands of probes the min observed addr is slot 0 region
+    # probes bound the table loosely (min/max observed slots); widen to a
+    # full table length on BOTH sides of the observed span — every scanned
+    # candidate is oracle-verified below, so over-scanning is safe, while
+    # under-scanning silently drops entries (caught in round 2: 13 entries
+    # lived below the observed min)
+    base = max(0, hi + STRIDE - SLOTS * STRIDE)
     base -= (base - entry_addrs[0]) % STRIDE
+    end = min(len(d.inst.memory), lo + SLOTS * STRIDE)
 
-    buf = bytes(d.inst.memory[base:hi + STRIDE])
-    recs: dict[int, tuple[int, int]] = {}
+    buf = bytes(d.inst.memory[base:end])
+    cands: list[tuple[int, int, int, int]] = []
     for off in range(0, len(buf) - STRIDE + 1, STRIDE):
         k, v, t = struct.unpack_from("<III", buf, off)
         if k and v and k <= 0x10FFFF and v <= 0x10FFFF:
-            recs[k] = (v, t)
+            cands.append((k, v, t, base + off))
 
+    # verify every candidate by TRACING the oracle's own lookup: the open-
+    # addressing probe sequence for key k must READ the scanned record's
+    # address (collided keys land after several probes, so match anywhere
+    # in the sequence).  Value-level checks alone could admit garbage
+    # records from adjacent memory that happen to decode as plausible
+    # pairs; an address that the lookup itself touches cannot be garbage
+    # unless it is also a probed slot — and then the k==key comparison
+    # inside the wasm already validated it.
     verified = {}
-    for k, (v, t) in sorted(recs.items()):
-        assert d.c("decoder_is_confusable", k, v) == 1, hex(k)
-        verified[str(k)] = [v, (t >> 16) if t else 1]
+    rejected = 0
+    for k, v, t, addr in sorted(cands):
+        if str(k) in verified:
+            continue
+        # trace is_confusable(k, k): BOTH lookups probe key k, so every
+        # entry load in the trace belongs to k's probe sequence
+        loads.clear()
+        d.inst.trace_loads = lambda a, w: loads.append(a)
+        d.c("decoder_is_confusable", k, k)
+        d.inst.trace_loads = None
+        k_probes = [a for a in loads if a not in header]
+        if addr in k_probes and d.c("decoder_is_confusable", k, v) == 1:
+            verified[str(k)] = [v, (t >> 16) if t else 1]
+        else:
+            rejected += 1
+    print(f"scan window {base:#x}..{end:#x}; {len(cands)} candidates, "
+          f"{rejected} rejected by trace verification")
 
     data = {
         "source": "extracted from /root/reference/src/wasm/decoder.wasm confusables hash "

@@ -106,6 +106,7 @@ def main() -> None:
 
     mismatches = []
     hangul_only = 0
+    oracle_errors = 0
     total = 0
     for i in range(args.n):
         s = random_string(rng)
@@ -114,6 +115,13 @@ def main() -> None:
             total += 1
             ref = oracle.normalize(data, fi)
             got = ours.normalize_bytes(data, form)
+            if ref.startswith(b"<rc "):
+                # the REFERENCE errored on valid input (observed: rc=-2
+                # buffer-too-small on U+FDFA's 18x NFK* expansion — the
+                # same bug class fixed on our side in round 2); we handle
+                # it and match unicodedata, so this is not our mismatch
+                oracle_errors += 1
+                continue
             if got != ref:
                 # the reference's known non-conformance: Hangul is
                 # normalization-inert there (no algorithmic compose or
@@ -136,6 +144,7 @@ def main() -> None:
         "comparisons": total,
         "mismatches_non_hangul": len(mismatches),
         "mismatches_hangul_known_reference_nonconformance": hangul_only,
+        "reference_errors_on_valid_input": oracle_errors,
         "samples": mismatches[:40],
         "seed": args.seed,
     }

@@ -39,7 +39,7 @@ def fb():
 
 
 def test_table_shape(table):
-    assert len(table) == 6558
+    assert len(table) == 6565
     # the table is closed: no prototype is itself mapped
     for cp, (proto, _plen) in table.items():
         assert proto not in table, hex(cp)
