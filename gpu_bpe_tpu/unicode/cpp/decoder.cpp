@@ -361,7 +361,29 @@ void decoder_string_to_title(const uint32_t* in, int64_t n, uint32_t* out) {
 
 // ── composition / decomposition ──────────────────────────────────────
 int64_t decoder_compose(uint32_t a, uint32_t b) { return compose_pair(a, b); }
+// Reference semantics (oracle-pinned): SINGLE-LEVEL canonical
+// decomposition from the raw UCD mapping (0x1D5 -> [0xDC, 0x304], not
+// the recursive [0x55, 0x308, 0x304]); Hangul is not decomposed.
+// kRefDecomp* is sweep-extracted from the reference binary.
 int decoder_decompose(uint32_t cp, uint32_t* out, int cap) {
+  int64_t lo = 0, hi = (int64_t)kRefDecompCount - 1;
+  while (lo <= hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (kRefDecompCp[mid] < cp) lo = mid + 1;
+    else if (kRefDecompCp[mid] > cp) hi = mid - 1;
+    else {
+      int n = kRefDecompC1[mid] ? 2 : 1;
+      for (int i = 0; i < n && i < cap; i++)
+        out[i] = i == 0 ? kRefDecompC0[mid] : kRefDecompC1[mid];
+      return n;
+    }
+  }
+  return 0;
+}
+
+// Full recursive canonical decomposition incl. algorithmic Hangul (extra
+// export; the internal NFD path).
+int decoder_decompose_full(uint32_t cp, uint32_t* out, int cap) {
   std::vector<uint32_t> v;
   decompose_cp(cp, v);
   if (v.size() == 1 && v[0] == cp) return 0;
@@ -870,11 +892,20 @@ int64_t decoder_get_skeleton(const uint32_t* in, int64_t n,
   return m;
 }
 
+// Reference parity: its identifier sets are range-generalized (cover
+// unassigned gaps, exclude e.g. U+00B7) — sweep-extracted.  The true
+// UAX #31 XID sets are the *_xid_* extras below.
 int decoder_is_identifier_start(uint32_t cp) {
   return in_range_set(kXidStartStart, kXidStartEnd, kXidStartCount, cp);
 }
 int decoder_is_identifier_continue(uint32_t cp) {
   return in_range_set(kXidContinueStart, kXidContinueEnd, kXidContinueCount, cp);
+}
+int decoder_is_xid_start(uint32_t cp) {
+  return in_range_set(kXidStartUaxStart, kXidStartUaxEnd, kXidStartUaxCount, cp);
+}
+int decoder_is_xid_continue(uint32_t cp) {
+  return in_range_set(kXidContinueUaxStart, kXidContinueUaxEnd, kXidContinueUaxCount, cp);
 }
 int decoder_is_pattern_syntax(uint32_t cp) {
   return in_range_set(kPatternSyntaxStart, kPatternSyntaxEnd, kPatternSyntaxCount, cp);
@@ -886,7 +917,39 @@ int decoder_is_pattern_whitespace(uint32_t cp) {
 // Mixed-script detection (UTS #39 style): suspicious when a single "word"
 // mixes multiple non-Common/Inherited scripts (excluding sanctioned CJK
 // combinations). Basis of the reference's decoder_is_suspicious.
+// Reference semantics (oracle-pinned, validated by exhaustive singleton
+// sweep + randomized string fuzz against decoder.wasm):
+//   suspicious iff (a) any cp has a confusables-table entry and is
+//   non-ASCII, (b) any cp is in the extra singleton set (C0 controls
+//   minus \t\n\r, bidi/ZW format controls, private use, noncharacters,
+//   a few punctuation singletons — kSuspExtra*, extracted from the
+//   reference), or (c) the string mixes >=2 distinct script ids,
+//   excluding COMMON/INHERITED but counting UNKNOWN; no CJK sanctioning
+//   (Han+Hiragana IS suspicious in the reference).
 int decoder_is_suspicious(const uint32_t* cps, int64_t n) {
+  if (n <= 0) return 0;
+  // the reference anchors on the FIRST cp's script verbatim: a Common or
+  // Inherited first cp disables the mixed-script clause for the whole
+  // string ("1aΩ" is not suspicious, "a1Ω" is — oracle-pinned), and
+  // UNKNOWN(0) is a real base.
+  int base = decoder_get_script(cps[0]);
+  bool script_clause = (base != 1 && base != 2);
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t cp = cps[i];
+    if (cp > 0x7F && decoder_has_confusable_mapping(cp)) return 1;
+    if (in_range_set(kSuspExtraStart, kSuspExtraEnd, kSuspExtraCount, cp)) return 1;
+    if (script_clause && i > 0) {
+      int s = decoder_get_script(cp);
+      if (s != base && s != 1 && s != 2) return 1;
+    }
+  }
+  return 0;
+}
+
+// The round-1 mixed-script heuristic (sanctions Han+kana/Hangul combos)
+// survives as an extra export for callers who want UTS #39-style
+// highly-restrictive checking rather than the reference's strict rule.
+int decoder_is_mixed_script(const uint32_t* cps, int64_t n) {
   int base = 0;  // 0=unknown/common
   for (int64_t i = 0; i < n; i++) {
     int s = decoder_get_script(cps[i]);

@@ -355,8 +355,30 @@ def rle(values) -> list[tuple[int, int]]:
     return out
 
 
+def _ref_properties() -> dict | None:
+    """The reference decoder.wasm's exact per-cp script/category runs,
+    extracted by scripts/gen_ref_property_data.py from the exhaustive
+    oracle sweep.  None when the data file is absent."""
+    import json
+
+    path = Path(__file__).resolve().parent.parent / "data" / "ref_properties.json"
+    if not path.exists():
+        return None
+    return json.loads(path.read_text())
+
+
+def _expand_runs(runs: list, n: int) -> list[int]:
+    out = [0] * n
+    for i, (start, value) in enumerate(runs):
+        end = runs[i + 1][0] if i + 1 < len(runs) else n
+        for cp in range(start, min(end, n)):
+            out[cp] = value
+    return out
+
+
 def main(out_path: str) -> None:
     assigned_15 = [unicodedata.category(chr(cp)) != "Cn" for cp in range(MAX_CP)]
+    ref_props = _ref_properties()
     try:
         all_text = "".join(chr(cp) for cp in range(MAX_CP))
         cats = generate_categories_17(all_text)
@@ -365,6 +387,11 @@ def main(out_path: str) -> None:
         all_text = None
         cats = [CAT_INDEX[unicodedata.category(chr(cp))] for cp in range(MAX_CP)]
         data_version = unicodedata.unidata_version
+    if ref_props is not None:
+        # adopt the reference's exact category assignments (sweep-extracted
+        # Unicode 17.0 data) — classification parity by construction
+        cats = _expand_runs(ref_props["category"], MAX_CP)
+        data_version = "17.0 (reference-extracted)"
     classes = [char_class(cp, CATEGORIES[cats[cp]]) for cp in range(MAX_CP)]
 
     # RLE category ranges
@@ -458,6 +485,14 @@ def main(out_path: str) -> None:
         lower = sorted(set(lower) | set(lower_x.items()))
         title = sorted(set(title) | set(title_x.items()))
 
+    if ref_props is not None and "case" in ref_props:
+        # adopt the reference's exact simple case maps (sweep-extracted
+        # Unicode 17.0 SpecialCasing-free mappings)
+        upper = [tuple(e) for e in ref_props["case"]["upper"]]
+        lower = [tuple(e) for e in ref_props["case"]["lower"]]
+        title = [tuple(e) for e in ref_props["case"]["title"]]
+        fold = [tuple(e) for e in ref_props["case"]["fold"]]
+
     # full case maps: only the multi-codepoint expansions (ß -> "ss", ﬁ ->
     # "fi" under fold, etc.); the C side falls back to the simple tables
     def full_case_table(fn, pool):
@@ -496,8 +531,21 @@ def main(out_path: str) -> None:
         ident = {}
         n_scripts = 0
         block_names = {}
+    if ref_props is not None:
+        # adopt the reference's exact script assignments (range-based over
+        # unassigned cps too — feeds is_suspicious's mixed-script clause)
+        script_ids = _expand_runs(ref_props["script"], MAX_CP)
     script_ranges = rle(script_ids) if script_ids else [(0, 0)]
     block_ranges = rle(block_ids) if block_ids else [(0, 0)]
+
+    # identifier predicates: the REFERENCE's own (range-generalized) sets
+    # drive decoder_is_identifier_*; the true UAX #31 XID sets survive as
+    # decoder_is_xid_* extras
+    ident["xid_start_uax"] = ident.get("xid_start", [])
+    ident["xid_continue_uax"] = ident.get("xid_continue", [])
+    if ref_props is not None and "identifier_start" in ref_props:
+        ident["xid_start"] = [(a, b + 1) for a, b in ref_props["identifier_start"]]
+        ident["xid_continue"] = [(a, b + 1) for a, b in ref_props["identifier_continue"]]
 
     # post-15.0 decompositions we cannot source offline: detect + report
     if all_text is not None:
@@ -570,6 +618,20 @@ def main(out_path: str) -> None:
         w(fmt_u32(decomp_pool))
         w("};\n\n")
 
+        # reference decoder_decompose view: SINGLE-LEVEL canonical entries
+        # (sweep-extracted; ours is fully recursive internally for NFD)
+        ref_decomp = ref_props.get("decomp", []) if ref_props is not None else []
+        w(f"inline constexpr uint32_t kRefDecompCount = {len(ref_decomp)};\n")
+        w("inline constexpr uint32_t kRefDecompCp[] = {\n")
+        w(fmt_u32([e[0] for e in ref_decomp] or [0]))
+        w("};\n")
+        w("inline constexpr uint32_t kRefDecompC0[] = {\n")
+        w(fmt_u32([e[1] for e in ref_decomp] or [0]))
+        w("};\n")
+        w("inline constexpr uint32_t kRefDecompC1[] = {\n")  # 0 = absent
+        w(fmt_u32([(e[2] if len(e) > 2 else 0) for e in ref_decomp] or [0]))
+        w("};\n\n")
+
         w(f"inline constexpr uint32_t kCompatCount = {len(compat_entries)};\n")
         w("inline constexpr uint32_t kCompatCp[] = {\n")
         w(fmt_u32([e[0] for e in compat_entries]))
@@ -618,6 +680,8 @@ def main(out_path: str) -> None:
         for key, cname in (
             ("xid_start", "XidStart"),
             ("xid_continue", "XidContinue"),
+            ("xid_start_uax", "XidStartUax"),
+            ("xid_continue_uax", "XidContinueUax"),
             ("pattern_syntax", "PatternSyntax"),
             ("pattern_ws", "PatternWs"),
         ):
@@ -685,6 +749,20 @@ def main(out_path: str) -> None:
         w("};\n")
         w("inline constexpr uint8_t kConfusableProtoLen[] = {\n")
         w(fmt_u32([confusable_lens[cp] for cp in confusables] or [0]))
+        w("};\n\n")
+
+        # is_suspicious extra singleton ranges (reference-extracted; ends
+        # exclusive to match in_range_set)
+        _susp_path = Path(__file__).resolve().parent.parent / "data" / "ref_suspicious_extra.json"
+        susp_ranges = (
+            _json.loads(_susp_path.read_text())["ranges"] if _susp_path.exists() else []
+        )
+        w(f"inline constexpr uint32_t kSuspExtraCount = {len(susp_ranges)};\n")
+        w("inline constexpr uint32_t kSuspExtraStart[] = {\n")
+        w(fmt_u32([a for a, _b in susp_ranges] or [0]))
+        w("};\n")
+        w("inline constexpr uint32_t kSuspExtraEnd[] = {\n")
+        w(fmt_u32([b + 1 for _a, b in susp_ranges] or [0]))
         w("};\n\n")
 
         # script / block display names

@@ -40,6 +40,8 @@ def _load():
     lib.decoder_compose.restype = C.c_int64
     lib.decoder_decompose.argtypes = [C.c_uint32, C.POINTER(C.c_uint32), C.c_int]
     lib.decoder_decompose.restype = C.c_int
+    lib.decoder_decompose_full.argtypes = [C.c_uint32, C.POINTER(C.c_uint32), C.c_int]
+    lib.decoder_decompose_full.restype = C.c_int
     lib.decoder_is_valid_utf8.argtypes = [C.c_char_p, C.c_int64]
     lib.decoder_is_valid_utf8.restype = C.c_int
     lib.decoder_utf8_char_count.argtypes = [C.c_char_p, C.c_int64]
@@ -80,6 +82,12 @@ def _load():
     lib.decoder_is_in_block.restype = C.c_int
     lib.decoder_is_suspicious.argtypes = [C.POINTER(C.c_uint32), C.c_int64]
     lib.decoder_is_suspicious.restype = C.c_int
+    lib.decoder_is_mixed_script.argtypes = [C.POINTER(C.c_uint32), C.c_int64]
+    lib.decoder_is_mixed_script.restype = C.c_int
+    for name in ("decoder_is_xid_start", "decoder_is_xid_continue"):
+        fn = getattr(lib, name)
+        fn.argtypes = [C.c_uint32]
+        fn.restype = C.c_int
     # extended API (full parity with the reference's 71 exports)
     for name in (
         "decoder_is_alphabetic decoder_is_numeric decoder_has_confusable_mapping "
@@ -342,12 +350,43 @@ class CppUnicodeBackend(PyUnicodeBackend):
         return bool(self._lib.decoder_is_pattern_whitespace(cp))
 
     def is_suspicious(self, s: str) -> bool:
+        """Reference semantics (oracle-pinned): any confusable-mapped
+        non-ASCII cp, any extra singleton (controls/bidi/PUA/nonchars),
+        or >= 2 distinct scripts (Common/Inherited excluded)."""
         cps = np.array([ord(c) for c in s], dtype=np.uint32)
         if not len(cps):
             return False
         return bool(
             self._lib.decoder_is_suspicious(cps.ctypes.data_as(C.POINTER(C.c_uint32)), len(cps))
         )
+
+    def is_mixed_script(self, s: str) -> bool:
+        """UTS #39-style highly-restrictive check (sanctions Han+kana/
+        Hangul combos) — extra API beyond the reference."""
+        cps = np.array([ord(c) for c in s], dtype=np.uint32)
+        if not len(cps):
+            return False
+        return bool(
+            self._lib.decoder_is_mixed_script(cps.ctypes.data_as(C.POINTER(C.c_uint32)), len(cps))
+        )
+
+    def is_xid_start(self, cp: int) -> bool:
+        return bool(self._lib.decoder_is_xid_start(cp))
+
+    def is_xid_continue(self, cp: int) -> bool:
+        return bool(self._lib.decoder_is_xid_continue(cp))
+
+    def decompose(self, cp: int) -> list[int]:
+        """Reference semantics: single-level canonical decomposition
+        (no Hangul, no recursion)."""
+        out = (C.c_uint32 * 4)()
+        n = self._lib.decoder_decompose(cp, out, 4)
+        return [out[i] for i in range(n)]
+
+    def decompose_full(self, cp: int) -> list[int]:
+        out = (C.c_uint32 * 18)()
+        n = self._lib.decoder_decompose_full(cp, out, 18)
+        return [out[i] for i in range(n)]
 
     def count_graphemes(self, s: str) -> int:
         cps = np.array([ord(c) for c in s], dtype=np.uint32)

@@ -81,9 +81,14 @@ def _classify_codepoint(cp: int) -> int:
 def class_table() -> np.ndarray:
     """Dense uint8 class table over the full codepoint space (1.1 MB).
 
-    Sourced from the ``regex`` module's Unicode 17.0 property data when
-    available (matching the C++ tables and the reference's decoder.wasm);
-    falls back to unicodedata (15.0) otherwise."""
+    Sourced from the reference decoder.wasm's own category data
+    (unicode/data/ref_properties.json, sweep-extracted — identical to the
+    native C++ tables), else the ``regex`` module's Unicode 17.0 data,
+    else unicodedata (15.0)."""
+    try:
+        return _class_table_ref()
+    except (FileNotFoundError, KeyError):
+        pass
     try:
         return _class_table_regex()
     except ImportError:
@@ -92,6 +97,56 @@ def class_table() -> np.ndarray:
         for cp in range(MAX_CODEPOINT):
             table[cp] = classify(cp)
         return table
+
+
+# reference Category-enum index -> two-letter name / coarse group head,
+# mirroring gen_tables.CATEGORIES
+_CAT_NAMES = (
+    "Cn Lu Ll Lt Lm Lo Mn Mc Me Nd Nl No Pc Pd Ps Pe Pi Pf Po Sm Sc Sk So "
+    "Zs Zl Zp Cc Cf Cs Co"
+).split()
+_CAT_HEADS = "".join(c[0] for c in _CAT_NAMES)
+
+
+@lru_cache(maxsize=1)
+def _ref_categories():
+    """Dense per-cp two-letter category strings from the reference's
+    sweep-extracted data (None when the data file is absent)."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent / "data" / "ref_properties.json"
+    if not path.exists():
+        return None
+    runs = json.loads(path.read_text())["category"]
+    out = ["Cn"] * MAX_CODEPOINT
+    for i, (start, cat) in enumerate(runs):
+        end = runs[i + 1][0] if i + 1 < len(runs) else MAX_CODEPOINT
+        name = _CAT_NAMES[cat]
+        for cp in range(start, min(end, MAX_CODEPOINT)):
+            out[cp] = name
+    return out
+
+
+def _class_table_ref() -> np.ndarray:
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent / "data" / "ref_properties.json"
+    runs = json.loads(path.read_text())["category"]
+    table = np.full(MAX_CODEPOINT, CharClass.OTHER, dtype=np.uint8)
+    group_to_class = {
+        "L": CharClass.LETTER, "M": CharClass.LETTER, "N": CharClass.DIGIT,
+        "P": CharClass.PUNCTUATION, "S": CharClass.SYMBOL,
+    }
+    for i, (start, cat) in enumerate(runs):
+        end = runs[i + 1][0] if i + 1 < len(runs) else MAX_CODEPOINT
+        cls = group_to_class.get(_CAT_HEADS[cat])
+        if cls is not None:
+            table[start:end] = cls
+    table[sorted(WHITESPACE_CODEPOINTS)] = CharClass.WHITESPACE
+    table[sorted(NEWLINE_CODEPOINTS)] = CharClass.NEWLINE
+    return table
 
 
 def _class_table_regex() -> np.ndarray:
@@ -132,6 +187,9 @@ class PyUnicodeBackend:
     # ── Codepoint properties (decoder.mjs:238-263) ──────────────────
     @staticmethod
     def get_category(cp: int) -> str:
+        cats = _ref_categories()
+        if cats is not None:
+            return cats[cp]
         return unicodedata.category(chr(cp))
 
     def is_letter(self, cp: int) -> bool:

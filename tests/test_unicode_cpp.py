@@ -125,9 +125,9 @@ class TestProperties:
         assert cpp.compose(ord("q"), 0x301) == -1
 
     def test_version(self, cpp):
-        # classification/properties data is Unicode 17.0 (regex module),
-        # matching the reference decoder.wasm; unicodedata here is 15.0
-        assert cpp.unicode_version == "17.0"
+        # classification/properties data is Unicode 17.0, adopted directly
+        # from the reference decoder.wasm via the oracle sweep
+        assert cpp.unicode_version.startswith("17.0")
 
 
 class TestUnicode17Data:
@@ -165,6 +165,25 @@ class TestUnicode17Data:
         table = class_table()
         for cp in (0x105C0, 0x10D40, 0x11DB0, 0x16EA0):
             assert int(table[cp]) == int(cpp.classify_codepoints([cp])[0])
+
+    def test_reference_identifier_sets(self, cpp):
+        # the reference's identifier sets are range-generalized: unassigned
+        # 0x378 is "identifier start" there, and U+00B7 (XID_Continue in
+        # UAX #31) is excluded; the true XID sets survive as extras
+        assert cpp.is_identifier_start(0x378)
+        assert not cpp.is_xid_start(0x378)
+        assert not cpp._lib.decoder_is_identifier_continue(0xB7)
+        assert cpp.is_xid_continue(0xB7)
+        assert cpp.is_identifier_start(ord("a")) and cpp.is_xid_start(ord("a"))
+
+    def test_reference_decompose_single_level(self, cpp):
+        # decoder_decompose = the reference's single-level view;
+        # decompose_full = recursive incl. algorithmic Hangul
+        assert cpp.decompose(0x1D5) == [0xDC, 0x304]
+        assert cpp.decompose_full(0x1D5) == [0x55, 0x308, 0x304]
+        assert cpp.decompose(0xAC00) == []
+        assert cpp.decompose_full(0xAC00) == [0x1100, 0x1161]
+        assert cpp.decompose(0x2126) == [0x3A9]
 
     def test_missing_decomp_list_is_explicit(self, cpp):
         # the only 17.0 delta left: post-15.0 decomposition mappings,
@@ -241,7 +260,18 @@ class TestScriptsAndIdentifiers:
     def test_suspicious_mixed_script(self, cpp):
         assert cpp.is_suspicious("pаypal")  # Cyrillic 'а' in Latin word
         assert not cpp.is_suspicious("paypal")
-        assert not cpp.is_suspicious("日本語です")  # Han+Hiragana sanctioned
+        # reference semantics: NO CJK sanctioning — Han+Hiragana mixes are
+        # suspicious (oracle-pinned); the round-1 sanctioned heuristic
+        # survives as is_mixed_script
+        assert cpp.is_suspicious("日本語です")
+        assert not cpp.is_mixed_script("日本語です")
+        assert cpp.is_mixed_script("pаypal")
+        # singleton classes from the reference sweep
+        assert cpp.is_suspicious("\u200b")      # zero-width space
+        assert cpp.is_suspicious("\u202e")      # RLO
+        assert cpp.is_suspicious("\ue000")      # private use
+        assert not cpp.is_suspicious("\u00ad")  # soft hyphen is NOT flagged
+        assert not cpp.is_suspicious("1")        # ASCII confusable not flagged
 
 
 class TestExtendedParitySurface:
