@@ -360,7 +360,11 @@ void decoder_string_to_title(const uint32_t* in, int64_t n, uint32_t* out) {
 }
 
 // ── composition / decomposition ──────────────────────────────────────
-int64_t decoder_compose(uint32_t a, uint32_t b) { return compose_pair(a, b); }
+// Reference semantics: 0 = no composition (not -1); composed cp otherwise.
+int64_t decoder_compose(uint32_t a, uint32_t b) {
+  int64_t c = compose_pair(a, b);
+  return c < 0 ? 0 : c;
+}
 // Reference semantics (oracle-pinned): SINGLE-LEVEL canonical
 // decomposition from the raw UCD mapping (0x1D5 -> [0xDC, 0x304], not
 // the recursive [0x55, 0x308, 0x304]); Hangul is not decomposed.
@@ -787,7 +791,21 @@ const char* decoder_get_script_name(int script_id) {
   if (script_id < 0 || (uint32_t)script_id >= kScriptNameCount) return "";
   return kScriptNames[script_id];
 }
-const char* decoder_get_block_name(int block_id) {
+// Reference ABI: takes a CODEPOINT, returns the UCD block display name
+// ("Latin-1 Supplement"); table sweep-extracted from the binary.
+const char* decoder_get_block_name(uint32_t cp) {
+  if (kRefBlockCount == 0 || cp > 0x10FFFF) return "";
+  uint32_t lo = 0, hi = kRefBlockCount;
+  while (hi - lo > 1) {
+    uint32_t mid = (lo + hi) >> 1;
+    if (kRefBlockStart[mid] <= cp) lo = mid; else hi = mid;
+  }
+  return kRefBlockNames[kRefBlockNameIdx[lo]];
+}
+
+// By-internal-id block name (extra; pairs with decoder_get_block's
+// regex-module block ids).
+const char* decoder_get_block_id_name(int block_id) {
   if (block_id < 0 || (uint32_t)block_id >= kBlockNameCount) return "";
   return kBlockNames[block_id];
 }

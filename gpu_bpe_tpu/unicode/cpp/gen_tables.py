@@ -765,8 +765,12 @@ def main(out_path: str) -> None:
         w(fmt_u32([b + 1 for _a, b in susp_ranges] or [0]))
         w("};\n\n")
 
-        # script / block display names
-        script_names = [s for s in REFERENCE_SCRIPTS]
+        # script / block display names — the reference's exact strings
+        # (sweep-extracted TitleCase) when available
+        if ref_props is not None and "script_names" in ref_props:
+            script_names = ref_props["script_names"]
+        else:
+            script_names = [s for s in REFERENCE_SCRIPTS]
         w(f"inline constexpr uint32_t kScriptNameCount = {len(script_names)};\n")
         w("inline constexpr const char* kScriptNames[] = {\n")
         for s in script_names:
@@ -779,6 +783,29 @@ def main(out_path: str) -> None:
         w(f"inline constexpr uint32_t kBlockNameCount = {len(names_by_id)};\n")
         w("inline constexpr const char* kBlockNames[] = {\n")
         for nm in names_by_id:
+            w(f'  "{nm}",\n')
+        w("};\n\n")
+
+        # reference block table: [start cp, name] runs (get_block_name
+        # takes a CODEPOINT in the reference ABI)
+        ref_blocks = ref_props.get("blocks", []) if ref_props is not None else []
+        uniq_names: list[str] = []
+        name_idx: dict[str, int] = {}
+        idxs = []
+        for _start, nm in ref_blocks:
+            if nm not in name_idx:
+                name_idx[nm] = len(uniq_names)
+                uniq_names.append(nm)
+            idxs.append(name_idx[nm])
+        w(f"inline constexpr uint32_t kRefBlockCount = {len(ref_blocks)};\n")
+        w("inline constexpr uint32_t kRefBlockStart[] = {\n")
+        w(fmt_u32([s for s, _ in ref_blocks] or [0]))
+        w("};\n")
+        w("inline constexpr uint16_t kRefBlockNameIdx[] = {\n")
+        w(fmt_u32(idxs or [0]))
+        w("};\n")
+        w("inline constexpr const char* kRefBlockNames[] = {\n")
+        for nm in uniq_names or [""]:
             w(f'  "{nm}",\n')
         w("};\n\n")
 

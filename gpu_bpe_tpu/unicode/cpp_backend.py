@@ -169,8 +169,10 @@ def _load():
     lib.decoder_find_word_boundaries.restype = None
     lib.decoder_get_script_name.argtypes = [C.c_int]
     lib.decoder_get_script_name.restype = C.c_char_p
-    lib.decoder_get_block_name.argtypes = [C.c_int]
+    lib.decoder_get_block_name.argtypes = [C.c_uint32]
     lib.decoder_get_block_name.restype = C.c_char_p
+    lib.decoder_get_block_id_name.argtypes = [C.c_int]
+    lib.decoder_get_block_id_name.restype = C.c_char_p
     lib.decoder_init()
     return lib
 
@@ -315,6 +317,7 @@ class CppUnicodeBackend(PyUnicodeBackend):
         return self._lib.decoder_case_fold(cp)
 
     def compose(self, a: int, b: int) -> int:
+        """Reference semantics: 0 when the pair does not compose."""
         return self._lib.decoder_compose(a, b)
 
     def is_combining(self, cp: int) -> bool:
@@ -676,5 +679,10 @@ class CppUnicodeBackend(PyUnicodeBackend):
     def get_script_name(self, script_id: int) -> str:
         return self._lib.decoder_get_script_name(script_id).decode()
 
-    def get_block_name(self, block_id: int) -> str:
-        return self._lib.decoder_get_block_name(block_id).decode()
+    def get_block_name(self, cp: int) -> str:
+        """Reference ABI: takes a codepoint, returns the UCD block
+        display name ("Latin-1 Supplement")."""
+        return self._lib.decoder_get_block_name(cp).decode()
+
+    def get_block_id_name(self, block_id: int) -> str:
+        return self._lib.decoder_get_block_id_name(block_id).decode()

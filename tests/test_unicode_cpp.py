@@ -122,7 +122,8 @@ class TestProperties:
 
     def test_compose(self, cpp):
         assert cpp.compose(ord("e"), 0x301) == ord("é")
-        assert cpp.compose(ord("q"), 0x301) == -1
+        # reference semantics: 0 (not -1) means "no composition"
+        assert cpp.compose(ord("q"), 0x301) == 0
 
     def test_version(self, cpp):
         # classification/properties data is Unicode 17.0, adopted directly
@@ -368,9 +369,12 @@ class TestExtendedParitySurface:
     def test_script_block_names(self, cpp):
         from gpu_bpe_tpu.unicode.enums import Script
 
-        assert cpp.get_script_name(Script.LATIN) == "LATIN"
-        assert cpp.get_script_name(Script.HAN) == "HAN"
-        assert cpp.get_block_name(cpp.get_block(ord("a")))  # non-empty
+        # reference's exact display strings (sweep-extracted)
+        assert cpp.get_script_name(Script.LATIN) == "Latin"
+        assert cpp.get_script_name(Script.HAN) == "Han"
+        assert cpp.get_block_name(ord("a")) == "Basic Latin"
+        assert cpp.get_block_name(0xDF) == "Latin-1 Supplement"
+        assert cpp.get_block_id_name(cpp.get_block(ord("a")))  # non-empty
 
     def test_alphabetic_numeric(self, cpp):
         assert cpp.is_alphabetic(ord("a"))
