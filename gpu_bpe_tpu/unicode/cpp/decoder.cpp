@@ -428,7 +428,21 @@ int decoder_normalize_utf8(const uint8_t* in, int64_t len, int form,
   return 0;
 }
 
+int decoder_quick_check(const uint32_t* in, int64_t n, int form);
+
+// Reference semantics: UAX #15 quick check over the decoded stream —
+// MAYBE counts as NOT normalized (oracle-pinned: "q" + U+0301 is
+// reported unnormalized under NFC even though it is). The exact
+// (normalize-and-compare) checks survive as *_exact extras.
 int decoder_is_normalized_utf8(const uint8_t* in, int64_t len, int form) {
+  int64_t n = utf8_decode(in, len, nullptr);
+  if (n < 0) return 0;
+  std::vector<uint32_t> cps((size_t)n);
+  utf8_decode(in, len, cps.data());
+  return decoder_quick_check(cps.data(), n, form) == 1;
+}
+
+int decoder_is_normalized_utf8_exact(const uint8_t* in, int64_t len, int form) {
   std::vector<uint8_t> buf((size_t)len * 4 + 4);
   int64_t out_len = 0;
   if (decoder_normalize_utf8(in, len, form, buf.data(), (int64_t)buf.size(), &out_len) != 0)
@@ -447,7 +461,13 @@ int64_t decoder_normalize(const uint32_t* in, int64_t n, int form,
   return (int64_t)cps.size();
 }
 
+// Reference semantics: quick-check based (MAYBE = not normalized).
 int decoder_is_normalized(const uint32_t* in, int64_t n, int form) {
+  return decoder_quick_check(in, n, form) == 1;
+}
+
+// Exact normalize-and-compare check (extra export).
+int decoder_is_normalized_exact(const uint32_t* in, int64_t n, int form) {
   std::vector<uint32_t> cps(in, in + n);
   normalize_cps(cps, form);
   return (int64_t)cps.size() == n && std::equal(cps.begin(), cps.end(), in);
@@ -456,8 +476,42 @@ int decoder_is_normalized(const uint32_t* in, int64_t n, int form) {
 // Normalization quick check: 1 = YES (already normalized), 0 = NO.
 // (Computed by normalizing — no MAYBE; the tri-state NFC_QC property is
 // not exposed by the table source, so this is exact but not "quick".)
+// UAX #15 quick check, reference tri-state (oracle-pinned): MAYBE=0,
+// YES=1, NO=2. Per-cp values come from sweep-extracted run tables
+// (kQc*); a canonical-ordering violation (prev ccc > ccc > 0) is an
+// immediate NO. String result: any NO -> NO, else any MAYBE -> MAYBE.
+static uint8_t range_value_u8q(const uint32_t* starts, const uint8_t* values,
+                               uint32_t count, uint32_t cp) {
+  if (count == 0 || cp > 0x10FFFF) return 1;
+  uint32_t lo = 0, hi = count;
+  while (hi - lo > 1) {
+    uint32_t mid = (lo + hi) >> 1;
+    if (starts[mid] <= cp) lo = mid; else hi = mid;
+  }
+  return values[lo];
+}
+
+static inline uint8_t qc_of(int form, uint32_t cp) {
+  switch (form) {
+    case 0: return range_value_u8q(kQcStart0, kQcVal0, kQcCount0, cp);
+    case 1: return range_value_u8q(kQcStart1, kQcVal1, kQcCount1, cp);
+    case 2: return range_value_u8q(kQcStart2, kQcVal2, kQcCount2, cp);
+    default: return range_value_u8q(kQcStart3, kQcVal3, kQcCount3, cp);
+  }
+}
+
 int decoder_quick_check(const uint32_t* in, int64_t n, int form) {
-  return decoder_is_normalized(in, n, form);
+  int res = 1;
+  uint8_t prev_ccc = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t c = ccc_of(in[i]);
+    if (c != 0 && prev_ccc > c) return 2;
+    prev_ccc = c;
+    uint8_t q = qc_of(form, in[i]);
+    if (q == 2) return 2;
+    if (q == 0) res = 0;
+  }
+  return res;
 }
 
 // ── UTF-8 sanitization (lossy decode, U+FFFD for invalid sequences) ──

@@ -765,6 +765,20 @@ def main(out_path: str) -> None:
         w(fmt_u32([b + 1 for _a, b in susp_ranges] or [0]))
         w("};\n\n")
 
+        # normalization quick-check per-cp tri-state (MAYBE=0 YES=1 NO=2),
+        # sweep-extracted run tables, one per form (NFC NFD NFKC NFKD)
+        qc = ref_props.get("quick_check", {}) if ref_props is not None else {}
+        for form in range(4):
+            runs = qc.get(str(form), [[0, 1]])
+            w(f"inline constexpr uint32_t kQcCount{form} = {len(runs)};\n")
+            w(f"inline constexpr uint32_t kQcStart{form}[] = {{\n")
+            w(fmt_u32([s for s, _ in runs]))
+            w("};\n")
+            w(f"inline constexpr uint8_t kQcVal{form}[] = {{\n")
+            w(fmt_u32([v for _, v in runs]))
+            w("};\n")
+        w("\n")
+
         # script / block display names — the reference's exact strings
         # (sweep-extracted TitleCase) when available
         if ref_props is not None and "script_names" in ref_props:

@@ -79,7 +79,8 @@ def main() -> None:
             mem[buf + 4 * i:buf + 4 * i + 4] = struct.pack("<I", c)
         for form in range(4):
             ref = d.c("decoder_quick_check", buf, k, form)
-            got = ours.quick_check("".join(map(chr, seq)), form)
+            carr = (__import__("ctypes").c_uint32 * k)(*seq)
+            got = ours._lib.decoder_quick_check(carr, k, form)
             record("quick_check", (str([hex(c) for c in seq]), form), got, ref)
     for _ in range(2000):
         a, b = rng.choice(cps), rng.choice(cps)
