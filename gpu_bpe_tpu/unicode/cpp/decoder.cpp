@@ -664,7 +664,16 @@ int64_t decoder_utf16_to_utf8(const uint16_t* in, int64_t n, uint8_t* out, int64
 }
 
 // UTF-8 byte length a codepoint array would encode to.
-int64_t decoder_utf8_length(const uint32_t* in, int64_t n) {
+// Reference semantics (oracle-probed): despite the name, this takes
+// UTF-8 BYTES and returns the CODEPOINT count (the reference's JS doc
+// claims byte length — its binary counts codepoints).
+int64_t decoder_utf8_length(const uint8_t* in, int64_t len) {
+  return utf8_decode(in, len, nullptr);
+}
+
+// Encoded byte length of a codepoint array (the pre-rename behavior,
+// kept as an extra export).
+int64_t decoder_utf8_encoded_length(const uint32_t* in, int64_t n) {
   int64_t len = 0;
   for (int64_t i = 0; i < n; i++) {
     uint32_t cp = in[i];

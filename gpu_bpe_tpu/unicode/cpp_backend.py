@@ -149,8 +149,10 @@ def _load():
     lib.decoder_utf8_to_utf16.restype = C.c_int64
     lib.decoder_utf16_to_utf8.argtypes = [u16p, C.c_int64, C.POINTER(C.c_uint8), C.c_int64]
     lib.decoder_utf16_to_utf8.restype = C.c_int64
-    lib.decoder_utf8_length.argtypes = [u32p, C.c_int64]
+    lib.decoder_utf8_length.argtypes = [C.c_char_p, C.c_int64]
     lib.decoder_utf8_length.restype = C.c_int64
+    lib.decoder_utf8_encoded_length.argtypes = [u32p, C.c_int64]
+    lib.decoder_utf8_encoded_length.restype = C.c_int64
     lib.decoder_utf8_to_utf32.argtypes = [C.c_char_p, C.c_int64, u32p, C.c_int64]
     lib.decoder_utf8_to_utf32.restype = C.c_int64
     for name in (
@@ -607,9 +609,19 @@ class CppUnicodeBackend(PyUnicodeBackend):
         return out[:n].tobytes()
 
     def utf8_length(self, cps) -> int:
+        """Encoded UTF-8 byte length of a codepoint sequence. (The
+        reference's decoder_utf8_length export actually returns the
+        CODEPOINT count of UTF-8 bytes — oracle-probed — and is bound
+        separately; this keeps the useful byte-length semantics.)"""
         arr = np.ascontiguousarray(np.asarray(cps, dtype=np.uint32))
         p = arr.ctypes.data_as(C.POINTER(C.c_uint32)) if len(arr) else None
-        return self._lib.decoder_utf8_length(p, len(arr))
+        return self._lib.decoder_utf8_encoded_length(p, len(arr))
+
+    def utf8_codepoint_count(self, data: bytes) -> int:
+        """The reference decoder_utf8_length semantics: codepoint count
+        of a UTF-8 byte string."""
+        data = bytes(data)
+        return self._lib.decoder_utf8_length(data, len(data))
 
     def _boundary(self, fn, s: str, pos: int) -> bool:
         cps = _cps(s)
