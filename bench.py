@@ -166,7 +166,31 @@ def bench_tokenize(stream, corpus: bytes) -> None:
     )
 
 
+def _wait_for_device(attempts: int = 4, delay_s: float = 120.0) -> None:
+    """Retry backend initialization: the tunneled TPU occasionally drops
+    for minutes at a time — don't let a transient flap zero the round's
+    bench artifact. Each attempt probes in a SUBPROCESS (a failed init
+    poisons the backend state in-process)."""
+    import subprocess
+    import sys as _sys
+
+    for i in range(attempts):
+        try:
+            probe = subprocess.run(
+                [_sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=300,
+            )
+            if probe.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# device probe {i + 1}/{attempts} failed; retrying in "
+              f"{delay_s:.0f}s", file=_sys.stderr, flush=True)
+        time.sleep(delay_s)
+
+
 def main() -> None:
+    _wait_for_device()
     import jax
 
     # Persistent compile cache: amortizes the expensive TPU compiles of the
