@@ -209,15 +209,30 @@ void compose(std::vector<uint32_t>& cps) {
   cps.swap(out);
 }
 
+// Post-15.0 codepoints whose decomposition the REFERENCE's NFC/NFKC
+// pipeline does not know (its composing forms use an older table than
+// its NFD — oracle-verified): inert under the composing forms, fully
+// decomposed under NFD/NFKD. Mirrored for parity.
+static inline bool nfc_inert(uint32_t cp) {
+  if (kNfcInertCount == 0) return false;
+  const uint32_t* end = kNfcInertCp + kNfcInertCount;
+  const uint32_t* it = std::lower_bound(kNfcInertCp, end, cp);
+  return it != end && *it == cp;
+}
+
 void normalize_cps(std::vector<uint32_t>& cps, int form) {
   // form: 0=NFC, 1=NFD, 2=NFKC, 3=NFKD (UAX #15; K-forms use the fully
   // expanded compatibility decomposition table)
   bool compat = form >= 2;
+  bool composing = form == 0 || form == 2;
   std::vector<uint32_t> decomposed;
   decomposed.reserve(cps.size() + 16);
-  for (uint32_t cp : cps) decompose_cp(cp, decomposed, compat);
+  for (uint32_t cp : cps) {
+    if (composing && nfc_inert(cp)) decomposed.push_back(cp);
+    else decompose_cp(cp, decomposed, compat);
+  }
   canonical_order(decomposed);
-  if (form == 0 || form == 2) compose(decomposed);
+  if (composing) compose(decomposed);
   cps.swap(decomposed);
 }
 

@@ -74,14 +74,42 @@ def char_class(cp: int, cat: str) -> int:
     return OTHER
 
 
+def _extra_decomp() -> tuple[dict[int, list[int]], set[int], dict[int, list[int]]]:
+    """Post-15.0 decomposition mappings recovered from the reference
+    binary (scripts/extract_missing_decomps.py): canonical single-level
+    map, the subset whose pairs recompose under the reference's NFC, and
+    full compat sequences.  Empty when the data file is absent."""
+    import json
+
+    path = Path(__file__).resolve().parent.parent / "data" / "ref_properties.json"
+    if not path.exists():
+        return {}, set(), {}
+    data = json.loads(path.read_text()).get("extra_decomp")
+    if not data:
+        return {}, set(), {}
+    canonical = {int(k): v["seq"] for k, v in data["canonical"].items()}
+    composing = {int(k) for k, v in data["canonical"].items() if v["composes"]}
+    compat = {int(k): v for k, v in data["compat"].items()}
+    return canonical, composing, compat
+
+
+EXTRA_CANONICAL, EXTRA_COMPOSING, EXTRA_COMPAT = _extra_decomp()
+
+
 def full_canonical_decomposition(cp: int) -> list[int]:
     """Fully expanded canonical (NFD) decomposition, excluding Hangul."""
     if 0xAC00 <= cp <= 0xD7A3:
         return []  # Hangul handled algorithmically at runtime
+    if cp in EXTRA_CANONICAL:
+        out: list[int] = []
+        for sub in EXTRA_CANONICAL[cp]:
+            expanded = full_canonical_decomposition(sub)
+            out.extend(expanded if expanded else [sub])
+        return out
     d = unicodedata.decomposition(chr(cp))
     if not d or d.startswith("<"):
         return []
-    out: list[int] = []
+    out = []
     for part in d.split():
         sub = int(part, 16)
         expanded = full_canonical_decomposition(sub)
@@ -97,6 +125,10 @@ def full_compat_decomposition(cp: int) -> list[int]:
     already includes nested canonical+compat decompositions)."""
     if 0xAC00 <= cp <= 0xD7A3 or 0xD800 <= cp <= 0xDFFF:
         return []  # Hangul algorithmic at runtime; surrogates unmapped
+    if cp in EXTRA_COMPAT:
+        return list(EXTRA_COMPAT[cp])
+    if cp in EXTRA_CANONICAL:
+        return full_canonical_decomposition(cp)
     s = unicodedata.normalize("NFKD", chr(cp))
     if s == chr(cp):
         return []
@@ -457,6 +489,10 @@ def main(out_path: str) -> None:
         a, b = parts
         if unicodedata.normalize("NFC", chr(a) + chr(b)) == chr(cp):
             comp_entries.append(((a << 21) | b, cp))
+    # post-15.0 pairs that recompose under the reference's NFC
+    for cp in EXTRA_COMPOSING:
+        a, b = EXTRA_CANONICAL[cp]
+        comp_entries.append(((a << 21) | b, cp))
     comp_entries.sort()
 
     # simple case maps as (cp, mapped) sparse sorted tables
@@ -616,6 +652,14 @@ def main(out_path: str) -> None:
         w(f"inline constexpr uint32_t kDecompPoolSize = {len(decomp_pool)};\n")
         w("inline constexpr uint32_t kDecompPool[] = {\n")
         w(fmt_u32(decomp_pool))
+        w("};\n\n")
+
+        # post-15.0 cps inert under the reference's NFC/NFKC (its composing
+        # pipeline lacks their mappings; oracle-verified)
+        inert = sorted(cp for cp in EXTRA_CANONICAL if cp not in EXTRA_COMPOSING)
+        w(f"inline constexpr uint32_t kNfcInertCount = {len(inert)};\n")
+        w("inline constexpr uint32_t kNfcInertCp[] = {\n")
+        w(fmt_u32(inert or [0]))
         w("};\n\n")
 
         # reference decoder_decompose view: SINGLE-LEVEL canonical entries

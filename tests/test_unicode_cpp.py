@@ -69,9 +69,17 @@ class TestNFC:
         assert cpp.normalize(s, form) == unicodedata.normalize(form, s)
 
     def test_compat_random_bmp(self, cpp, rng):
+        # skip cps whose post-15.0 mappings were recovered from the
+        # reference binary: unicodedata (15.0) cannot see those
+        from gpu_bpe_tpu.unicode.cpp.gen_tables import (
+            EXTRA_CANONICAL, EXTRA_COMPAT,
+        )
+
+        recovered = set(EXTRA_CANONICAL) | set(EXTRA_COMPAT)
         for _ in range(50):
-            cps = rng.integers(0x20, 0xD7FF, size=64)
-            s = "".join(chr(int(c)) for c in cps)
+            cps = [int(c) for c in rng.integers(0x20, 0xD7FF, size=64)
+                   if int(c) not in recovered]
+            s = "".join(map(chr, cps))
             for form in ("NFKC", "NFKD"):
                 assert cpp.normalize(s, form) == unicodedata.normalize(form, s)
 
@@ -186,9 +194,10 @@ class TestUnicode17Data:
         assert cpp.decompose_full(0xAC00) == [0x1100, 0x1161]
         assert cpp.decompose(0x2126) == [0x3A9]
 
-    def test_missing_decomp_list_is_explicit(self, cpp):
-        # the only 17.0 delta left: post-15.0 decomposition mappings,
-        # pinned as an explicit unknowns list in the generated header
+    def test_missing_decomp_list_is_empty(self, cpp):
+        # post-15.0 decomposition mappings were recovered from the
+        # reference binary itself (scripts/extract_missing_decomps.py) —
+        # the unknowns list must stay empty
         import re
         from pathlib import Path
 
@@ -197,7 +206,18 @@ class TestUnicode17Data:
         txt = (Path(cpp_pkg.__file__).parent / "unicode_tables.h").read_text()
         n = int(re.search(r"kMissingDecompCount = (\d+)", txt).group(1))
         nk = int(re.search(r"kMissingCompatDecompCount = (\d+)", txt).group(1))
-        assert n <= 20 and nk <= 57  # shrinks if data becomes available
+        assert n == 0 and nk == 0
+
+    def test_recovered_decomp_spot_values(self, cpp):
+        # Todhri: recovered canonical pair that RECOMPOSES under NFC
+        assert cpp.normalize(chr(0x105C9), "NFD") == chr(0x105D2) + chr(0x307)
+        assert cpp.normalize(chr(0x105D2) + chr(0x307), "NFC") == chr(0x105C9)
+        # Tulu-Tigalari: decomposes under NFD but NFC-inert (the
+        # reference's composing pipeline lacks the mapping — mirrored)
+        assert cpp.normalize(chr(0x11383), "NFD") == chr(0x11382) + chr(0x113C9)
+        assert cpp.normalize(chr(0x11383), "NFC") == chr(0x11383)
+        assert cpp.normalize(chr(0x11382) + chr(0x113C9), "NFC") == \
+            chr(0x11382) + chr(0x113C9)
 
 
 class TestPretokenizePrepare:
