@@ -48,6 +48,11 @@ POOLS = [
      0x1D6E2, 0x2460, 0x24B6, 0x3000, 0xA770],
     # CJK + canonical singletons
     [0x2F800, 0x2F801, 0xF900, 0xF9FF, 0x2000, 0x2011, 0x2126],
+    # post-15.0 recovered mappings (Todhri, Tulu-Tigalari, Gurung Khema,
+    # Kirat Rai, modifier capitals) incl. the NFC-inert set
+    [0x105C9, 0x105E4, 0x11383, 0x11385, 0x1138E, 0x11391, 0x113C5,
+     0x113C7, 0x113C8, 0x16121, 0x16126, 0x16D68, 0x16D69, 0xA7F1,
+     0x105D2, 0x307, 0x11382, 0x113C9, 0x1611E, 0x16129],
 ]
 
 
