@@ -1,0 +1,37 @@
+#!/bin/bash
+# Poll for TPU availability, then run the round's TPU-blocked queue.
+# Logs to /tmp/tpu_queue.log; writes /tmp/tpu_queue.done when finished.
+set -u
+cd /root/repo
+LOG=/tmp/tpu_queue.log
+echo "=== tpu_queue_runner start $(date -u +%H:%M:%SZ) ===" >> "$LOG"
+
+while true; do
+  if timeout 180 python -c "import jax; jax.devices()" >> "$LOG" 2>&1; then
+    echo "=== TPU up at $(date -u +%H:%M:%SZ) ===" >> "$LOG"
+    break
+  fi
+  echo "probe failed $(date -u +%H:%M:%SZ); sleeping 300s" >> "$LOG"
+  sleep 300
+done
+
+echo "--- 1/4 bench sanity ---" >> "$LOG"
+timeout 3600 python bench.py >> "$LOG" 2>&1
+echo "bench rc=$?" >> "$LOG"
+
+echo "--- 2/4 certificate validation @HEAD ---" >> "$LOG"
+timeout 7200 python scripts/validate_certificate.py --mb 64 --merges 8192 >> "$LOG" 2>&1
+echo "validate_certificate rc=$?" >> "$LOG"
+
+echo "--- 3/4 tokenize rates ---" >> "$LOG"
+timeout 7200 python scripts/bench_tokenize_vocabs.py \
+  --out docs/artifacts/tokenize_rates.json >> "$LOG" 2>&1
+echo "bench_tokenize_vocabs rc=$?" >> "$LOG"
+
+echo "--- 4/4 10 GB streamed train ---" >> "$LOG"
+timeout 21600 python scripts/validate_stream.py --gb 10 \
+  --out docs/artifacts/stream_10gb.json >> "$LOG" 2>&1
+echo "validate_stream rc=$?" >> "$LOG"
+
+echo "=== queue complete $(date -u +%H:%M:%SZ) ===" >> "$LOG"
+touch /tmp/tpu_queue.done
