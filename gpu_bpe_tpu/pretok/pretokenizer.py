@@ -71,7 +71,10 @@ class PreTokenizer:
         prepare = getattr(self.backend, "pretokenize_prepare", None)
         if prepare is not None:
             try:
-                normalized, cps, classes, offsets = prepare(data)
+                # reuse=True: scratch views are consumed before this method
+                # returns (boundaries + mask below), so the pooled buffers
+                # are safe — and skip the huge re-fault every call
+                normalized, cps, classes, offsets = prepare(data, reuse=True)
                 if normalized:
                     cp_starts = self._boundaries(cps, classes)
                     word_starts = np.zeros(len(normalized), dtype=np.uint8)

@@ -243,12 +243,19 @@ class CppUnicodeBackend(PyUnicodeBackend):
             )
         return out
 
-    def pretokenize_prepare(self, data: bytes):
+    def pretokenize_prepare(self, data: bytes, reuse: bool = False):
         """Fused NFC + classify + offsets.
 
         Returns (normalized bytes, codepoints, classes, byte offsets).
         Raises on invalid UTF-8 (callers fall back, matching the reference
         chain in pre_tokenizer.mjs:463-469).
+
+        With ``reuse=True`` the three codepoint arrays are VIEWS into a
+        grow-only scratch pool that the next prepare call overwrites —
+        use only when they are consumed before the next call (the
+        pre-tokenizer hot path does). Fresh first-touch page faults on
+        this class of VM run at ~70 MB/s, so re-allocating the ~9x-input
+        scratch every call dominated ingest wall time.
         """
         data = bytes(data)
         # codepoints <= bytes and NFC output is almost always <= input; try
@@ -257,10 +264,7 @@ class CppUnicodeBackend(PyUnicodeBackend):
         for factor in (1, 4):
             out_cap = len(data) * factor + 16
             cp_cap = out_cap
-            out = np.empty(out_cap, dtype=np.uint8)
-            cps = np.empty(cp_cap, dtype=np.uint32)
-            classes = np.empty(cp_cap, dtype=np.uint8)
-            offsets = np.empty(cp_cap, dtype=np.uint32)
+            out, cps, classes, offsets = self._prep_buffers(out_cap, reuse)
             out_len = C.c_int64(0)
             cp_count = C.c_int64(0)
             rc = self._lib.decoder_pretokenize_prepare(
@@ -278,6 +282,9 @@ class CppUnicodeBackend(PyUnicodeBackend):
             raise RuntimeError(f"decoder_pretokenize_prepare failed: {rc}")
         n = cp_count.value
 
+        if reuse:
+            return (out[: out_len.value].tobytes(), cps[:n], classes[:n], offsets[:n])
+
         # copy only when it releases substantial over-allocation — the
         # common case (ASCII-heavy, factor 1) slices off almost nothing
         # and the copies dominated ingest wall time (~0.4 s per 100 MB)
@@ -286,6 +293,18 @@ class CppUnicodeBackend(PyUnicodeBackend):
             return view.copy() if n < (len(a) * 3) // 4 else view
 
         return (out[: out_len.value].tobytes(), trim(cps), trim(classes), trim(offsets))
+
+    def _prep_buffers(self, cap: int, reuse: bool):
+        """Scratch for pretokenize_prepare: grow-only pooled when reused."""
+        if not reuse:
+            return (np.empty(cap, dtype=np.uint8), np.empty(cap, dtype=np.uint32),
+                    np.empty(cap, dtype=np.uint8), np.empty(cap, dtype=np.uint32))
+        pool = getattr(self, "_prep_pool", None)
+        if pool is None or len(pool[0]) < cap:
+            pool = (np.empty(cap, dtype=np.uint8), np.empty(cap, dtype=np.uint32),
+                    np.empty(cap, dtype=np.uint8), np.empty(cap, dtype=np.uint32))
+            self._prep_pool = pool
+        return pool
 
     # ── predicates via native lib ────────────────────────────────────
     def is_letter(self, cp: int) -> bool:
