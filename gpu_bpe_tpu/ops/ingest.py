@@ -53,6 +53,18 @@ def _unique_rows(mat: np.ndarray, weights: np.ndarray | None = None):
         padded[:, :ln] = mat
     # big-endian view: numeric u64 order == byte-lexicographic row order
     words = padded.view(">u8").astype(np.uint64)  # [k, nw], native after astype
+    if nw == 1 and weights is None:
+        # value sort (no permutation needed): ~2x argsort, and the unique
+        # rows reconstruct from the sorted words themselves
+        sw0 = np.sort(words[:, 0])
+        neq = np.empty(k, bool)
+        neq[0] = True
+        np.not_equal(sw0[1:], sw0[:-1], out=neq[1:])
+        starts = np.flatnonzero(neq)
+        counts = np.diff(np.append(starts, k)).astype(np.int64)
+        uniq_words = sw0[starts].astype(">u8")
+        uniq = uniq_words.view(np.uint8).reshape(-1, 8)[:, :ln]
+        return uniq, counts
     if nw == 1:
         w0 = words[:, 0]
         order = np.argsort(w0, kind="stable")
@@ -87,13 +99,15 @@ def make_stream(
     single "word" starting at position 0 and dedup is skipped.
     """
     if isinstance(data, (bytes, bytearray)):
-        tokens = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.uint32)
+        bytes_arr = np.frombuffer(bytes(data), dtype=np.uint8)
+        tokens = None  # u32 view made lazily (only the no-dedup path needs it)
     else:
         tokens = np.asarray(data, dtype=np.uint32) & np.uint32(TOKEN_MASK)
-    n_total = len(tokens)
+        bytes_arr = tokens.astype(np.uint8)
+    n_total = len(bytes_arr)
 
     if word_starts is None or not dedup or n_total == 0:
-        symbols = tokens.copy()
+        symbols = (bytes_arr.astype(np.uint32) if tokens is None else tokens.copy())
         if word_starts is not None:
             symbols[word_starts.astype(bool)] |= np.uint32(WORD_START_BIT)
         elif n_total:
@@ -116,14 +130,22 @@ def make_stream(
     boundaries = np.flatnonzero(starts)
     ends = np.append(boundaries[1:], n_total)
     lengths = ends - boundaries
-    bytes_arr = tokens.astype(np.uint8)
+
+    # group word indices by length with ONE sort (a per-length boolean
+    # scan is O(distinct_lengths x words) and showed up at 64 MB scale)
+    len_order = np.argsort(lengths, kind="stable")
+    sorted_lengths = lengths[len_order]
+    change = np.flatnonzero(np.diff(sorted_lengths)) + 1
+    group_starts = np.concatenate([[0], change]) if len(sorted_lengths) else change
+    group_ends = np.append(change, len(sorted_lengths))
+    uniq_lengths = sorted_lengths[group_starts] if len(sorted_lengths) else sorted_lengths
 
     out_syms: list[np.ndarray] = []
     out_wts: list[np.ndarray] = []
     total_unique = 0
-    for ln in np.unique(lengths):
+    for ln, gs, ge in zip(uniq_lengths, group_starts, group_ends):
         ln = int(ln)
-        sel = boundaries[lengths == ln]
+        sel = boundaries[len_order[gs:ge]]
         if ln == 0:
             continue
         # [k, ln] matrix of word bytes via strided gather
