@@ -46,6 +46,36 @@ class CharClass:
     OTHER = 6
 
 
+@lru_cache(maxsize=4)
+def _ref_field(key: str):
+    """A field of the reference-extracted property data (None if absent)."""
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent / "data" / "ref_properties.json"
+    if not path.exists():
+        return None
+    return json.loads(path.read_text()).get(key)
+
+
+@lru_cache(maxsize=2)
+def _ref_runs(key: str):
+    runs = _ref_field(key)
+    if runs is None:
+        return None
+    return [r[0] for r in runs], [r[1] for r in runs]
+
+
+@lru_cache(maxsize=1)
+def _suspicious_ranges():
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent / "data" / "ref_suspicious_extra.json"
+    ranges = json.loads(path.read_text())["ranges"] if path.exists() else []
+    return [r[0] for r in ranges], [r[1] for r in ranges]
+
+
 @lru_cache(maxsize=1)
 def _confusable_table() -> dict[int, tuple[int, int]]:
     """The reference's exact UTS #39 prototype map: cp -> (proto_first_cp,
@@ -340,6 +370,67 @@ class PyUnicodeBackend:
         cps = utf8_to_codepoints(data)
         classes = self.classify_codepoints(cps)
         return classes, len(cps)
+
+    # ── Scripts / identifiers / security (reference-extracted data) ──
+    def get_script(self, cp: int) -> int:
+        runs = _ref_runs("script")
+        if runs is None:
+            return 0
+        import bisect
+
+        i = bisect.bisect_right(runs[0], cp) - 1
+        return runs[1][i] if i >= 0 else 0
+
+    def get_script_name(self, script_id: int) -> str:
+        names = _ref_field("script_names") or []
+        return names[script_id] if 0 <= script_id < len(names) else ""
+
+    def get_block_name(self, cp: int) -> str:
+        blocks = _ref_field("blocks")
+        if not blocks:
+            return ""
+        import bisect
+
+        i = bisect.bisect_right([b[0] for b in blocks], cp) - 1
+        return blocks[i][1] if i >= 0 else ""
+
+    def _in_ranges(self, key: str, cp: int) -> bool:
+        ranges = _ref_field(key) or []
+        import bisect
+
+        i = bisect.bisect_right([r[0] for r in ranges], cp) - 1
+        return i >= 0 and cp <= ranges[i][1]
+
+    def is_identifier_start(self, cp: int) -> bool:
+        return self._in_ranges("identifier_start", cp)
+
+    def is_identifier_continue(self, cp: int) -> bool:
+        return self._in_ranges("identifier_continue", cp)
+
+    def is_suspicious(self, s: str) -> bool:
+        """Reference semantics (same rule as the native backend)."""
+        if not s:
+            return False
+        susp = _suspicious_ranges()
+        import bisect
+
+        def extra(cp: int) -> bool:
+            i = bisect.bisect_right(susp[0], cp) - 1
+            return i >= 0 and cp <= susp[1][i]
+
+        base = self.get_script(ord(s[0]))
+        script_clause = base not in (1, 2)
+        for i, ch in enumerate(s):
+            cp = ord(ch)
+            if cp > 0x7F and self.has_confusable_mapping(cp):
+                return True
+            if extra(cp):
+                return True
+            if script_clause and i > 0:
+                sc = self.get_script(cp)
+                if sc != base and sc not in (1, 2):
+                    return True
+        return False
 
     # ── Segmentation counts (decoder.mjs:423-427) ───────────────────
     def count_graphemes(self, s: str) -> int:

@@ -86,3 +86,16 @@ def test_cpp_fallback_agree_on_strings(cpp, fb):
     ]
     for a, b in pairs:
         assert cpp.check_confusables(a, b) == fb.check_confusables(a, b), (a, b)
+
+
+def test_fallback_security_apis_match_cpp(cpp, fb):
+    """The degradation chain serves the same reference-extracted data."""
+    sample = [0x61, 0x378, 0x430, 0x3A9, 0x7FF, 0xB7, 0x4E2D, 0x10D40, 0xE000]
+    for cp in sample:
+        assert fb.get_script(cp) == cpp.get_script(cp), hex(cp)
+        assert fb.is_identifier_start(cp) == cpp.is_identifier_start(cp), hex(cp)
+        assert fb.is_identifier_continue(cp) == cpp.is_identifier_continue(cp), hex(cp)
+        assert fb.get_block_name(cp) == cpp.get_block_name(cp), hex(cp)
+    assert fb.get_script_name(3) == "Latin"
+    for s in ["pаypal", "paypal", "日本語です", "1aΩ", "aΩ", "​", "привет"]:
+        assert fb.is_suspicious(s) == cpp.is_suspicious(s), s
