@@ -32,10 +32,19 @@ def _hangul_type(cp: int) -> str | None:
 
 
 def count_graphemes(s: str) -> int:
+    if not s:
+        return 0
+    try:
+        # exact UAX #29 clusters when the regex module is present (it is
+        # in this image); keeps the fallback chain consistent with the
+        # native backend's exact rule engine
+        import regex
+
+        return len(regex.findall(r"\X", s))
+    except ImportError:
+        pass
     cps = [ord(c) for c in s]
     n = len(cps)
-    if n == 0:
-        return 0
     count = 1
     for i in range(1, n):
         prev, curr = cps[i - 1], cps[i]
