@@ -36,6 +36,9 @@ sys.path.insert(0, str(REPO))
 _CHILD = """
 import sys, json, hashlib
 sys.path.insert(0, {repo!r})
+if {cpu}:
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # sitecustomize pins axon
 import numpy as np
 from bench import synth_corpus
 from gpu_bpe_tpu.utils import enable_compile_cache
@@ -71,12 +74,14 @@ print(json.dumps({{
 """
 
 
-def run_child(mb: int, merges: int, permute: bool, force_recount: bool) -> dict:
+def run_child(mb: int, merges: int, permute: bool, force_recount: bool,
+              cpu: bool = False) -> dict:
     env = dict(os.environ)
     env.pop("GPU_BPE_TPU_FORCE_RECOUNT", None)
     if force_recount:
         env["GPU_BPE_TPU_FORCE_RECOUNT"] = "1"
-    code = _CHILD.format(repo=str(REPO), mb=mb, merges=merges, permute=permute)
+    code = _CHILD.format(repo=str(REPO), mb=mb, merges=merges, permute=permute,
+                         cpu=cpu)
     t0 = time.time()
     r = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True,
@@ -95,18 +100,25 @@ def main() -> None:
     ap.add_argument("--mb", type=int, default=64)
     ap.add_argument("--merges", type=int, default=8192)
     ap.add_argument("--out", default="docs/artifacts/certificate_validation.json")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (mid-scale check when the TPU "
+                         "tunnel is down; the 64 MB TPU run remains mandatory "
+                         "for kernel-lowering coverage)")
     args = ap.parse_args()
 
     print(f"[1/3] normal path ({args.mb} MB, {args.merges} merges)", file=sys.stderr)
-    normal = run_child(args.mb, args.merges, permute=False, force_recount=False)
+    normal = run_child(args.mb, args.merges, permute=False, force_recount=False,
+                       cpu=args.cpu)
     print(json.dumps(normal), file=sys.stderr)
 
     print("[2/3] permuted word order", file=sys.stderr)
-    permuted = run_child(args.mb, args.merges, permute=True, force_recount=False)
+    permuted = run_child(args.mb, args.merges, permute=True, force_recount=False,
+                         cpu=args.cpu)
     print(json.dumps(permuted), file=sys.stderr)
 
     print("[3/3] FORCE_RECOUNT ground truth (separate process)", file=sys.stderr)
-    truth = run_child(args.mb, args.merges, permute=False, force_recount=True)
+    truth = run_child(args.mb, args.merges, permute=False, force_recount=True,
+                      cpu=args.cpu)
     print(json.dumps(truth), file=sys.stderr)
 
     ok = (
