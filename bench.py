@@ -187,6 +187,14 @@ def _wait_for_device(attempts: int = 4, delay_s: float = 120.0) -> None:
         print(f"# device probe {i + 1}/{attempts} failed; retrying in "
               f"{delay_s:.0f}s", file=_sys.stderr, flush=True)
         time.sleep(delay_s)
+    # fail FAST and loud rather than hanging on backend init: emit a
+    # machine-readable line so the driver's artifact explains itself
+    print(json.dumps({
+        "metric": "train_merges_per_sec", "value": 0.0,
+        "unit": "merges/s (TPU unavailable: axon tunnel down after retries)",
+        "vs_baseline": 0.0, "error": "device_unavailable",
+    }))
+    _sys.exit(2)
 
 
 def main() -> None:
