@@ -557,3 +557,35 @@ class TestConfusablesWidened:
     ])
     def test_pairs(self, cpp, a, b, want):
         assert cpp.check_confusables_widened(a, b) == want
+
+
+class TestQuickCheckTristate:
+    """Reference tri-state semantics (MAYBE=0 YES=1 NO=2), oracle-pinned
+    in round 2 (docs/artifacts/misc_parity.json: 0/2000 mismatches)."""
+
+    def _qc(self, cpp, cps, form):
+        import ctypes
+
+        arr = (ctypes.c_uint32 * len(cps))(*cps)
+        return cpp._lib.decoder_quick_check(arr, len(cps), form)
+
+    def test_tristate_values(self, cpp):
+        assert self._qc(cpp, [ord("a"), ord("b")], 0) == 1          # YES
+        assert self._qc(cpp, [ord("q"), 0x301], 0) == 0             # MAYBE
+        assert self._qc(cpp, [0xE9], 1) == 2                        # NO (NFD)
+        assert self._qc(cpp, [0x61, 0x301, 0x327], 0) == 2          # ccc violation
+        assert self._qc(cpp, [0x61, 0x327, 0x301], 0) == 0          # ordered -> MAYBE
+        assert self._qc(cpp, [0xFB01], 2) == 2                      # compat NO
+        assert self._qc(cpp, [], 0) == 1
+
+    def test_is_normalized_is_qc_based(self, cpp):
+        # reference parity: MAYBE counts as NOT normalized, even when the
+        # sequence is in fact normalized ("q" + combining acute under NFC)
+        import numpy as np
+
+        cps = np.array([ord("q"), 0x301], dtype=np.uint32)
+        import ctypes
+
+        p = cps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+        assert not cpp._lib.decoder_is_normalized(p, 2, 0)
+        assert cpp._lib.decoder_is_normalized_exact(p, 2, 0)
