@@ -458,6 +458,173 @@ def merge_compact(symbols, weights, n, pair, new_id, interpret=False):
     return sym_out, w_out, n_new
 
 
+def _compact_valid_kernel(
+    val_ref,  # VMEM [ROWS, 128] u32 — 16-bit payloads, _CV_PAD where invalid
+    out_ref,  # ANY [NPAD+TILE] u32 — full output, manual DMA
+    total_ref,  # SMEM [1] i32 — running kept count (final value = total)
+    off_ref,  # SMEM scratch [1] i32 — aligned output offset (TILE multiple)
+    m_ref,  # SMEM scratch [1] i32 — carry length (0..TILE-1)
+    acc_ref,  # SMEM scratch [1] i32 — running kept count
+    stage,  # VMEM scratch [BIG] u32 — DMA staging (flat)
+    carry,  # VMEM scratch [TILE] u32 — partial-tile carry
+    sem,  # DMA semaphore
+    disp_ref,  # VMEM scratch [ROWS, 128] i32 — displacement (valid iff n_rem>0)
+):
+    """Stable stream compaction of 16-bit payloads (see ``compact_valid``).
+
+    The merge kernel's displacement network + aligned-carry DMA, single
+    array: payloads occupy bits 0..15, the leftward displacement rides in
+    bits 16..30 (disp < BLOCK = 2^15 always fits), and a vacated or
+    removed slot zeroes its disp so it never moves again.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        off_ref[0] = 0
+        m_ref[0] = 0
+        acc_ref[0] = 0
+
+    fi = _flat_index()
+    vals = val_ref[:]
+    keep = vals != jnp.uint32(0xFFFFFFFF)
+    rem_i = (~keep).astype(jnp.int32)
+    n_rem = jnp.sum(rem_i)
+
+    # exclusive flat prefix sum of removals = leftward displacement
+    # (identical hierarchical scheme to _merge_compact_kernel; computed
+    # only when something is removed — with n_rem == 0 the shift loop
+    # below runs 0 rounds and stale scratch is never read)
+    @pl.when(n_rem > 0)
+    def _prefix():
+        lane = lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
+        lane_inc = rem_i
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            lane_inc = lane_inc + jnp.where(lane >= s, pltpu.roll(lane_inc, s, axis=1), 0)
+        row_tot = lane_inc[:, _LANES - 1 :]
+        row_iota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
+        row_inc = row_tot
+        s = 1
+        while s < _ROWS:
+            row_inc = row_inc + jnp.where(row_iota >= s, pltpu.roll(row_inc, s, axis=0), 0)
+            s <<= 1
+        disp_ref[:] = lane_inc + (row_inc - row_tot) - rem_i
+
+    disp = disp_ref[:]
+    pay_mask = jnp.uint32(0xFFFF)
+    disp_ok = jnp.where(keep, disp, 0).astype(jnp.uint32)
+    pk = (vals & pay_mask) | (disp_ok << jnp.uint32(16))
+    n_rounds = 32 - lax.clz(n_rem)
+
+    def round_body(bit, pk):
+        s = 1 << bit
+        sbit = jnp.uint32(16) + bit.astype(jnp.uint32)
+        in_range = fi < BLOCK - s
+        src = _fshift(pk, BLOCK - s)
+        src_m = in_range & (((src >> sbit) & 1) == 1)
+        self_m = ((pk >> sbit) & 1) == 1
+        stay = jnp.where(self_m, pk & pay_mask, pk)  # vacated: disp := 0
+        return jnp.where(src_m, src - (jnp.uint32(s) << jnp.uint32(16)), stay)
+
+    pk = lax.fori_loop(0, n_rounds, round_body, pk)
+    vals_c = pk & pay_mask
+
+    # aligned-carry DMA (same scheme as _merge_compact_kernel)
+    cnt = BLOCK - n_rem
+    m = m_ref[0]
+    off = off_ref[0]
+    fib = _flat_index(_BROWS)
+    zpad = jnp.zeros((_TILE // _LANES, _LANES), jnp.uint32)
+    ext = jnp.concatenate([vals_c, zpad], axis=0)
+    shifted = _fshift(ext, m)
+    carry2d = jnp.concatenate(
+        [carry[:].reshape(_TILE // _LANES, _LANES),
+         jnp.zeros((_BROWS - _TILE // _LANES, _LANES), jnp.uint32)],
+        axis=0,
+    )
+    big = jnp.where(fib < m, carry2d, shifted)
+    stage[:] = big.reshape(_BIG)
+
+    total = m + cnt
+    writable = (total // _TILE) * _TILE
+    new_m = total - writable
+
+    off_a = pl.multiple_of(off, _TILE)
+    cp = pltpu.make_async_copy(stage, out_ref.at[pl.ds(off_a, _BIG)], sem)
+    cp.start()
+    cp.wait()
+
+    carry[:] = _fshift(big, _BIG - writable)[: _TILE // _LANES].reshape(_TILE)
+    off_ref[0] = off + writable
+    m_ref[0] = new_m
+    acc_ref[0] = acc_ref[0] + cnt
+    total_ref[0] = acc_ref[0]
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        off2 = pl.multiple_of(off_ref[0], _TILE)
+        cp2 = pltpu.make_async_copy(carry, out_ref.at[pl.ds(off2, _TILE)], sem)
+        cp2.start()
+        cp2.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _compact_valid_call(vals_padded, interpret=False):
+    npad = vals_padded.shape[0]
+    grid = npad // BLOCK
+    v2 = vals_padded.reshape(grid * _ROWS, _LANES)
+    out, total = pl.pallas_call(
+        _compact_valid_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0))],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.VMEM((_BIG,), jnp.uint32),
+                pltpu.VMEM((_TILE,), jnp.uint32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((_ROWS, _LANES), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((npad + _TILE,), jnp.uint32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(v2)
+    return out, total
+
+
+def compact_valid(vals, interpret=False):
+    """Stable compaction of a u32 stream of 16-bit payloads: entries equal
+    to 0xFFFFFFFF (INVALID_TOKEN / PAD) are dropped, survivors keep their
+    order. Returns ``(compacted, total)`` where ``compacted`` has the input
+    length (entries past ``total`` are unspecified garbage — callers slice).
+
+    Replaces the XLA sort-based PAD strip in the tokenizer's encode pass
+    (one O(N log^2 N) sort -> one streaming O(N) pass); the displacement
+    network is the proven one from ``merge_compact`` (train.wgsl:664-731's
+    role). Payloads MUST fit 16 bits (token ids are 16-bit by design,
+    train.wgsl:37) — bits 16..30 carry the in-flight displacement.
+    """
+    n = vals.shape[0]
+    npad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    if npad != n:
+        vals = jnp.concatenate(
+            [vals, jnp.full((npad - n,), jnp.uint32(0xFFFFFFFF), _U32)]
+        )
+    out, total = _compact_valid_call(vals.astype(_U32), interpret=interpret)
+    return out[:n], total[0]
+
+
 def merge_compact_tracked(symbols, weights, n, pair, new_id, interpret=False):
     """``merge_compact`` plus fused created-pair tracking: also returns
     (bins_l, bins_r) — UNexcluded [TRACK_SIDE, TRACK_SIDE] f32 hashed

@@ -131,4 +131,18 @@ def run_kernel_selftest(interpret: bool = False) -> dict[str, bool]:
     ok &= samp[0] == int(jnp.max(wl)) and samp[2] == int(jnp.max(wr))
     results["tracked_hist_multiblock"] = bool(ok)
 
+    # 6. compact_valid (tokenizer PAD strip): tokenizer-like sparsity with
+    #    invalid runs straddling block boundaries, plus unaligned length
+    from .pallas_kernels import compact_valid
+
+    n = 3 * BLOCK + 500
+    vals = rng.integers(0, 0xFFFF, size=n, dtype=np.uint32).astype(np.uint32)
+    vals[rng.random(n) < 0.7] = 0xFFFFFFFF
+    vals[BLOCK - 64 : BLOCK + 64] = 0xFFFFFFFF
+    out, total = compact_valid(jnp.asarray(vals), interpret=interpret)
+    ref_c = vals[vals != 0xFFFFFFFF]
+    results["compact_valid"] = int(total) == len(ref_c) and np.array_equal(
+        np.asarray(out)[: len(ref_c)], ref_c
+    )
+
     return results

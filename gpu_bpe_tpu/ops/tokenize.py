@@ -747,15 +747,25 @@ class TPUTokenizer:
         tokens, _counts = walk(mid, mlen, data_padded, input_len, self.chunk_size)
         # Device-side compaction (the reference's trie_prefix_sum +
         # trie_tokenizer_compact, tokenize.wgsl:177-243): strip PAD holes
-        # with one stable sort so the host reads back only real tokens —
-        # as u16 (ids are 16-bit by design), halving the transfer.
+        # so the host reads back only real tokens — as u16 (ids are
+        # 16-bit by design), halving the transfer. On TPU the strip is the
+        # streaming Pallas displacement network (one O(N) pass); the XLA
+        # stable sort remains as the CPU / escape-hatch path.
         flat = tokens.reshape(-1)
         valid = flat != _PAD_TOKEN
         total = jnp.sum(valid, dtype=jnp.int32)
         n = flat.shape[0]
-        iot = lax.broadcasted_iota(jnp.uint32, (n,), 0)
-        key = jnp.where(valid, iot, jnp.uint32(0xFFFFFFFF))
-        _, compact = lax.sort((key, flat.astype(jnp.uint16)), num_keys=1)
+        from .train_step import _use_pallas
+
+        if _use_pallas():
+            from .pallas_kernels import compact_valid
+
+            compacted, _ = compact_valid(flat)
+            compact = compacted.astype(jnp.uint16)
+        else:
+            iot = lax.broadcasted_iota(jnp.uint32, (n,), 0)
+            key = jnp.where(valid, iot, jnp.uint32(0xFFFFFFFF))
+            _, compact = lax.sort((key, flat.astype(jnp.uint16)), num_keys=1)
         pad = (-n) % _PAGE_TOKENS
         if pad:
             compact = jnp.concatenate([compact, jnp.zeros((pad,), jnp.uint16)])

@@ -219,3 +219,50 @@ class TestTrackingKernels:
         assert np.allclose(bl, self._ref_hist(prev2, wl))
         assert np.allclose(br, self._ref_hist(next2, wr))
         assert samp[0] == int(jnp.max(wl))
+
+
+class TestCompactValid:
+    """compact_valid (tokenizer PAD strip) vs numpy boolean compaction."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(7)
+
+    def _check(self, vals):
+        from gpu_bpe_tpu.ops.pallas_kernels import compact_valid
+
+        out, total = compact_valid(jnp.asarray(vals), interpret=True)
+        ref = vals[vals != 0xFFFFFFFF]
+        assert int(total) == len(ref)
+        np.testing.assert_array_equal(np.asarray(out)[: len(ref)], ref)
+
+    def test_random_mask(self, rng):
+        n = BLOCK + 4096
+        vals = rng.integers(0, 0xFFFF, size=n, dtype=np.uint32)
+        vals[rng.random(n) < 0.7] = 0xFFFFFFFF  # tokenizer-like: most are PAD
+        self._check(vals)
+
+    def test_all_valid(self, rng):
+        self._check(rng.integers(0, 0xFFFF, size=2 * BLOCK, dtype=np.uint32))
+
+    def test_all_invalid(self):
+        self._check(np.full(BLOCK, 0xFFFFFFFF, dtype=np.uint32))
+
+    def test_unaligned_length(self, rng):
+        # wrapper pads to BLOCK with PAD entries
+        vals = rng.integers(0, 0xFFFF, size=3 * BLOCK // 2 + 321, dtype=np.uint32)
+        vals[rng.random(len(vals)) < 0.5] = 0xFFFFFFFF
+        self._check(vals)
+
+    def test_block_boundary_runs(self, rng):
+        # long invalid runs straddling block boundaries (max displacement)
+        n = 3 * BLOCK
+        vals = rng.integers(0, 0xFFFF, size=n, dtype=np.uint32)
+        vals[BLOCK - 100 : 2 * BLOCK + 100] = 0xFFFFFFFF
+        vals[: BLOCK // 2] = 0xFFFFFFFF  # first half of block 0 removed
+        self._check(vals)
+
+    def test_values_use_full_16_bits(self, rng):
+        vals = np.array([0xFFFF, 0xFFFFFFFF, 0x0000, 0xFFFE, 0xFFFFFFFF, 1], np.uint32)
+        vals = np.concatenate([vals, np.full(BLOCK - 6, 0xFFFFFFFF, np.uint32)])
+        self._check(vals)
