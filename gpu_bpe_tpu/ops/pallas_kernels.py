@@ -458,149 +458,196 @@ def merge_compact(symbols, weights, n, pair, new_id, interpret=False):
     return sym_out, w_out, n_new
 
 
-def _compact_valid_kernel(
-    val_ref,  # VMEM [ROWS, 128] u32 — 16-bit payloads, _CV_PAD where invalid
-    out_ref,  # ANY [NPAD+TILE] u32 — full output, manual DMA
-    total_ref,  # SMEM [1] i32 — running kept count (final value = total)
-    off_ref,  # SMEM scratch [1] i32 — aligned output offset (TILE multiple)
-    m_ref,  # SMEM scratch [1] i32 — carry length (0..TILE-1)
-    acc_ref,  # SMEM scratch [1] i32 — running kept count
-    stage,  # VMEM scratch [BIG] u32 — DMA staging (flat)
-    carry,  # VMEM scratch [TILE] u32 — partial-tile carry
-    sem,  # DMA semaphore
-    disp_ref,  # VMEM scratch [ROWS, 128] i32 — displacement (valid iff n_rem>0)
-):
-    """Stable stream compaction of 16-bit payloads (see ``compact_valid``).
+def _make_compact_kernel(n_extra: int):
+    """Kernel factory: stable stream compaction of a primary u32 array
+    (16-bit payload; sentinel 0xFFFFFFFF = dropped) plus ``n_extra`` full
+    u32 payload arrays that ride along.
 
-    The merge kernel's displacement network + aligned-carry DMA, single
-    array: payloads occupy bits 0..15, the leftward displacement rides in
-    bits 16..30 (disp < BLOCK = 2^15 always fits), and a vacated or
-    removed slot zeroes its disp so it never moves again.
+    The merge kernel's displacement network + aligned-carry DMA: primary
+    payloads occupy bits 0..15, the leftward displacement rides in bits
+    16..30 (disp < BLOCK = 2^15 always fits), and a vacated or removed
+    slot zeroes its disp so it never moves again. Extra arrays shift in
+    lockstep with the primary (the merge kernel moves weights the same
+    way).
     """
-    i = pl.program_id(0)
 
-    @pl.when(i == 0)
-    def _():
-        off_ref[0] = 0
-        m_ref[0] = 0
-        acc_ref[0] = 0
+    def kernel(*refs):
+        (val_ref, *rest) = refs
+        extra_refs = rest[:n_extra]
+        out_refs = rest[n_extra : 2 * n_extra + 1]
+        total_ref = rest[2 * n_extra + 1]
+        (off_ref, m_ref, acc_ref) = rest[2 * n_extra + 2 : 2 * n_extra + 5]
+        stages = rest[2 * n_extra + 5 : 3 * n_extra + 6]
+        carries = rest[3 * n_extra + 6 : 4 * n_extra + 7]
+        sem = rest[4 * n_extra + 7]
+        disp_ref = rest[4 * n_extra + 8]
 
-    fi = _flat_index()
-    vals = val_ref[:]
-    keep = vals != jnp.uint32(0xFFFFFFFF)
-    rem_i = (~keep).astype(jnp.int32)
-    n_rem = jnp.sum(rem_i)
+        i = pl.program_id(0)
 
-    # exclusive flat prefix sum of removals = leftward displacement
-    # (identical hierarchical scheme to _merge_compact_kernel; computed
-    # only when something is removed — with n_rem == 0 the shift loop
-    # below runs 0 rounds and stale scratch is never read)
-    @pl.when(n_rem > 0)
-    def _prefix():
-        lane = lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
-        lane_inc = rem_i
-        for s in (1, 2, 4, 8, 16, 32, 64):
-            lane_inc = lane_inc + jnp.where(lane >= s, pltpu.roll(lane_inc, s, axis=1), 0)
-        row_tot = lane_inc[:, _LANES - 1 :]
-        row_iota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
-        row_inc = row_tot
-        s = 1
-        while s < _ROWS:
-            row_inc = row_inc + jnp.where(row_iota >= s, pltpu.roll(row_inc, s, axis=0), 0)
-            s <<= 1
-        disp_ref[:] = lane_inc + (row_inc - row_tot) - rem_i
+        @pl.when(i == 0)
+        def _():
+            off_ref[0] = 0
+            m_ref[0] = 0
+            acc_ref[0] = 0
 
-    disp = disp_ref[:]
-    pay_mask = jnp.uint32(0xFFFF)
-    disp_ok = jnp.where(keep, disp, 0).astype(jnp.uint32)
-    pk = (vals & pay_mask) | (disp_ok << jnp.uint32(16))
-    n_rounds = 32 - lax.clz(n_rem)
+        fi = _flat_index()
+        vals = val_ref[:]
+        extras = [r[:] for r in extra_refs]
+        keep = vals != jnp.uint32(0xFFFFFFFF)
+        rem_i = (~keep).astype(jnp.int32)
+        n_rem = jnp.sum(rem_i)
 
-    def round_body(bit, pk):
-        s = 1 << bit
-        sbit = jnp.uint32(16) + bit.astype(jnp.uint32)
-        in_range = fi < BLOCK - s
-        src = _fshift(pk, BLOCK - s)
-        src_m = in_range & (((src >> sbit) & 1) == 1)
-        self_m = ((pk >> sbit) & 1) == 1
-        stay = jnp.where(self_m, pk & pay_mask, pk)  # vacated: disp := 0
-        return jnp.where(src_m, src - (jnp.uint32(s) << jnp.uint32(16)), stay)
+        # exclusive flat prefix sum of removals = leftward displacement
+        # (identical hierarchical scheme to _merge_compact_kernel; with
+        # n_rem == 0 the shift loop runs 0 rounds, stale scratch unread)
+        @pl.when(n_rem > 0)
+        def _prefix():
+            lane = lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
+            lane_inc = rem_i
+            for s in (1, 2, 4, 8, 16, 32, 64):
+                lane_inc = lane_inc + jnp.where(lane >= s, pltpu.roll(lane_inc, s, axis=1), 0)
+            row_tot = lane_inc[:, _LANES - 1 :]
+            row_iota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
+            row_inc = row_tot
+            s = 1
+            while s < _ROWS:
+                row_inc = row_inc + jnp.where(row_iota >= s, pltpu.roll(row_inc, s, axis=0), 0)
+                s <<= 1
+            disp_ref[:] = lane_inc + (row_inc - row_tot) - rem_i
 
-    pk = lax.fori_loop(0, n_rounds, round_body, pk)
-    vals_c = pk & pay_mask
+        disp = disp_ref[:]
+        pay_mask = jnp.uint32(0xFFFF)
+        disp_ok = jnp.where(keep, disp, 0).astype(jnp.uint32)
+        pk = (vals & pay_mask) | (disp_ok << jnp.uint32(16))
+        n_rounds = 32 - lax.clz(n_rem)
 
-    # aligned-carry DMA (same scheme as _merge_compact_kernel)
-    cnt = BLOCK - n_rem
-    m = m_ref[0]
-    off = off_ref[0]
-    fib = _flat_index(_BROWS)
-    zpad = jnp.zeros((_TILE // _LANES, _LANES), jnp.uint32)
-    ext = jnp.concatenate([vals_c, zpad], axis=0)
-    shifted = _fshift(ext, m)
-    carry2d = jnp.concatenate(
-        [carry[:].reshape(_TILE // _LANES, _LANES),
-         jnp.zeros((_BROWS - _TILE // _LANES, _LANES), jnp.uint32)],
-        axis=0,
-    )
-    big = jnp.where(fib < m, carry2d, shifted)
-    stage[:] = big.reshape(_BIG)
+        def round_body(bit, carry_t):
+            pk = carry_t[0]
+            exs = carry_t[1:]
+            s = 1 << bit
+            sbit = jnp.uint32(16) + bit.astype(jnp.uint32)
+            in_range = fi < BLOCK - s
+            src = _fshift(pk, BLOCK - s)
+            src_m = in_range & (((src >> sbit) & 1) == 1)
+            self_m = ((pk >> sbit) & 1) == 1
+            stay = jnp.where(self_m, pk & pay_mask, pk)  # vacated: disp := 0
+            pk2 = jnp.where(src_m, src - (jnp.uint32(s) << jnp.uint32(16)), stay)
+            exs2 = tuple(jnp.where(src_m, _fshift(e, BLOCK - s), e) for e in exs)
+            return (pk2,) + exs2
 
-    total = m + cnt
-    writable = (total // _TILE) * _TILE
-    new_m = total - writable
+        moved = lax.fori_loop(0, n_rounds, round_body, (pk,) + tuple(extras))
+        streams = [moved[0] & pay_mask, *moved[1:]]
 
-    off_a = pl.multiple_of(off, _TILE)
-    cp = pltpu.make_async_copy(stage, out_ref.at[pl.ds(off_a, _BIG)], sem)
-    cp.start()
-    cp.wait()
+        # aligned-carry DMA (same scheme as _merge_compact_kernel)
+        cnt = BLOCK - n_rem
+        m = m_ref[0]
+        off = off_ref[0]
+        fib = _flat_index(_BROWS)
+        zpad = jnp.zeros((_TILE // _LANES, _LANES), jnp.uint32)
 
-    carry[:] = _fshift(big, _BIG - writable)[: _TILE // _LANES].reshape(_TILE)
-    off_ref[0] = off + writable
-    m_ref[0] = new_m
-    acc_ref[0] = acc_ref[0] + cnt
-    total_ref[0] = acc_ref[0]
+        total = m + cnt
+        writable = (total // _TILE) * _TILE
+        new_m = total - writable
+        off_a = pl.multiple_of(off, _TILE)
 
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        off2 = pl.multiple_of(off_ref[0], _TILE)
-        cp2 = pltpu.make_async_copy(carry, out_ref.at[pl.ds(off2, _TILE)], sem)
-        cp2.start()
-        cp2.wait()
+        bigs = []
+        for k, vstream in enumerate(streams):
+            ext = jnp.concatenate([vstream, zpad], axis=0)
+            shifted = _fshift(ext, m)
+            carry2d = jnp.concatenate(
+                [carries[k][:].reshape(_TILE // _LANES, _LANES),
+                 jnp.zeros((_BROWS - _TILE // _LANES, _LANES), jnp.uint32)],
+                axis=0,
+            )
+            big = jnp.where(fib < m, carry2d, shifted)
+            bigs.append(big)
+            stages[k][:] = big.reshape(_BIG)
+
+        cps = [
+            pltpu.make_async_copy(stages[k], out_refs[k].at[pl.ds(off_a, _BIG)], sem.at[k])
+            for k in range(len(streams))
+        ]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+        for k, big in enumerate(bigs):
+            carries[k][:] = _fshift(big, _BIG - writable)[: _TILE // _LANES].reshape(_TILE)
+        off_ref[0] = off + writable
+        m_ref[0] = new_m
+        acc_ref[0] = acc_ref[0] + cnt
+        total_ref[0] = acc_ref[0]
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            off2 = pl.multiple_of(off_ref[0], _TILE)
+            cps2 = [
+                pltpu.make_async_copy(carries[k], out_refs[k].at[pl.ds(off2, _TILE)], sem.at[k])
+                for k in range(len(streams))
+            ]
+            for cp in cps2:
+                cp.start()
+            for cp in cps2:
+                cp.wait()
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _compact_valid_call(vals_padded, interpret=False):
+@functools.partial(jax.jit, static_argnames=("n_extra", "interpret"))
+def _compact_mask_call(vals_padded, extras_padded, n_extra, interpret=False):
     npad = vals_padded.shape[0]
     grid = npad // BLOCK
     v2 = vals_padded.reshape(grid * _ROWS, _LANES)
-    out, total = pl.pallas_call(
-        _compact_valid_kernel,
+    e2 = [e.reshape(grid * _ROWS, _LANES) for e in extras_padded]
+    n_arr = 1 + n_extra
+    outs = pl.pallas_call(
+        _make_compact_kernel(n_extra),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(grid,),
-            in_specs=[pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0))],
-            out_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
+            in_specs=[pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0))] * n_arr,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_arr
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
             scratch_shapes=[
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.SMEM((1,), jnp.int32),
-                pltpu.VMEM((_BIG,), jnp.uint32),
-                pltpu.VMEM((_TILE,), jnp.uint32),
-                pltpu.SemaphoreType.DMA,
+            ]
+            + [pltpu.VMEM((_BIG,), jnp.uint32)] * n_arr
+            + [pltpu.VMEM((_TILE,), jnp.uint32)] * n_arr
+            + [
+                pltpu.SemaphoreType.DMA((n_arr,)),
                 pltpu.VMEM((_ROWS, _LANES), jnp.int32),
             ],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((npad + _TILE,), jnp.uint32),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((npad + _TILE,), jnp.uint32)] * n_arr
+        + [jax.ShapeDtypeStruct((1,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(v2)
-    return out, total
+    )(v2, *e2)
+    return outs[:n_arr], outs[n_arr]
+
+
+def compact_mask(vals, extras=(), interpret=False):
+    """Stable compaction of a u32 stream: entries whose PRIMARY word is
+    0xFFFFFFFF are dropped, survivors keep their order. The primary word's
+    low 16 bits are the payload (bits 16..30 carry in-flight displacement);
+    each array in ``extras`` is a full-width u32 payload compacted by the
+    same mask. Returns ``([primary_c, *extras_c], total)`` — outputs have
+    the input length, entries past ``total`` are unspecified garbage.
+    """
+    n = vals.shape[0]
+    npad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    if npad != n:
+        sent = jnp.full((npad - n,), jnp.uint32(0xFFFFFFFF), _U32)
+        vals = jnp.concatenate([vals, sent])
+        extras = [jnp.concatenate([e.astype(_U32), jnp.zeros((npad - n,), _U32)]) for e in extras]
+    outs, total = _compact_mask_call(
+        vals.astype(_U32), tuple(e.astype(_U32) for e in extras), len(extras),
+        interpret=interpret,
+    )
+    return [o[:n] for o in outs], total[0]
 
 
 def compact_valid(vals, interpret=False):
@@ -615,14 +662,167 @@ def compact_valid(vals, interpret=False):
     role). Payloads MUST fit 16 bits (token ids are 16-bit by design,
     train.wgsl:37) — bits 16..30 carry the in-flight displacement.
     """
-    n = vals.shape[0]
+    outs, total = compact_mask(vals, (), interpret=interpret)
+    return outs[0], total
+
+
+def _expand_mask_kernel(
+    mask_ref,  # VMEM [ROWS, 128] u32 — 1 where a value lands, 0 elsewhere
+    vals_ref,  # ANY [MPAD] u32 — full compacted value stream, windowed DMA
+    out_ref,  # VMEM [ROWS, 128] u32 — standard blocked output
+    acc_ref,  # SMEM scratch [1] i32 — set-mask count before this block
+    win_ref,  # VMEM scratch [BIG] u32 — value window staging
+    sem,  # DMA semaphore
+):
+    """Inverse of ``compact_mask``: out[p] = vals[rank(p)] at set positions.
+
+    Per block: (1) DMA the value window vals[align(c0) : +BIG] into VMEM
+    (c0 = set count before the block; offsets TILE-aligned), (2) an
+    intra-block LEFT compaction moves each set position's target
+    displacement d(p) = p_local - rank_local(p) down to its value's slot,
+    (3) a mirrored RIGHT displacement network carries (value, d) pairs up
+    to their target positions. Both networks are the log-shift scheme;
+    movers never collide because d is nondecreasing along the stream and
+    targets are strictly increasing — but the right network must consume
+    bits MSB-first (see the stage-2 comment) where the left ones go
+    LSB-first.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[0] = 0
+
+    fi = _flat_index()
+    mask = mask_ref[:] != 0
+    mask_i = mask.astype(jnp.int32)
+    cnt = jnp.sum(mask_i)
+    c0 = acc_ref[0]
+
+    # value window: vals[c0 .. c0 + cnt) lives inside [off_al, off_al + BIG)
+    off_al = (c0 // _TILE) * _TILE
+    start = c0 - off_al
+    cp = pltpu.make_async_copy(vals_ref.at[pl.ds(pl.multiple_of(off_al, _TILE), _BIG)], win_ref, sem)
+    cp.start()
+
+    # rank = exclusive prefix sum of mask (hierarchical, as the compaction)
+    lane = lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
+    lane_inc = mask_i
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        lane_inc = lane_inc + jnp.where(lane >= s, pltpu.roll(lane_inc, s, axis=1), 0)
+    row_tot = lane_inc[:, _LANES - 1 :]
+    row_iota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
+    row_inc = row_tot
+    s = 1
+    while s < _ROWS:
+        row_inc = row_inc + jnp.where(row_iota >= s, pltpu.roll(row_inc, s, axis=0), 0)
+        s <<= 1
+    rank = lane_inc + (row_inc - row_tot) - mask_i
+
+    # ── stage 1: left-compact each set position's displacement d = p - rank
+    # down to slot ``rank``; d < BLOCK fits the 16-bit payload field, and
+    # the compaction displacement IS d itself ──
+    d_tgt = fi - rank
+    pay_mask = jnp.uint32(0xFFFF)
+    du = d_tgt.astype(jnp.uint32)
+    pk = jnp.where(mask, du | (du << jnp.uint32(16)), jnp.uint32(0))
+    n_rounds = 32 - lax.clz(jnp.max(jnp.where(mask, d_tgt, 0)))
+
+    def left_round(bit, pk):
+        s = 1 << bit
+        sbit = jnp.uint32(16) + bit.astype(jnp.uint32)
+        in_range = fi < BLOCK - s
+        src = _fshift(pk, BLOCK - s)
+        src_m = in_range & (((src >> sbit) & 1) == 1)
+        self_m = ((pk >> sbit) & 1) == 1
+        stay = jnp.where(self_m, pk & pay_mask, pk)
+        return jnp.where(src_m, src - (jnp.uint32(s) << jnp.uint32(16)), stay)
+
+    pk = lax.fori_loop(0, n_rounds, left_round, pk)
+    # slot r < cnt now holds d of the r-th set position
+    d_src = (pk & pay_mask).astype(jnp.int32)
+    fj = fi
+    d_src = jnp.where(fj < cnt, d_src, 0)
+
+    # local values: v[j] = vals[c0 + j] (shift the DMA window down by start)
+    cp.wait()
+    win2d = win_ref[:].reshape(_BROWS, _LANES)
+    v_local = _fshift(win2d, _BIG - start)[:_ROWS]
+    v = jnp.where(fj < cnt, v_local, jnp.uint32(0))
+
+    # ── stage 2: mirrored RIGHT shifts carry (value, d) to target slots.
+    # MSB-first is load-bearing: with d non-decreasing and targets strictly
+    # increasing, intermediate positions t - (d mod 2^b) stay distinct only
+    # when high bits are consumed first (LSB-first collides, e.g. d=[1,2]
+    # at slots 0,1: the s=1 round lands element 0 on still-waiting element
+    # 1). The left networks are the opposite: t + high-bits(d) needs
+    # LSB-first. ──
+    n_rounds2 = 32 - lax.clz(jnp.max(d_src))
+
+    def right_round(k, carry):
+        v, d = carry
+        bit = n_rounds2 - 1 - k
+        s = 1 << bit
+        in_range = fi >= s
+        src_v = _fshift(v, s)
+        src_d = _fshift(d, s)
+        src_m = in_range & (((src_d >> bit) & 1) == 1)
+        self_m = ((d >> bit) & 1) == 1
+        d_stay = jnp.where(self_m, 0, d)  # vacated slot never moves again
+        d2 = jnp.where(src_m, src_d - s, d_stay)
+        v2 = jnp.where(src_m, src_v, v)
+        return v2, d2
+
+    v, _d = lax.fori_loop(0, n_rounds2, right_round, (v, d_src))
+    out_ref[:] = jnp.where(mask, v, jnp.uint32(0))
+    acc_ref[0] = c0 + cnt
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _expand_mask_call(mask_padded, vals_padded, interpret=False):
+    npad = mask_padded.shape[0]
+    grid = npad // BLOCK
+    m2 = mask_padded.reshape(grid * _ROWS, _LANES)
+    out = pl.pallas_call(
+        _expand_mask_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0)),
+            scratch_shapes=[
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.VMEM((_BIG,), jnp.uint32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid * _ROWS, _LANES), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(m2, vals_padded)
+    return out.reshape(npad)
+
+
+def expand_to_mask(mask, vals, interpret=False):
+    """Place ``vals[r]`` at the r-th set position of ``mask`` (u32 zeros
+    elsewhere) — the inverse of ``compact_mask``. ``mask`` is a boolean (or
+    0/1) array of length n; ``vals`` must hold at least ``sum(mask)``
+    leading valid entries. Returns a u32 array of length n.
+    """
+    n = mask.shape[0]
     npad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    mask_u = mask.astype(_U32)
     if npad != n:
-        vals = jnp.concatenate(
-            [vals, jnp.full((npad - n,), jnp.uint32(0xFFFFFFFF), _U32)]
-        )
-    out, total = _compact_valid_call(vals.astype(_U32), interpret=interpret)
-    return out[:n], total[0]
+        mask_u = jnp.concatenate([mask_u, jnp.zeros((npad - n,), _U32)])
+    # window reads reach [align(c0), +BIG); c0 <= m, so pad by BIG
+    vals_u = jnp.concatenate(
+        [vals.astype(_U32), jnp.zeros((_BIG + (-vals.shape[0]) % _TILE,), _U32)]
+    )
+    out = _expand_mask_call(mask_u, vals_u, interpret=interpret)
+    return out[:n]
 
 
 def merge_compact_tracked(symbols, weights, n, pair, new_id, interpret=False):

@@ -145,4 +145,24 @@ def run_kernel_selftest(interpret: bool = False) -> dict[str, bool]:
         np.asarray(out)[: len(ref_c)], ref_c
     )
 
+    # 7. compact_mask extras + expand_to_mask roundtrip (rank-space join
+    #    machinery): full-width payloads ride the compaction, then the
+    #    inverse network scatters them back to the original set positions
+    from .pallas_kernels import compact_mask, expand_to_mask
+
+    n = 2 * BLOCK + 300
+    prim = rng.integers(0, 0xFFFF, size=n, dtype=np.uint32)
+    drop = rng.random(n) < 0.8
+    prim[drop] = 0xFFFFFFFF
+    ex = rng.integers(0, 2**32 - 1, size=n, dtype=np.uint32)
+    outs, tot = compact_mask(jnp.asarray(prim), [jnp.asarray(ex)], interpret=interpret)
+    keep = ~drop
+    g = int(np.sum(keep))
+    ok = int(tot) == g
+    ok &= np.array_equal(np.asarray(outs[0])[:g], prim[keep])
+    ok &= np.array_equal(np.asarray(outs[1])[:g], ex[keep])
+    back = expand_to_mask(jnp.asarray(keep), outs[1], interpret=interpret)
+    ok &= np.array_equal(np.asarray(back), np.where(keep, ex, 0).astype(np.uint32))
+    results["compact_expand_roundtrip"] = bool(ok)
+
     return results

@@ -61,6 +61,20 @@ _STAB_MAX_LEVELS = 5  # coverage cap: 8 + 6*4 = 32 bytes
 # real 8K vocab has ~10 tokens past 14 bytes — not worth a level).
 _LEVEL_MIN_TOKENS = 512
 _NO_GROUP = jnp.uint32(0xFFFF)  # group ids are 16-bit (asserted)
+_RANK_MIN_N = 1 << 20  # rank-space level chain only pays off on big passes
+
+
+def _rank_use_pallas() -> bool:
+    """Rank-space level chain gate (trace-time): the Pallas compaction /
+    expansion kernels require a TPU backend; GPU_BPE_TPU_STAB_RANK=0 is
+    the escape hatch back to the full-width chain."""
+    import os
+
+    if os.environ.get("GPU_BPE_TPU_STAB_RANK") == "0":
+        return False
+    from .train_step import _use_pallas
+
+    return _use_pallas()
 
 
 def _stab_coverage(n_levels: int) -> int:
@@ -353,7 +367,13 @@ def _deepest_fit(vals, openb, spay, sflag, input_len, chunk_size: int,
     )
 
 
-def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_size: int):
+def _stab_match(
+    data_u32: jax.Array,
+    stab: dict,
+    input_len: jax.Array,
+    chunk_size: int,
+    rank_mode: str | None = None,
+):
     """Longest in-chunk match per position for token lengths 2..32 via the
     chained sorted interval-stabbing join — O(L*(N+V) log(N+V)) independent
     of vocab size (the dense join is O(N*V) and serves only longer tokens).
@@ -370,6 +390,11 @@ def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_siz
     depth 7) yields the NEXT level's group id — every sort stays 3-operand
     (a 4th operand multiplies TPU sort compile time ~20x). A 1-key sort
     per level restores position order. No gathers anywhere.
+
+    ``rank_mode`` picks the levels>=2 execution space: None = auto (rank
+    space on TPU for large passes, full-width otherwise), "off" = force
+    full-width, "on"/"interpret" = force rank space (compiled/interpreted
+    Pallas) — the test hook for exercising the rank path off-TPU.
     """
     n = data_u32.shape[0]
     assert n < (1 << 25), "single pass capped at 2^25 positions (payload packing)"
@@ -426,30 +451,36 @@ def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_siz
 
     # ── levels k >= 2: (gid, 6-byte window at pos+base) vs that level's
     # suffix-interval rows, packed into TWO key words (gid<<16 | b0<<8 |
-    # b1, b2..b5) so every sort stays 3-operand like level 1 ──
-    for li, lvl in enumerate(levels):
-        base = _stab_coverage(li + 1)
-        last = li == len(levels) - 1
+    # b1, b2..b5) so every sort stays 3-operand like level 1. On TPU the
+    # level chain runs in RANK SPACE: only positions holding a group id
+    # participate, so they're stream-compacted to a C = n/8 row space
+    # (with window bytes riding as payloads), the per-level sorts run at
+    # C instead of n, and one expansion scatters the results back —
+    # O(L*(C log C + n)) instead of O(L * n log n). A lax.cond falls back
+    # to the full-width chain on the (pathological) corpora where more
+    # than n/8 positions carry a group id, so results are always exact. ──
+    def _lvl_join(sw0, sw1, pos_pay, lvl, base: int, last: bool):
+        """One chained-level join over an arbitrary row stream (position
+        space or rank space). ``pos_pay`` is each row's true position (the
+        chunk-fit test and the restore sort ride it). Returns
+        (packed, gid_next) in row order; gid_next is None for the last
+        level."""
+        rows = sw0.shape[0]
         lv = lvl["count"]
         low = jnp.asarray(lvl["open"])
         lcw = jnp.asarray(lvl["close"])
         lln = jnp.asarray(lvl["ln"])
         lid = jnp.asarray(lvl["id"])
-        sw0 = ((gid_pos << jnp.uint32(16)) | (shifted[base] << jnp.uint32(8))
-               | shifted[base + 1])
-        sw1 = ((shifted[base + 2] << jnp.uint32(24)) | (shifted[base + 3] << jnp.uint32(16))
-               | (shifted[base + 4] << jnp.uint32(8)) | shifted[base + 5])
-
         g0 = jnp.concatenate([sw0, low[:, 0], lcw[:, 0]])
         g1 = jnp.concatenate([sw1, low[:, 1], lcw[:, 1]])
         gp = jnp.concatenate([
-            _k3(jnp.uint32(1), jnp.uint32(0), iota),
+            _k3(jnp.uint32(1), jnp.uint32(0), pos_pay),
             _k3(jnp.uint32(0), lln, lid),
             _k3(jnp.uint32(2), lln, lid),
         ])
         _, _, skp2 = lax.sort((g0, g1, gp), num_keys=3)
         sflag2 = skp2 >> jnp.uint32(30)
-        m2 = n + 2 * lv
+        m2 = rows + 2 * lv
         depths2 = _LVL_GROUP_DEPTH + 1 if not last else _STAB_MAX_SUFFIX + 1
         vals2, openb2, spay2 = _paren_overlay(sflag2, skp2, m2, depths2)
         packed2 = _deepest_fit(
@@ -458,18 +489,86 @@ def _stab_match(data_u32: jax.Array, stab: dict, input_len: jax.Array, chunk_siz
         key2b = jnp.where(sflag2 == 1, spay2, jnp.uint32(0xFFFFFFFF))
         if last:
             _, packed2_sorted = lax.sort((key2b, packed2), num_keys=1)
-        else:
-            in_group2 = ((openb2 >> jnp.uint32(_LVL_GROUP_DEPTH)) & 1) == 1
-            gid2 = jnp.where(
-                in_group2 & (sflag2 == 1),
-                vals2[_LVL_GROUP_DEPTH].astype(jnp.uint32),
-                _NO_GROUP,
+            return packed2_sorted[:rows], None
+        in_group2 = ((openb2 >> jnp.uint32(_LVL_GROUP_DEPTH)) & 1) == 1
+        gid2 = jnp.where(
+            in_group2 & (sflag2 == 1),
+            vals2[_LVL_GROUP_DEPTH].astype(jnp.uint32),
+            _NO_GROUP,
+        )
+        _, packed2_sorted, gid2_sorted = lax.sort((key2b, packed2, gid2), num_keys=1)
+        return packed2_sorted[:rows], gid2_sorted[:rows]
+
+    def _levels_chain(gid0, sw_bytes, pos_pay):
+        """All levels >= 2 over one row stream: max packed contribution.
+        ``sw_bytes[li] = (b0b1, sw1)`` are each level's window bytes."""
+        rows = gid0.shape[0]
+        contrib = jnp.zeros(rows, jnp.uint32)
+        gid_cur = gid0
+        for li, lvl in enumerate(levels):
+            b0b1, sw1 = sw_bytes[li]
+            sw0 = (gid_cur << jnp.uint32(16)) | b0b1
+            packed2, gid_nxt = _lvl_join(
+                sw0, sw1, pos_pay, lvl, _stab_coverage(li + 1),
+                li == len(levels) - 1,
             )
-            _, packed2_sorted, gid2_sorted = lax.sort((key2b, packed2, gid2), num_keys=1)
-            gid_pos = gid2_sorted[:n]
-        # a level-k match is strictly longer than any earlier level's
-        result = jnp.maximum(result, packed2_sorted[:n])
-    return result
+            # a level-k match is strictly longer than any earlier level's
+            contrib = jnp.maximum(contrib, packed2)
+            gid_cur = gid_nxt
+        return contrib
+
+    # per-level window bytes in position space (shift-packed, no gathers)
+    sw_bytes_pos = []
+    for li in range(len(levels)):
+        base = _stab_coverage(li + 1)
+        sw_bytes_pos.append((
+            (shifted[base] << jnp.uint32(8)) | shifted[base + 1],
+            (shifted[base + 2] << jnp.uint32(24)) | (shifted[base + 3] << jnp.uint32(16))
+            | (shifted[base + 4] << jnp.uint32(8)) | shifted[base + 5],
+        ))
+
+    if rank_mode == "off" or (
+        rank_mode is None and not (_rank_use_pallas() and n >= _RANK_MIN_N)
+    ):
+        return jnp.maximum(result, _levels_chain(gid_pos, sw_bytes_pos, iota))
+
+    # ── rank-space chain (TPU): compact candidates once, chain at C ──
+    from .pallas_kernels import compact_mask, expand_to_mask
+
+    interpret = rank_mode == "interpret"
+    cap = min(n, max(n >> 3, 1 << 15))  # C; BLOCK floor keeps tiny shapes out
+    mask = gid_pos != _NO_GROUP
+    prim = jnp.where(mask, gid_pos, jnp.uint32(0xFFFFFFFF))
+    extras = [iota]
+    for b0b1, sw1 in sw_bytes_pos:
+        extras += [b0b1, sw1]
+    outs, cnt = compact_mask(prim, extras, interpret=interpret)
+    gid_r = outs[0][:cap]
+    iota_c = lax.broadcasted_iota(jnp.uint32, (cap,), 0)
+    live = iota_c < cnt.astype(jnp.uint32)
+    # rows past cnt are garbage: give them max keys and a position payload
+    # past any real position (n < 2^25) so they sort to the tail of every
+    # join and restore; their matches are inert anyway (pos beyond
+    # input_len -> no chunk fit -> packed 0, not enclosed -> gid NO_GROUP)
+    pos_r = jnp.where(live, outs[1][:cap], jnp.uint32(0x1FFFFFF))
+    sw_bytes_rank = [
+        (
+            jnp.where(live, outs[2 + 2 * li][:cap], jnp.uint32(0xFFFFFFFF)),
+            jnp.where(live, outs[3 + 2 * li][:cap], jnp.uint32(0xFFFFFFFF)),
+        )
+        for li in range(len(levels))
+    ]
+
+    def _rank_branch():
+        contrib_r = _levels_chain(jnp.where(live, gid_r, _NO_GROUP), sw_bytes_rank, pos_r)
+        return expand_to_mask(mask, contrib_r, interpret=interpret)
+
+    contribution = lax.cond(
+        cnt <= cap,
+        _rank_branch,
+        lambda: _levels_chain(gid_pos, sw_bytes_pos, iota),
+    )
+    return jnp.maximum(result, contribution)
 
 
 def build_match_table(

@@ -333,3 +333,82 @@ class TestMultiLevelStab:
             ref = GreedyTrieEncoder(vocab, chunk_size=tok.chunk_size).encode(data)
             got = tok.encode_bytes(data)
             assert np.array_equal(got, np.asarray(ref, dtype=np.uint32)), trial
+
+
+class TestRankSpaceStab:
+    """The TPU rank-space level chain (compact candidates -> join at C ->
+    expand back) must be bitwise-equal to the full-width chain, including
+    the lax.cond fallback when candidates exceed the C = n/8 capacity."""
+
+    @pytest.fixture(autouse=True)
+    def _force_deep_levels(self, monkeypatch):
+        from gpu_bpe_tpu.ops import tokenize as tz
+
+        monkeypatch.setattr(tz, "_LEVEL_MIN_TOKENS", 1)
+
+    def _vocab(self):
+        rng = np.random.default_rng(21)
+        toks = {bytes([b]) for b in range(256)}
+        vocab = [bytes([b]) for b in range(256)]
+        while len(vocab) < 2600:
+            ln = int(rng.integers(2, 9))
+            t = bytes(rng.integers(97, 105, size=ln).tolist())
+            if t not in toks:
+                toks.add(t)
+                vocab.append(t)
+        return vocab + [
+            b"the quick brown",                  # 15 -> level 3
+            b"the quick brown fox j",            # 21 -> level 4
+            b"the quick brown fox jumps lover",  # 31 -> level 5
+            b"commonprefixiscommon",             # 20
+            b"prefixAAsuffix",                   # 14 -> level 2
+            b"aaaaaaaaa",                        # 9: dense-run group storm
+        ]
+
+    def _both(self, vocab, data: bytes, chunk_size=2048):
+        import jax.numpy as jnp
+
+        from gpu_bpe_tpu.ops.tokenize import MatchTables, _stab_match
+
+        t = MatchTables.from_vocab(vocab)
+        assert t.stab is not None and len(t.stab["levels"]) >= 1
+        n = 1 << max(16, (len(data) - 1).bit_length())
+        buf = np.zeros(n, np.uint8)
+        buf[: len(data)] = np.frombuffer(data, np.uint8)
+        d = jnp.asarray(buf).astype(jnp.uint32)
+        ln = jnp.asarray(len(data), jnp.int32)
+        full = _stab_match(d, t.stab, ln, chunk_size, rank_mode="off")
+        rank = _stab_match(d, t.stab, ln, chunk_size, rank_mode="interpret")
+        np.testing.assert_array_equal(np.asarray(rank), np.asarray(full))
+
+    def test_sparse_candidates(self):
+        rng = np.random.default_rng(22)
+        filler = bytes(rng.integers(97, 105, size=40000).tolist())
+        data = (
+            filler[:9000]
+            + b"the quick brown fox jumps loverXXcommonprefixiscommonYY" * 10
+            + filler[9000:20000]
+            + b"prefixAAsuffixthe quick brown fox jZZ" * 5
+            + filler[20000:]
+        )
+        self._both(self._vocab(), data)
+
+    def test_chunk_boundary_in_rank_space(self):
+        # long token straddling a chunk boundary: the chunk-fit test rides
+        # the true position payload through the rank space
+        data = b"a" * 500 + b"the quick brown fox jumps lover" * 40 + b"b" * 300
+        self._both(self._vocab(), data, chunk_size=512)
+
+    def test_fallback_when_over_capacity(self):
+        # a run of 'a's makes nearly every position a group candidate
+        # (token "aaaaaaaaa" seeds group "aaaaaaaa"): cnt > n/8 forces the
+        # full-width cond branch, which must be equal too. n = 2^17 so
+        # cap = 2^15 < n.
+        data = b"aaaaaaaab" * 14000  # ~126KB, 8/9 of positions in-group
+        self._both(self._vocab(), data)
+
+    def test_empty_candidates(self):
+        # no position carries a group id: cnt == 0, rank space all-garbage
+        rng = np.random.default_rng(23)
+        data = bytes(rng.integers(106, 122, size=70000).tolist())
+        self._both(self._vocab(), data)

@@ -266,3 +266,94 @@ class TestCompactValid:
         vals = np.array([0xFFFF, 0xFFFFFFFF, 0x0000, 0xFFFE, 0xFFFFFFFF, 1], np.uint32)
         vals = np.concatenate([vals, np.full(BLOCK - 6, 0xFFFFFFFF, np.uint32)])
         self._check(vals)
+
+    def test_extras_ride_along(self, rng):
+        from gpu_bpe_tpu.ops.pallas_kernels import compact_mask
+
+        n = 2 * BLOCK + 777
+        prim = rng.integers(0, 0xFFFF, size=n, dtype=np.uint32)
+        drop = rng.random(n) < 0.9
+        prim[drop] = 0xFFFFFFFF
+        ex1 = rng.integers(0, 2**32 - 1, size=n, dtype=np.uint32)
+        ex2 = rng.integers(0, 2**32 - 1, size=n, dtype=np.uint32)
+        ex3 = rng.integers(0, 2**32 - 1, size=n, dtype=np.uint32)
+        outs, total = compact_mask(
+            jnp.asarray(prim), [jnp.asarray(ex1), jnp.asarray(ex2), jnp.asarray(ex3)],
+            interpret=True,
+        )
+        keep = ~drop
+        g = int(np.sum(keep))
+        assert int(total) == g
+        np.testing.assert_array_equal(np.asarray(outs[0])[:g], prim[keep])
+        np.testing.assert_array_equal(np.asarray(outs[1])[:g], ex1[keep])
+        np.testing.assert_array_equal(np.asarray(outs[2])[:g], ex2[keep])
+        np.testing.assert_array_equal(np.asarray(outs[3])[:g], ex3[keep])
+
+
+class TestExpandToMask:
+    """expand_to_mask (inverse of compact_mask) vs numpy scatter."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(11)
+
+    def _check(self, mask, vals):
+        from gpu_bpe_tpu.ops.pallas_kernels import expand_to_mask
+
+        out = expand_to_mask(jnp.asarray(mask), jnp.asarray(vals), interpret=True)
+        ref = np.zeros(len(mask), np.uint32)
+        ref[mask.astype(bool)] = vals[: int(mask.astype(bool).sum())]
+        np.testing.assert_array_equal(np.asarray(out), ref)
+
+    def test_random_sparse(self, rng):
+        n = 2 * BLOCK + 555
+        mask = rng.random(n) < 0.1
+        vals = rng.integers(0, 2**32 - 1, size=n, dtype=np.uint32)
+        self._check(mask, vals)
+
+    def test_dense(self, rng):
+        n = BLOCK + 2048
+        mask = rng.random(n) < 0.95
+        vals = rng.integers(0, 2**32 - 1, size=n, dtype=np.uint32)
+        self._check(mask, vals)
+
+    def test_all_set(self, rng):
+        n = 2 * BLOCK
+        self._check(
+            np.ones(n, bool), rng.integers(0, 2**32 - 1, size=n, dtype=np.uint32)
+        )
+
+    def test_none_set(self, rng):
+        self._check(np.zeros(BLOCK, bool), np.zeros(0, np.uint32))
+
+    def test_window_straddles_tiles(self, rng):
+        # counts chosen so block 1's window starts mid-tile (c0 % TILE != 0)
+        n = 3 * BLOCK
+        mask = np.zeros(n, bool)
+        mask[:777] = True  # c0 for block 1 = 777 (unaligned)
+        mask[BLOCK : BLOCK + 5000] = True
+        mask[2 * BLOCK + 100 :: 7] = True
+        vals = rng.integers(0, 2**32 - 1, size=n, dtype=np.uint32)
+        self._check(mask, vals)
+
+    def test_max_displacement(self, rng):
+        # single set bit at the end of each block: d = BLOCK-1 (15 bits)
+        n = 2 * BLOCK
+        mask = np.zeros(n, bool)
+        mask[BLOCK - 1] = True
+        mask[2 * BLOCK - 1] = True
+        vals = rng.integers(0, 2**32 - 1, size=2, dtype=np.uint32)
+        self._check(mask, np.concatenate([vals, np.zeros(n - 2, np.uint32)]))
+
+    def test_roundtrip_with_compact(self, rng):
+        from gpu_bpe_tpu.ops.pallas_kernels import compact_mask, expand_to_mask
+
+        n = BLOCK + 4321
+        prim = rng.integers(0, 0xFFFF, size=n, dtype=np.uint32)
+        drop = rng.random(n) < 0.6
+        prim[drop] = 0xFFFFFFFF
+        ex = rng.integers(0, 2**32 - 1, size=n, dtype=np.uint32)
+        outs, total = compact_mask(jnp.asarray(prim), [jnp.asarray(ex)], interpret=True)
+        back = expand_to_mask(jnp.asarray(~drop), outs[1], interpret=True)
+        ref = np.where(~drop, ex, 0).astype(np.uint32)
+        np.testing.assert_array_equal(np.asarray(back), ref)
