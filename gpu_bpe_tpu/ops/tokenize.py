@@ -576,6 +576,7 @@ def build_match_table(
     tables: MatchTables,
     input_len: jax.Array,
     chunk_size: int,
+    rank_mode: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Longest in-chunk match per position: (match_id i32 [N], match_len i32 [N]).
 
@@ -599,7 +600,7 @@ def build_match_table(
 
     # ── interval-stabbing join for lengths 2..16 (large vocabs) ──
     if tables.stab is not None:
-        packed = _stab_match(data_u32, tables.stab, input_len, chunk_size)
+        packed = _stab_match(data_u32, tables.stab, input_len, chunk_size, rank_mode)
         s_ln = (packed >> 16).astype(jnp.int32)
         s_id = (packed & jnp.uint32(0xFFFF)).astype(jnp.int32)
         hit = s_ln > 0
@@ -819,9 +820,16 @@ class TPUTokenizer:
     behavior, raw-byte fallback, multi-pass slicing aligned to chunk size.
     """
 
-    def __init__(self, vocab: list[bytes], chunk_size: int | None = None, max_pass_bytes: int = 1 << 25):
+    def __init__(
+        self,
+        vocab: list[bytes],
+        chunk_size: int | None = None,
+        max_pass_bytes: int = 1 << 25,
+        rank_mode: str | None = None,
+    ):
         self.vocab = [bytes(v) for v in vocab]
         self.tables = MatchTables.from_vocab(self.vocab)
+        self.rank_mode = rank_mode  # levels>=2 execution space (see _stab_match)
         self.chunk_size = chunk_size or adaptive_chunk_size(self.tables.max_token_len)
         if self.tables.stab is not None:
             # the stab join packs position indices into 25 payload bits;
@@ -836,7 +844,9 @@ class TPUTokenizer:
         return cls(model.vocab, **kw)
 
     def _encode_pass_impl(self, data_padded: jax.Array, input_len: jax.Array):
-        mid, mlen = build_match_table(data_padded, self.tables, input_len, self.chunk_size)
+        mid, mlen = build_match_table(
+            data_padded, self.tables, input_len, self.chunk_size, self.rank_mode
+        )
         if self.tables.max_token_len <= 31:
             walk = chunk_walk
         elif self.tables.max_token_len <= 63:

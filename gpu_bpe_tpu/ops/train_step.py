@@ -100,10 +100,12 @@ _NO_EXCL = 0x10000  # 17-bit sentinel: matches no 16-bit token
 # address the same bins the kernel accumulated (asserted at the import site).
 _UB_SIDE = 16
 _I32_MAX = 2**31 - 1  # plain int: a shared jax array would die under donation
-# Affected-recount width: after merging (a,b) -> Z, only candidates whose
+# Affected-recount widths: after merging (a,b) -> Z, only candidates whose
 # pair ends in ``a``, starts with ``b``, or IS (a,b) can change count (see
-# _update_counts proof); when more than A_AFFECTED candidates are affected
-# the update falls back to a dense recount of the whole window.
+# _post_counts proof). Two sparse tiers (measured on real text over a
+# 192-slot window: 81% of merges affect <= 4 candidates, 99% <= 16), then
+# a dense recount of the whole window as the fallback.
+A_FAST = 4
 A_AFFECTED = 16
 
 
@@ -416,7 +418,8 @@ def _post_counts(cand, counts, merged_pair, l_slot, r_slot, sym2, w2, extent2, l
     instances are sites, so the merged pair's own count is 0 post-merge.
 
     The affected subset is recounted exactly on the post-merge stream
-    with an [A_AFFECTED, N] masked compare; if more than A_AFFECTED
+    with a tiered [A_FAST | A_AFFECTED, N] masked compare (81% of merges
+    affect <= A_FAST candidates on real text); if more than A_AFFECTED
     candidates are affected (rare), the whole window is recounted
     densely — the round-1 per-iteration [K, N] pass, now the fallback.
     ``l_slot``/``r_slot`` (sentinel 1 when unused: no valid stream pair
@@ -434,17 +437,21 @@ def _post_counts(cand, counts, merged_pair, l_slot, r_slot, sym2, w2, extent2, l
     affected = live & ((cb == a) | (ca == b)) & (cand != merged_pair)
     n_aff = jnp.sum(affected.astype(jnp.int32))
 
-    def sparse(_):
-        keys = jnp.where(affected, _U32(0), _U32(1))
-        _, aff_sorted = lax.sort((keys, cand), num_keys=1)
-        ia = lax.broadcasted_iota(jnp.int32, (A_AFFECTED,), 0)
-        aff = jnp.where(ia < n_aff, aff_sorted[:A_AFFECTED], _U32(1))
-        lst = jnp.concatenate([aff, jnp.stack([l_slot, r_slot])])
-        eq = lst[:, None] == pair2[None, :]
-        cnt = jnp.sum(jnp.where(eq, w2m[None, :], 0), axis=1)
-        match = cand[:, None] == aff[None, :]
-        rec = jnp.max(jnp.where(match, cnt[None, :A_AFFECTED], 0), axis=1)
-        return jnp.where(affected, rec, counts), cnt[A_AFFECTED], cnt[A_AFFECTED + 1]
+    keys = jnp.where(affected, _U32(0), _U32(1))
+    _, aff_sorted = lax.sort((keys, cand), num_keys=1)
+
+    def sparse(width: int):
+        def tier(_):
+            ia = lax.broadcasted_iota(jnp.int32, (width,), 0)
+            aff = jnp.where(ia < n_aff, aff_sorted[:width], _U32(1))
+            lst = jnp.concatenate([aff, jnp.stack([l_slot, r_slot])])
+            eq = lst[:, None] == pair2[None, :]
+            cnt = jnp.sum(jnp.where(eq, w2m[None, :], 0), axis=1)
+            match = cand[:, None] == aff[None, :]
+            rec = jnp.max(jnp.where(match, cnt[None, :width], 0), axis=1)
+            return jnp.where(affected, rec, counts), cnt[width], cnt[width + 1]
+
+        return tier
 
     def dense(_):
         lst = jnp.concatenate([cand, jnp.stack([l_slot, r_slot])])
@@ -452,7 +459,12 @@ def _post_counts(cand, counts, merged_pair, l_slot, r_slot, sym2, w2, extent2, l
         cnt = jnp.sum(jnp.where(eq, w2m[None, :], 0), axis=1)
         return jnp.where(live, cnt[: cand.shape[0]], counts), cnt[-2], cnt[-1]
 
-    counts2, c_l, c_r = lax.cond(n_aff <= A_AFFECTED, sparse, dense, None)
+    counts2, c_l, c_r = lax.cond(
+        n_aff <= A_FAST,
+        sparse(A_FAST),
+        lambda _: lax.cond(n_aff <= A_AFFECTED, sparse(A_AFFECTED), dense, None),
+        None,
+    )
     counts2 = jnp.where(live & (cand == merged_pair), 0, counts2)
     return counts2, c_l, c_r
 

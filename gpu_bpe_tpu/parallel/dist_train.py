@@ -54,6 +54,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..constants import BATCH_MERGES, TOKEN_MASK, WORD_START_BIT
 from ..ops.train_step import (
     A_AFFECTED,
+    A_FAST,
     COMPACT_EVERY,
     K_CANDIDATES,
     S_CREATED,
@@ -179,18 +180,24 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
             affected = live & ((cb == ma) | (ca == mb)) & (cnd != pair_sel)
             n_aff = jnp.sum(affected.astype(jnp.int32))
 
-            def sparse(_):
-                keys = jnp.where(affected, _U32(0), _U32(1))
-                _, aff_sorted = lax.sort((keys, cnd), num_keys=1)
-                ia = lax.broadcasted_iota(jnp.int32, (A_AFFECTED,), 0)
-                aff = jnp.where(ia < n_aff, aff_sorted[:A_AFFECTED], _U32(1))
-                lst = jnp.concatenate([aff, jnp.stack([l_slot, r_slot])])
-                eq = lst[:, None] == pair2[None, :]
-                cnt = lax.psum(jnp.sum(jnp.where(eq, w2m[None, :], 0), axis=1), axis)
-                match = cnd[:, None] == aff[None, :]
-                rec = jnp.max(jnp.where(match, cnt[None, :A_AFFECTED], 0), axis=1)
-                return (jnp.where(affected, rec, counts),
-                        cnt[A_AFFECTED], cnt[A_AFFECTED + 1])
+            keys = jnp.where(affected, _U32(0), _U32(1))
+            _, aff_sorted = lax.sort((keys, cnd), num_keys=1)
+
+            def sparse(width: int):
+                def tier(_):
+                    ia = lax.broadcasted_iota(jnp.int32, (width,), 0)
+                    aff = jnp.where(ia < n_aff, aff_sorted[:width], _U32(1))
+                    lst = jnp.concatenate([aff, jnp.stack([l_slot, r_slot])])
+                    eq = lst[:, None] == pair2[None, :]
+                    cnt = lax.psum(
+                        jnp.sum(jnp.where(eq, w2m[None, :], 0), axis=1), axis
+                    )
+                    match = cnd[:, None] == aff[None, :]
+                    rec = jnp.max(jnp.where(match, cnt[None, :width], 0), axis=1)
+                    return (jnp.where(affected, rec, counts),
+                            cnt[width], cnt[width + 1])
+
+                return tier
 
             def dense_all(_):
                 lst = jnp.concatenate([cnd, jnp.stack([l_slot, r_slot])])
@@ -198,7 +205,14 @@ def make_dist_train_batch(mesh: Mesh, axis: str = "data"):
                 cnt = lax.psum(jnp.sum(jnp.where(eq, w2m[None, :], 0), axis=1), axis)
                 return jnp.where(live, cnt[:n_slots], counts), cnt[-2], cnt[-1]
 
-            counts2, c_l, c_r = lax.cond(n_aff <= A_AFFECTED, sparse, dense_all, None)
+            counts2, c_l, c_r = lax.cond(
+                n_aff <= A_FAST,
+                sparse(A_FAST),
+                lambda _: lax.cond(
+                    n_aff <= A_AFFECTED, sparse(A_AFFECTED), dense_all, None
+                ),
+                None,
+            )
             counts2 = jnp.where(live & (cnd == pair_sel), 0, counts2)
             if use_pallas:
                 # kernel histograms are unexcluded; subtract each sampled

@@ -99,17 +99,26 @@ def main() -> None:
         dbuf = jax.device_put(jnp.asarray(buf))
         nlen = jnp.asarray(pass_bytes, jnp.int32)
 
-        def timed(k):
+        def timed(t, k):
             t0 = time.perf_counter()
             r = None
             for _ in range(k):
-                r = tok._encode_pass(dbuf, nlen)
+                r = t._encode_pass(dbuf, nlen)
             int(r[1])
             return time.perf_counter() - t0
 
-        timed(1)
-        t2, t6 = timed(2), timed(6)
+        timed(tok, 1)
+        t2, t6 = timed(tok, 2), timed(tok, 6)
         dev = 4 * pass_bytes / max(1e-9, t6 - t2) / 1e6
+
+        # A/B: full-width level chain (rank space off) for comparison —
+        # a separate tokenizer instance so each mode traces its own pass
+        dev_off = None
+        if stab and stab.get("levels"):
+            tok_off = TPUTokenizer(vocab, rank_mode="off")
+            timed(tok_off, 1)
+            t2o, t6o = timed(tok_off, 2), timed(tok_off, 6)
+            dev_off = round(4 * pass_bytes / max(1e-9, t6o - t2o) / 1e6, 1)
 
         max_len = tok.tables.max_token_len
         walk = ("scan32" if max_len <= 31 else
@@ -117,6 +126,7 @@ def main() -> None:
         row = {
             "vocab": len(vocab),
             "device_mb_per_sec": round(dev, 1),
+            "device_mb_per_sec_rank_off": dev_off,
             "wall_mb_per_sec": round(wall, 1),
             "bytes_per_token": round(pass_bytes / max(1, len(tokens)), 2),
             "max_token_len": max_len,

@@ -15,20 +15,25 @@ while true; do
   sleep 300
 done
 
-echo "--- 1/4 bench sanity ---" >> "$LOG"
+echo "--- 1/5 bench sanity ---" >> "$LOG"
 timeout 3600 python bench.py >> "$LOG" 2>&1
 echo "bench rc=$?" >> "$LOG"
 
-echo "--- 2/4 certificate validation @HEAD ---" >> "$LOG"
+echo "--- 2/5 certificate validation @HEAD ---" >> "$LOG"
 timeout 7200 python scripts/validate_certificate.py --mb 64 --merges 8192 >> "$LOG" 2>&1
 echo "validate_certificate rc=$?" >> "$LOG"
 
-echo "--- 3/4 tokenize rates ---" >> "$LOG"
+echo "--- 3/5 tokenize rates ---" >> "$LOG"
 timeout 7200 python scripts/bench_tokenize_vocabs.py \
   --out docs/artifacts/tokenize_rates.json >> "$LOG" 2>&1
 echo "bench_tokenize_vocabs rc=$?" >> "$LOG"
 
-echo "--- 4/4 10 GB streamed train ---" >> "$LOG"
+echo "--- 4/5 train phase profile ---" >> "$LOG"
+timeout 7200 python scripts/profile_train.py --mb 16 --merges 2048 --depth 1024 \
+  --out docs/artifacts/train_phases.json >> "$LOG" 2>&1
+echo "profile_train rc=$?" >> "$LOG"
+
+echo "--- 5/5 10 GB streamed train ---" >> "$LOG"
 timeout 21600 python scripts/validate_stream.py --gb 10 \
   --out docs/artifacts/stream_10gb.json >> "$LOG" 2>&1
 echo "validate_stream rc=$?" >> "$LOG"
