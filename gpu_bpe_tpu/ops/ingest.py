@@ -123,6 +123,18 @@ def make_stream(
     if n_total:
         starts[0] = True  # position 0 always starts a word (rule 1)
 
+    # Native fast path: one C++ hash pass over the words (ops/cpp/
+    # ingest.cpp), bitwise-identical output. ~10x the numpy path below,
+    # which remains the fallback/escape hatch (GPU_BPE_TPU_NO_NATIVE_INGEST).
+    from .native import native_dedup
+
+    nat = native_dedup(bytes_arr, starts, WORD_START_BIT)
+    if nat is not None:
+        syms, wts, total_unique = nat
+        return SymbolStream(
+            symbols=syms, weights=wts, n=total_unique, total_bytes=n_total
+        )
+
     # Vectorized dedup: bucket words by length, dedupe each bucket with
     # np.unique over fixed-width rows (C-speed; the previous Python dict
     # loop dominated ingestion on multi-GB corpora). Deterministic output
@@ -188,6 +200,15 @@ class StreamAccumulator:
         self._rows: dict[int, np.ndarray] = {}  # ln -> [k, ln] uint8
         self._counts: dict[int, np.ndarray] = {}  # ln -> [k] int64
         self._total = 0
+        # native fast path: C++ hash table + arena persist across chunks
+        # (ops/cpp/ingest.cpp), bitwise-identical output; numpy fallback
+        from .native import native_available
+
+        self._native = None
+        if native_available():
+            from .native import NativeAccumulator
+
+            self._native = NativeAccumulator()
 
     def add_chunk(self, data: bytes | np.ndarray, word_starts: np.ndarray) -> None:
         if isinstance(data, (bytes, bytearray)):
@@ -196,6 +217,12 @@ class StreamAccumulator:
             bytes_arr = np.asarray(data, dtype=np.uint8)
         n = len(bytes_arr)
         if n == 0:
+            return
+        if self._native is not None:
+            starts = word_starts.astype(np.uint8).copy()
+            starts[0] = 1
+            self._native.add_chunk(bytes_arr, starts)
+            self._total += n
             return
         self._total += n
         starts = word_starts.astype(bool).copy()
@@ -219,6 +246,11 @@ class StreamAccumulator:
                 self._rows[ln], self._counts[ln] = _unique_rows(merged, weights=mcnt)
 
     def finish(self) -> SymbolStream:
+        if self._native is not None:
+            syms, wts, total_unique = self._native.finish(WORD_START_BIT)
+            return SymbolStream(
+                symbols=syms, weights=wts, n=total_unique, total_bytes=self._total
+            )
         out_syms, out_wts = [], []
         total_unique = 0
         for ln in sorted(self._rows):

@@ -149,12 +149,17 @@ def test_collect_files_directory_order_deterministic(tmp_path, monkeypatch):
 
 def test_make_stream_int32_weight_guard(monkeypatch):
     """make_stream must refuse word counts that overflow int32 weights
-    instead of silently wrapping (regression: unguarded astype(int32))."""
+    instead of silently wrapping (regression: unguarded astype(int32)).
+    The numpy path asserts via _unique_rows; the native path (C++ loader)
+    is pinned separately below."""
     import numpy as np
     import pytest
 
-    from gpu_bpe_tpu.ops import ingest
+    from gpu_bpe_tpu.ops import ingest, native
 
+    # numpy path: force it, then inflate counts past int32
+    monkeypatch.setenv("GPU_BPE_TPU_NO_NATIVE_INGEST", "1")
+    native._raw_lib.cache_clear()
     real_unique_rows = ingest._unique_rows
 
     def huge_unique(mat, weights=None):
@@ -165,5 +170,28 @@ def test_make_stream_int32_weight_guard(monkeypatch):
     data = np.frombuffer(b"aaa bbb aaa ", dtype=np.uint8)
     starts = np.zeros(len(data), dtype=np.uint8)
     starts[[0, 4, 8]] = 1
+    try:
+        with pytest.raises(AssertionError, match="overflows int32"):
+            ingest.make_stream(data, starts, dedup=True)
+    finally:
+        monkeypatch.delenv("GPU_BPE_TPU_NO_NATIVE_INGEST")
+        native._raw_lib.cache_clear()
+
+
+def test_native_ingest_int32_weight_guard(monkeypatch):
+    """The binder must surface the C++ loader's rc=-2 overflow signal as
+    the same AssertionError the numpy path raises (2^31 real repetitions
+    needs a 2 GB corpus, so the C return code is stubbed)."""
+    import numpy as np
+    import pytest
+
+    from gpu_bpe_tpu.ops import native
+
+    if not native.native_available():
+        pytest.skip("native ingest unavailable")
+
+    monkeypatch.setattr(native, "_lib", lambda: (lambda *a: -2))
     with pytest.raises(AssertionError, match="overflows int32"):
-        ingest.make_stream(data, starts, dedup=True)
+        native.native_dedup(
+            np.frombuffer(b"ab", np.uint8), np.array([1, 0], np.uint8), 0x10000
+        )

@@ -341,3 +341,95 @@ def test_nul_adjacent_created_pairs():
     tpu = TPUTrainer().train(data, starts, target_vocab_size=256 + 40)
     assert tpu.merges == oracle.merges
     assert tpu.merge_counts == oracle.merge_counts
+
+
+class TestNativeIngest:
+    """The C++ dedup loader (ops/cpp/ingest.cpp) must be bitwise-identical
+    to the numpy path for both make_stream and StreamAccumulator."""
+
+    def _numpy(self, fn, monkeypatch):
+        import gpu_bpe_tpu.ops.native as nat
+
+        monkeypatch.setenv("GPU_BPE_TPU_NO_NATIVE_INGEST", "1")
+        nat._raw_lib.cache_clear()
+        try:
+            return fn()
+        finally:
+            monkeypatch.delenv("GPU_BPE_TPU_NO_NATIVE_INGEST")
+            nat._raw_lib.cache_clear()
+
+    def _assert_equal(self, a, b):
+        assert a.n == b.n and a.total_bytes == b.total_bytes
+        np.testing.assert_array_equal(a.symbols[: a.n], b.symbols[: b.n])
+        np.testing.assert_array_equal(a.weights[: a.n], b.weights[: b.n])
+
+    def test_native_available(self):
+        from gpu_bpe_tpu.ops.native import native_available
+
+        assert native_available()
+
+    def test_make_stream_equal(self, monkeypatch):
+        from gpu_bpe_tpu.ops.ingest import make_stream
+
+        rng = np.random.default_rng(17)
+        cases = []
+        d = rng.integers(97, 123, size=80000, dtype=np.uint8).tobytes()
+        s = (rng.random(80000) < 0.2).astype(np.uint8)
+        cases.append((d, s))
+        w = b"abcdefghijklmnopqrstuvwxyz0123456789" * 3  # long words
+        d2 = b"the " * 2000 + w * 50 + b"a" * 500
+        s2 = np.zeros(len(d2), np.uint8)
+        s2[::4] = 1
+        cases.append((d2, s2))
+        cases.append((b"hello", np.zeros(5, np.uint8)))  # single word
+        cases.append((b"abcabc", np.ones(6, np.uint8)))  # 1-byte words
+        for d, s in cases:
+            a = make_stream(d, s, dedup=True)
+            b = self._numpy(lambda: make_stream(d, s, dedup=True), monkeypatch)
+            self._assert_equal(a, b)
+
+    def test_accumulator_equal(self, monkeypatch):
+        from gpu_bpe_tpu.ops.ingest import StreamAccumulator, make_stream
+
+        rng = np.random.default_rng(19)
+        chunks = []
+        for _ in range(4):
+            d = rng.integers(97, 106, size=30000, dtype=np.uint8).tobytes()
+            s = (rng.random(30000) < 0.3).astype(np.uint8)
+            chunks.append((d, s))
+
+        def run():
+            acc = StreamAccumulator()
+            for d, s in chunks:
+                acc.add_chunk(d, s)
+            return acc.finish()
+
+        a = run()
+        b = self._numpy(run, monkeypatch)
+        self._assert_equal(a, b)
+
+        # chunked == monolithic on the concatenated corpus (chunk starts
+        # forced at each chunk's first position, as add_chunk does)
+        alld = b"".join(d for d, _ in chunks)
+        alls = np.concatenate([s for _, s in chunks]).copy()
+        off = 0
+        for d, _ in chunks:
+            alls[off] = 1
+            off += len(d)
+        m = make_stream(alld, alls, dedup=True)
+        self._assert_equal(m, a)
+
+    def test_overflow_guard(self):
+        # >2^31 instances of one word would overflow int32 weights; the
+        # native path must raise like the numpy assert (tiny proxy: the
+        # rc=-2 path is unit-tested at the ctypes level with a fake count)
+        import ctypes
+
+        from gpu_bpe_tpu.ops.native import _raw_lib
+
+        lib = _raw_lib()
+        h = lib.ingest_acc_new()
+        data = (ctypes.c_uint8 * 2)(97, 98)
+        starts = (ctypes.c_uint8 * 2)(1, 0)
+        assert lib.ingest_acc_add(h, data, starts, 2) == 0
+        lib.ingest_acc_free(h)
