@@ -412,3 +412,28 @@ class TestRankSpaceStab:
         rng = np.random.default_rng(23)
         data = bytes(rng.integers(106, 122, size=70000).tolist())
         self._both(self._vocab(), data)
+
+    def test_fuzz_random_vocab(self):
+        # random long-token vocabs over token-soup data: rank == full on
+        # arbitrary group structure (shared prefixes arise by construction)
+        rng = np.random.default_rng(29)
+        for trial in range(3):
+            toks = {bytes([b]) for b in range(256)}
+            vocab = [bytes([b]) for b in range(256)]
+            while len(vocab) < 2600:
+                ln = int(rng.integers(2, 9))
+                t = bytes(rng.integers(97, 103, size=ln).tolist())
+                if t not in toks:
+                    toks.add(t)
+                    vocab.append(t)
+            longs = set()
+            while len(longs) < 30:
+                ln = int(rng.integers(9, 30))
+                t = bytes(rng.integers(97, 103, size=ln).tolist())
+                if t not in toks:
+                    longs.add(t)
+            vocab += sorted(longs)
+            pieces = sorted(longs) + [v for v in vocab[2000:2100]]
+            idx = rng.integers(0, len(pieces), size=2500)
+            data = b"".join(pieces[i] for i in idx)[:60000]
+            self._both(vocab, data)
