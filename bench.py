@@ -74,8 +74,16 @@ def synth_corpus(n_bytes: int, seed: int = 0, vocab_size: int = 120_000) -> byte
     return b"".join(parts)[:n_bytes]
 
 
+# tokenizer-kernel selftest cases: a failure here downgrades the tokenizer
+# to its XLA paths (kill switch) instead of killing the bench — the MERGE
+# kernel cases remain fatal (training correctness rides on them)
+_TOKENIZER_CASES = ("compact_valid", "compact_expand_roundtrip")
+
+
 def run_selftest() -> None:
     """Pallas kernel regressions on the real chip; fail the bench loudly."""
+    import os
+
     from gpu_bpe_tpu.ops.selftest import run_kernel_selftest
 
     t0 = time.perf_counter()
@@ -85,9 +93,15 @@ def run_selftest() -> None:
         json.dumps({"metric": "kernel_selftest", "value": results, "seconds": round(dt, 1)}),
         file=sys.stderr,
     )
-    if not all(results.values()):
-        print("FATAL: on-TPU kernel selftest failed", file=sys.stderr)
+    core_bad = [k for k, v in results.items() if not v and k not in _TOKENIZER_CASES]
+    tok_bad = [k for k in _TOKENIZER_CASES if not results.get(k, False)]
+    if core_bad:
+        print(f"FATAL: on-TPU kernel selftest failed: {core_bad}", file=sys.stderr)
         raise SystemExit(1)
+    if tok_bad:
+        print(f"# tokenizer kernels failed selftest ({tok_bad}); "
+              "disabling tokenizer Pallas paths for this run", file=sys.stderr)
+        os.environ["GPU_BPE_TPU_NO_TOKENIZE_PALLAS"] = "1"
 
 
 def bench_tokenize(stream, corpus: bytes) -> None:

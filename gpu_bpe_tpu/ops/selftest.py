@@ -131,38 +131,53 @@ def run_kernel_selftest(interpret: bool = False) -> dict[str, bool]:
     ok &= samp[0] == int(jnp.max(wl)) and samp[2] == int(jnp.max(wr))
     results["tracked_hist_multiblock"] = bool(ok)
 
+    # Tokenizer kernels (sections 6-7) are newer than the merge kernels
+    # above; a lowering failure is recorded as False instead of raised, so
+    # bench.py can fall back to the XLA tokenizer paths (kill switch
+    # GPU_BPE_TPU_NO_TOKENIZE_PALLAS) without losing the bench artifact.
+
     # 6. compact_valid (tokenizer PAD strip): tokenizer-like sparsity with
     #    invalid runs straddling block boundaries, plus unaligned length
-    from .pallas_kernels import compact_valid
+    def _sec6():
+        from .pallas_kernels import compact_valid
 
-    n = 3 * BLOCK + 500
-    vals = rng.integers(0, 0xFFFF, size=n, dtype=np.uint32).astype(np.uint32)
-    vals[rng.random(n) < 0.7] = 0xFFFFFFFF
-    vals[BLOCK - 64 : BLOCK + 64] = 0xFFFFFFFF
-    out, total = compact_valid(jnp.asarray(vals), interpret=interpret)
-    ref_c = vals[vals != 0xFFFFFFFF]
-    results["compact_valid"] = int(total) == len(ref_c) and np.array_equal(
-        np.asarray(out)[: len(ref_c)], ref_c
-    )
+        n = 3 * BLOCK + 500
+        vals = rng.integers(0, 0xFFFF, size=n, dtype=np.uint32).astype(np.uint32)
+        vals[rng.random(n) < 0.7] = 0xFFFFFFFF
+        vals[BLOCK - 64 : BLOCK + 64] = 0xFFFFFFFF
+        out, total = compact_valid(jnp.asarray(vals), interpret=interpret)
+        ref_c = vals[vals != 0xFFFFFFFF]
+        return int(total) == len(ref_c) and np.array_equal(
+            np.asarray(out)[: len(ref_c)], ref_c
+        )
 
     # 7. compact_mask extras + expand_to_mask roundtrip (rank-space join
     #    machinery): full-width payloads ride the compaction, then the
     #    inverse network scatters them back to the original set positions
-    from .pallas_kernels import compact_mask, expand_to_mask
+    def _sec7():
+        from .pallas_kernels import compact_mask, expand_to_mask
 
-    n = 2 * BLOCK + 300
-    prim = rng.integers(0, 0xFFFF, size=n, dtype=np.uint32)
-    drop = rng.random(n) < 0.8
-    prim[drop] = 0xFFFFFFFF
-    ex = rng.integers(0, 2**32 - 1, size=n, dtype=np.uint32)
-    outs, tot = compact_mask(jnp.asarray(prim), [jnp.asarray(ex)], interpret=interpret)
-    keep = ~drop
-    g = int(np.sum(keep))
-    ok = int(tot) == g
-    ok &= np.array_equal(np.asarray(outs[0])[:g], prim[keep])
-    ok &= np.array_equal(np.asarray(outs[1])[:g], ex[keep])
-    back = expand_to_mask(jnp.asarray(keep), outs[1], interpret=interpret)
-    ok &= np.array_equal(np.asarray(back), np.where(keep, ex, 0).astype(np.uint32))
-    results["compact_expand_roundtrip"] = bool(ok)
+        n = 2 * BLOCK + 300
+        prim = rng.integers(0, 0xFFFF, size=n, dtype=np.uint32)
+        drop = rng.random(n) < 0.8
+        prim[drop] = 0xFFFFFFFF
+        ex = rng.integers(0, 2**32 - 1, size=n, dtype=np.uint32)
+        outs, tot = compact_mask(
+            jnp.asarray(prim), [jnp.asarray(ex)], interpret=interpret
+        )
+        keep = ~drop
+        g = int(np.sum(keep))
+        ok = int(tot) == g
+        ok &= np.array_equal(np.asarray(outs[0])[:g], prim[keep])
+        ok &= np.array_equal(np.asarray(outs[1])[:g], ex[keep])
+        back = expand_to_mask(jnp.asarray(keep), outs[1], interpret=interpret)
+        ok &= np.array_equal(np.asarray(back), np.where(keep, ex, 0).astype(np.uint32))
+        return bool(ok)
+
+    for name, fn in (("compact_valid", _sec6), ("compact_expand_roundtrip", _sec7)):
+        try:
+            results[name] = fn()
+        except Exception:  # noqa: BLE001 — lowering failure -> recorded miss
+            results[name] = False
 
     return results

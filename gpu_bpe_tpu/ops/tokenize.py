@@ -64,6 +64,20 @@ _NO_GROUP = jnp.uint32(0xFFFF)  # group ids are 16-bit (asserted)
 _RANK_MIN_N = 1 << 20  # rank-space level chain only pays off on big passes
 
 
+def _tokenize_use_pallas() -> bool:
+    """Tokenizer Pallas gate (trace-time, NOT cached): TPU backend and no
+    kill switch. GPU_BPE_TPU_NO_TOKENIZE_PALLAS=1 disables BOTH tokenizer
+    Pallas uses (PAD-strip compaction + rank-space level chain) — bench.py
+    sets it when the on-device selftest flags these kernels."""
+    import os
+
+    if os.environ.get("GPU_BPE_TPU_NO_TOKENIZE_PALLAS"):
+        return False
+    from .train_step import _use_pallas
+
+    return _use_pallas()
+
+
 def _rank_use_pallas() -> bool:
     """Rank-space level chain gate (trace-time): the Pallas compaction /
     expansion kernels require a TPU backend; GPU_BPE_TPU_STAB_RANK=0 is
@@ -72,9 +86,7 @@ def _rank_use_pallas() -> bool:
 
     if os.environ.get("GPU_BPE_TPU_STAB_RANK") == "0":
         return False
-    from .train_step import _use_pallas
-
-    return _use_pallas()
+    return _tokenize_use_pallas()
 
 
 def _stab_coverage(n_levels: int) -> int:
@@ -864,9 +876,7 @@ class TPUTokenizer:
         valid = flat != _PAD_TOKEN
         total = jnp.sum(valid, dtype=jnp.int32)
         n = flat.shape[0]
-        from .train_step import _use_pallas
-
-        if _use_pallas():
+        if _tokenize_use_pallas():
             from .pallas_kernels import compact_valid
 
             compacted, _ = compact_valid(flat)
