@@ -77,9 +77,13 @@ class PreTokenizer:
                 normalized, cps, classes, offsets = prepare(data, reuse=True)
                 if normalized:
                     cp_starts = self._boundaries(cps, classes)
-                    word_starts = np.zeros(len(normalized), dtype=np.uint8)
-                    sel = offsets[cp_starts.astype(bool)]
-                    word_starts[sel[sel < len(normalized)]] = 1
+                    scatter = getattr(self.backend, "byte_word_starts", None)
+                    if scatter is not None:
+                        word_starts = scatter(offsets, cp_starts, len(normalized))
+                    else:
+                        word_starts = np.zeros(len(normalized), dtype=np.uint8)
+                        sel = offsets[cp_starts.astype(bool)]
+                        word_starts[sel[sel < len(normalized)]] = 1
                     return normalized, word_starts
             except UnicodeDecodeError:
                 pass  # invalid UTF-8 → staged path with raw-bytes fallback

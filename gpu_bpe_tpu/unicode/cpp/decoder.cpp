@@ -834,6 +834,19 @@ void decoder_find_word_boundaries(const uint32_t* cps, const uint8_t* classes,
   }
 }
 
+// codepoint-level word starts -> byte-level mask (scatter through the
+// UTF-8 byte offsets from decoder_pretokenize_prepare). Out-of-range
+// offsets are dropped — the reference's JS typed-array OOB semantics
+// (pre_tokenizer.mjs byte mapping), replicated by the Python path too.
+void decoder_byte_word_starts(const uint32_t* offsets, const uint8_t* cp_starts,
+                              int64_t n_cps, uint8_t* out, int64_t n_bytes) {
+  if (n_bytes <= 0) return;
+  std::memset(out, 0, (size_t)n_bytes);
+  for (int64_t i = 0; i < n_cps; ++i) {
+    if (cp_starts[i] && (int64_t)offsets[i] < n_bytes) out[offsets[i]] = 1;
+  }
+}
+
 // ── scripts / blocks / identifier security ──────────────────────────
 static int range_value_u16(const uint32_t* starts, const uint16_t* values,
                            uint32_t count, uint32_t cp) {

@@ -66,6 +66,11 @@ def _load():
         C.c_int64, C.POINTER(C.c_int64),
     ]
     lib.decoder_pretokenize_prepare.restype = C.c_int
+    lib.decoder_byte_word_starts.argtypes = [
+        C.POINTER(C.c_uint32), C.POINTER(C.c_uint8), C.c_int64,
+        C.POINTER(C.c_uint8), C.c_int64,
+    ]
+    lib.decoder_byte_word_starts.restype = None
     for name in "decoder_count_graphemes decoder_count_words decoder_count_sentences".split():
         fn = getattr(lib, name)
         fn.argtypes = [C.POINTER(C.c_uint32), C.c_int64]
@@ -704,6 +709,22 @@ class CppUnicodeBackend(PyUnicodeBackend):
                 classes.ctypes.data_as(C.POINTER(C.c_uint8)),
                 len(cps),
                 out.ctypes.data_as(C.POINTER(C.c_uint8)),
+            )
+        return out
+
+    def byte_word_starts(self, offsets, cp_starts, n_bytes: int) -> np.ndarray:
+        """Scatter codepoint-level word starts to a byte-level mask through
+        the UTF-8 byte offsets (native; out-of-range offsets dropped)."""
+        offsets = np.ascontiguousarray(np.asarray(offsets, dtype=np.uint32))
+        cp_starts = np.ascontiguousarray(np.asarray(cp_starts, dtype=np.uint8))
+        out = np.zeros(n_bytes, dtype=np.uint8)
+        if len(offsets) and n_bytes:
+            self._lib.decoder_byte_word_starts(
+                offsets.ctypes.data_as(C.POINTER(C.c_uint32)),
+                cp_starts.ctypes.data_as(C.POINTER(C.c_uint8)),
+                len(offsets),
+                out.ctypes.data_as(C.POINTER(C.c_uint8)),
+                n_bytes,
             )
         return out
 
