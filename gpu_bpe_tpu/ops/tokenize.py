@@ -202,6 +202,19 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
         if beyond == 0 or beyond < _LEVEL_MIN_TOKENS:
             break
         n_levels += 1
+    # group ids are u16: a level whose seeding prefixes would overflow the
+    # cap truncates the chain there (the dropped tail is served by the
+    # dense join — correct, just slower; only pathological vocabs with
+    # tens of thousands of distinct long-token prefixes hit this). A
+    # single downward pass is conservative: shrinking n_levels only
+    # shrinks the token set, hence every group count.
+    for k in range(1, n_levels):
+        cov = _stab_coverage(k)
+        hi = _stab_coverage(n_levels)
+        n_groups = len({e[:cov] for _t, e in long_toks if cov < len(e) <= hi})
+        if n_groups >= 0xFFFF:
+            n_levels = k
+            break
     stab_max = _stab_coverage(n_levels)
     long_toks = [(t, e) for t, e in long_toks if len(e) <= stab_max]
 
@@ -209,7 +222,7 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
     groups: dict[bytes, int] = {}
     for _tid, entry in long_toks:
         groups.setdefault(entry[:_STAB_MAX_LEN], len(groups))
-    assert len(groups) < 0xFFFF, "too many distinct 8-byte prefixes for u16 group ids"
+    assert len(groups) < 0xFFFF, "group-cap truncation above must prevent this"
     if not opens and not groups:
         return {"count": 0}
 
@@ -270,7 +283,7 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
                 l_bytes.append((win, win))  # exact-equality group interval
                 l_lns.append(_LVL_GROUP_DEPTH)
                 l_ids.append(next_groups[p])
-        assert len(next_groups) < 0xFFFF, "too many distinct prefixes for u16 group ids"
+        assert len(next_groups) < 0xFFFF, "group-cap truncation above must prevent this"
 
         lv = len(l_ids)
         lpad_to = 1 << max(8, (lv - 1).bit_length())

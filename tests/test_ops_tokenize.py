@@ -437,3 +437,67 @@ class TestRankSpaceStab:
             idx = rng.integers(0, len(pieces), size=2500)
             data = b"".join(pieces[i] for i in idx)[:60000]
             self._both(vocab, data)
+
+
+class Test64KVocabScale:
+    """BASELINE config-4 shape: a realistic 65,536-entry vocab must build
+    match tables with the full stab chain (tiny dense tail only where the
+    truncation threshold says dense is cheaper), keep group ids under the
+    u16 cap at every level, and encode byte-identically to the oracle."""
+
+    @pytest.fixture(scope="class")
+    def vocab64k(self, english_text):
+        rng = np.random.default_rng(41)
+        words = list({w.encode() for w in english_text.split() if 1 < len(w) <= 28})
+        vocab = [bytes([b]) for b in range(256)]
+        seen = set(vocab)
+        cands = []
+        for w in sorted(words):
+            cands.append(w)
+            cands.append(b" " + w)
+            if len(w) > 4:
+                cands.append(w[: len(w) // 2])
+        rng.shuffle(cands)
+        i = 0
+        while len(vocab) < 65536 and i < len(cands):
+            t = cands[i]
+            i += 1
+            if t not in seen and len(t) <= 32:
+                seen.add(t)
+                vocab.append(t)
+        while len(vocab) < 65536:
+            ln = int(rng.integers(2, 16))
+            t = bytes(rng.integers(97, 123, size=ln).tolist())
+            if t not in seen:
+                seen.add(t)
+                vocab.append(t)
+        return vocab
+
+    def test_tables_build_full_chain(self, vocab64k):
+        t = MatchTables.from_vocab(vocab64k)
+        assert t.stab is not None
+        # chained coverage through >= 14 bytes; any dense tail is the
+        # deliberate truncation of a sub-threshold tail, never lengths
+        # the chain serves
+        assert t.stab["max_len"] >= 14
+        assert all(ln > t.stab["max_len"] for ln in t.dense_lengths)
+        # u16 group-id headroom at every level (level-1 groups are the
+        # pseudo-depth rows; deeper levels carry their own id arrays)
+        n_l1_groups = int(np.sum(np.asarray(t.stab["ln"]) == 9))
+        assert n_l1_groups < 0xFFFF
+        for lvl in t.stab["levels"]:
+            # group rows (pseudo-depth 7) carry next-level gids — those
+            # must stay under the u16 cap; match rows carry token ids,
+            # which legitimately reach 65535 at a full 64K vocab
+            ln_arr = np.asarray(lvl["ln"])
+            ids = np.asarray(lvl["id"])
+            grp = ids[ln_arr == 7]
+            if len(grp):
+                assert int(np.max(grp)) < 0xFFFF
+
+    def test_encode_matches_oracle(self, vocab64k, english_text):
+        tok = TPUTokenizer(vocab64k)
+        data = english_text[:20000].encode()
+        got = tok.encode_bytes(data)
+        ref = GreedyTrieEncoder(vocab64k, chunk_size=tok.chunk_size).encode(data)
+        assert np.array_equal(got, np.asarray(ref, dtype=np.uint32))
