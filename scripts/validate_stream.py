@@ -130,6 +130,10 @@ def main() -> None:
         "wall_seconds": round(wall, 1),
         "merges_per_sec_incl_ingest": round(len(merges) / wall, 1),
         "train_seconds": round(result.training_time_s, 1),
+        "ingest_seconds_approx": round(wall - result.training_time_s, 1),
+        "native_ingest": __import__(
+            "gpu_bpe_tpu.ops.native", fromlist=["native_available"]
+        ).native_available(),
         "peak_rss_gb": round(peak_rss, 2),
         "merge_list_sha256_16": fp,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
