@@ -112,7 +112,7 @@ def bench_tokenize(stream, corpus: bytes) -> None:
     end-to-end wall rate including the u16 page readback.
     """
     from gpu_bpe_tpu.ops import TPUTrainer
-    from gpu_bpe_tpu.ops.tokenize import TPUTokenizer
+    from gpu_bpe_tpu.ops.tokenize import _RANK_MIN_N, TPUTokenizer, _rank_use_pallas
 
     trainer = TPUTrainer()
     result = trainer.train_stream(stream, target_vocab_size=TOKENIZE_VOCAB)
@@ -183,7 +183,16 @@ def bench_tokenize(stream, corpus: bytes) -> None:
                 "unit": f"device MB/s ({pass_bytes >> 20}MB pass, vocab {TOKENIZE_VOCAB}, 1 chip)",
                 "wall_mb_per_sec": round(wall_rate, 1),
                 "bytes_per_token": round(bytes_per_token, 2),
-                "rank_space": rank_mode is None,
+                # true only when the rank-space chain actually served the
+                # measured pass: not killed (selftest switch / env), not
+                # forced off by the lowering fallback, and the pass large
+                # enough to engage it
+                "rank_space": (
+                    rank_mode is None
+                    and _rank_use_pallas()
+                    and pass_bytes >= _RANK_MIN_N
+                    and bool(tok.tables.stab and tok.tables.stab.get("levels"))
+                ),
                 "vs_baseline": round(device_rate / BASELINE_TOKENIZE_MB_S, 3),
             }
         ),

@@ -26,7 +26,15 @@ def build(force: bool = False) -> Path:
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
         "-o", str(LIB), str(SOURCE),
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except Exception:
+        # fresh checkouts have arbitrary mtime order; on a host without a
+        # toolchain the checked-in artifact is still valid — use it rather
+        # than silently dropping to the numpy path
+        if LIB.exists():
+            return LIB
+        raise
     return LIB
 
 

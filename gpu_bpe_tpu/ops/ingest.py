@@ -219,7 +219,9 @@ class StreamAccumulator:
         if n == 0:
             return
         if self._native is not None:
-            starts = word_starts.astype(np.uint8).copy()
+            # (mask != 0), NOT astype(uint8): an int mask value that is a
+            # multiple of 256 must stay truthy, as on the numpy path
+            starts = (np.asarray(word_starts) != 0).astype(np.uint8)
             starts[0] = 1
             self._native.add_chunk(bytes_arr, starts)
             self._total += n

@@ -91,6 +91,27 @@ def _shift_left_patched(cur, nxt, s, fi):
     return jnp.where(fi < BLOCK - s, main, patch)
 
 
+def _flat_prefix_sum_excl(x):
+    """Exclusive flat-order prefix sum over an [ROWS, LANES] i32 tile.
+
+    Hierarchical: 7 lane-roll rounds build inclusive per-row sums, a tiny
+    doubling pass accumulates the 256 row totals, and subtracting ``x``
+    makes it exclusive. Shared by the merge-compaction displacement, the
+    generic stream compaction, and the expansion kernel's rank."""
+    lane = lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
+    inc = x
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        inc = inc + jnp.where(lane >= s, pltpu.roll(inc, s, axis=1), 0)
+    row_tot = inc[:, _LANES - 1 :]  # [ROWS, 1] inclusive row sums
+    row_iota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
+    row_inc = row_tot
+    s = 1
+    while s < _ROWS:
+        row_inc = row_inc + jnp.where(row_iota >= s, pltpu.roll(row_inc, s, axis=0), 0)
+        s <<= 1
+    return inc + (row_inc - row_tot) - x
+
+
 def _merge_compact_kernel(
     scalars_ref,  # SMEM [3] u32: packed pair, new token id, live length n
     sym_ref,  # VMEM [ROWS, 128] u32 — this block (logical p-1 at flat t)
@@ -168,18 +189,7 @@ def _merge_compact_kernel(
     # unread, so stale scratch is harmless.
     @pl.when(n_rem > 0)
     def _prefix():
-        lane = lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
-        lane_inc = rem_i
-        for s in (1, 2, 4, 8, 16, 32, 64):
-            lane_inc = lane_inc + jnp.where(lane >= s, pltpu.roll(lane_inc, s, axis=1), 0)
-        row_tot = lane_inc[:, _LANES - 1 :]  # [ROWS, 1] inclusive row sums
-        row_iota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
-        row_inc = row_tot
-        s = 1
-        while s < _ROWS:
-            row_inc = row_inc + jnp.where(row_iota >= s, pltpu.roll(row_inc, s, axis=0), 0)
-            s <<= 1
-        disp_ref[:] = lane_inc + (row_inc - row_tot) - rem_i
+        disp_ref[:] = _flat_prefix_sum_excl(rem_i)
 
     disp = disp_ref[:]
 
@@ -502,18 +512,7 @@ def _make_compact_kernel(n_extra: int):
         # n_rem == 0 the shift loop runs 0 rounds, stale scratch unread)
         @pl.when(n_rem > 0)
         def _prefix():
-            lane = lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
-            lane_inc = rem_i
-            for s in (1, 2, 4, 8, 16, 32, 64):
-                lane_inc = lane_inc + jnp.where(lane >= s, pltpu.roll(lane_inc, s, axis=1), 0)
-            row_tot = lane_inc[:, _LANES - 1 :]
-            row_iota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
-            row_inc = row_tot
-            s = 1
-            while s < _ROWS:
-                row_inc = row_inc + jnp.where(row_iota >= s, pltpu.roll(row_inc, s, axis=0), 0)
-                s <<= 1
-            disp_ref[:] = lane_inc + (row_inc - row_tot) - rem_i
+            disp_ref[:] = _flat_prefix_sum_excl(rem_i)
 
         disp = disp_ref[:]
         pay_mask = jnp.uint32(0xFFFF)
@@ -706,18 +705,7 @@ def _expand_mask_kernel(
     cp.start()
 
     # rank = exclusive prefix sum of mask (hierarchical, as the compaction)
-    lane = lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
-    lane_inc = mask_i
-    for s in (1, 2, 4, 8, 16, 32, 64):
-        lane_inc = lane_inc + jnp.where(lane >= s, pltpu.roll(lane_inc, s, axis=1), 0)
-    row_tot = lane_inc[:, _LANES - 1 :]
-    row_iota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
-    row_inc = row_tot
-    s = 1
-    while s < _ROWS:
-        row_inc = row_inc + jnp.where(row_iota >= s, pltpu.roll(row_inc, s, axis=0), 0)
-        s <<= 1
-    rank = lane_inc + (row_inc - row_tot) - mask_i
+    rank = _flat_prefix_sum_excl(mask_i)
 
     # ── stage 1: left-compact each set position's displacement d = p - rank
     # down to slot ``rank``; d < BLOCK fits the 16-bit payload field, and

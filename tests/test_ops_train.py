@@ -433,3 +433,23 @@ class TestNativeIngest:
         starts = (ctypes.c_uint8 * 2)(1, 0)
         assert lib.ingest_acc_add(h, data, starts, 2) == 0
         lib.ingest_acc_free(h)
+
+    def test_accumulator_nonbinary_mask(self, monkeypatch):
+        # an int mask whose truthy value is a multiple of 256 must still
+        # mark a word start on the native path (regression: astype(uint8)
+        # truncated 256 -> 0 and diverged from the numpy astype(bool))
+        from gpu_bpe_tpu.ops.ingest import StreamAccumulator
+
+        d = b"abcdefgh"
+        s = np.zeros(8, np.int64)
+        s[4] = 256  # truthy, but 256 & 0xFF == 0
+
+        def run():
+            acc = StreamAccumulator()
+            acc.add_chunk(d, s)
+            return acc.finish()
+
+        a = run()
+        b = self._numpy(run, monkeypatch)
+        self._assert_equal(a, b)
+        assert a.n == 8 and int((np.asarray(a.symbols) >> 16).sum()) == 2
