@@ -907,21 +907,49 @@ class TPUTokenizer:
         data = bytes(data)
         if not data:
             return np.zeros(0, dtype=np.uint32)
-        # two passes in flight: pass k+1 computes while pass k's pages
-        # stream back over the (slow) host link. Dispatching ALL passes up
-        # front would hold ~3x the corpus on device (input + u16 pages per
-        # pass) and OOM multi-GB encodes; a 2-deep window overlaps compute
-        # with readback at bounded HBM.
+        # Passes are independent (chunk-aligned slices — the reference's
+        # multi-pass slicing, tokenizer.js:181-203), so they round-robin
+        # across every visible device: pure data parallelism, no
+        # collectives, output identical to sequential passes. Single-chip
+        # keeps the old behavior (window = 2: pass k+1 computes while pass
+        # k's pages stream back over the slow host link). Dispatching ALL
+        # passes up front would hold ~3x the corpus on device (input +
+        # u16 pages per pass) and OOM multi-GB encodes; the window bounds
+        # in-flight HBM to ~window passes.
+        devices = self._devices()
+        window = max(2, len(devices) + 1)
         parts: list[np.ndarray] = []
         in_flight: list[tuple[jax.Array, jax.Array]] = []
-        for off in range(0, len(data), self.max_pass_bytes):
-            in_flight.append(self._encode_single_pass(data[off : off + self.max_pass_bytes]))
-            if len(in_flight) > 1:
+        for i, off in enumerate(range(0, len(data), self.max_pass_bytes)):
+            dev = devices[i % len(devices)]
+            in_flight.append(
+                self._encode_single_pass(data[off : off + self.max_pass_bytes], dev)
+            )
+            if len(in_flight) >= window:
                 parts.append(self._fetch_tokens(*in_flight.pop(0)))
         parts.extend(self._fetch_tokens(*p) for p in in_flight)
         return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
-    def _encode_single_pass(self, data: bytes):
+    @staticmethod
+    def _devices():
+        """Devices for round-robin pass dispatch. Multi-device by default
+        only on TPU (each device compiles its own copy of the pass — on
+        the CPU test mesh that would 8x the suite's compile time);
+        GPU_BPE_TPU_TOKENIZE_ALL_DEVICES=1/0 overrides either way."""
+        import os
+
+        try:
+            devs = jax.devices()
+        except Exception:  # pragma: no cover — backend init failure
+            return [None]
+        flag = os.environ.get("GPU_BPE_TPU_TOKENIZE_ALL_DEVICES")
+        if flag == "1":
+            return devs
+        if flag == "0" or devs[0].platform not in ("tpu", "axon"):
+            return devs[:1]
+        return devs
+
+    def _encode_single_pass(self, data: bytes, device=None):
         n = len(data)
         # power-of-two capacity buckets: a handful of compiled shapes serve
         # any input size (padding is masked out via input_len)
@@ -931,7 +959,10 @@ class TPUTokenizer:
         cap = -(-cap // self.chunk_size) * self.chunk_size  # chunk-aligned
         buf = np.zeros(cap, dtype=np.uint8)
         buf[:n] = np.frombuffer(data, dtype=np.uint8)
-        return self._encode_pass(jnp.asarray(buf), jnp.asarray(n, jnp.int32))
+        args = (jnp.asarray(buf), jnp.asarray(n, jnp.int32))
+        if device is not None:
+            args = jax.device_put(args, device)
+        return self._encode_pass(*args)
 
     @staticmethod
     def _fetch_tokens(pages: jax.Array, total: jax.Array) -> np.ndarray:

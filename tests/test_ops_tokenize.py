@@ -501,3 +501,30 @@ class Test64KVocabScale:
         got = tok.encode_bytes(data)
         ref = GreedyTrieEncoder(vocab64k, chunk_size=tok.chunk_size).encode(data)
         assert np.array_equal(got, np.asarray(ref, dtype=np.uint32))
+
+
+class TestMultiDeviceEncode:
+    """Round-robin pass dispatch over all devices must be bitwise-equal to
+    single-device encoding (passes are independent chunk-aligned slices —
+    the reference's multi-pass slicing, data-parallel across chips)."""
+
+    def test_eight_device_roundrobin(self, monkeypatch):
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the multi-device CPU mesh")
+        vocab = _base_vocab() + [b"ab", b"abc", b"the ", b"quick"]
+        rng = np.random.default_rng(31)
+        data = bytes(rng.integers(97, 123, size=9000).tolist()) + b"the quick" * 200
+
+        tok1 = TPUTokenizer(vocab, chunk_size=512, max_pass_bytes=2048)
+        monkeypatch.setenv("GPU_BPE_TPU_TOKENIZE_ALL_DEVICES", "0")
+        single = tok1.encode_bytes(data)
+
+        tok8 = TPUTokenizer(vocab, chunk_size=512, max_pass_bytes=2048)
+        monkeypatch.setenv("GPU_BPE_TPU_TOKENIZE_ALL_DEVICES", "1")
+        multi = tok8.encode_bytes(data)
+        np.testing.assert_array_equal(multi, single)
+
+        ref = GreedyTrieEncoder(vocab, chunk_size=512).encode(data)
+        np.testing.assert_array_equal(multi, np.asarray(ref, np.uint32))
