@@ -40,3 +40,13 @@ echo "validate_stream rc=$?" >> "$LOG"
 
 echo "=== queue complete $(date -u +%H:%M:%SZ) ===" >> "$LOG"
 touch /tmp/tpu_queue.done
+
+# commit the artifacts so TPU results survive even if the session is idle
+cd /root/repo
+git add docs/artifacts/certificate_validation.json \
+        docs/artifacts/tokenize_rates.json \
+        docs/artifacts/train_phases.json \
+        docs/artifacts/stream_10gb.json 2>> "$LOG"
+if ! git diff --cached --quiet; then
+  git commit -m "TPU queue artifacts: certificate validation, tokenize rates, train phases, 10GB stream" >> "$LOG" 2>&1
+fi
