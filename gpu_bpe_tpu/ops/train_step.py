@@ -18,7 +18,7 @@ implementation uses TPU idioms:
   incrementally: a merge (a,b) -> Z can only change counts of pairs ending
   in a / starting with b / equal to (a,b) / containing Z (proof in
   ``_post_counts``), so each merge recounts just that affected subset with
-  an [A_AFFECTED, N] masked compare (~6x cheaper than the round-1
+  a tiered [A_FAST | A_AFFECTED, N] masked compare (~6-15x cheaper than the round-1
   per-iteration [K, N] pass, ~300x cheaper than the sort); the certificate
   (see ``_one_merge``) proves the candidate winner equals the global
   argmax, else the step falls back to a full recount. The merge list is
