@@ -160,6 +160,16 @@ def cmd_export_trie(args) -> int:
     return 0
 
 
+def cmd_export_hf(args) -> int:
+    tok = load_model(args.model, backend="cpu")
+    text = tok.export_hf_json(pretok=args.pretok)
+    with open(args.output, "w", encoding="utf-8") as f:
+        f.write(text)
+    print(f"→ {args.output}: {tok.vocab_size} tokens, "
+          f"{len(tok.model.merges)} merges, pretok={args.pretok}", file=sys.stderr)
+    return 0
+
+
 def cmd_vocab(args) -> int:
     tok = load_model(args.model, backend="cpu")
     sys.stdout.write(tok.export_vocab_text())
@@ -220,6 +230,18 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("model")
     tr.add_argument("-o", "--output", default="model.trie")
     tr.set_defaults(fn=cmd_export_trie)
+
+    hf = sub.add_parser(
+        "export-hf", help="export a Hugging Face tokenizer.json (byte-level BPE)"
+    )
+    hf.add_argument("model")
+    hf.add_argument("-o", "--output", default="tokenizer.json")
+    hf.add_argument(
+        "--pretok", choices=("none", "byte-level"), default="none",
+        help="none = exact merge-order semantics over the whole stream; "
+             "byte-level = GPT-2 pre-split regex (ecosystem standard)",
+    )
+    hf.set_defaults(fn=cmd_export_hf)
 
     v = sub.add_parser("vocab", help="dump vocabulary as text")
     v.add_argument("model")

@@ -24,13 +24,24 @@ from ..constants import adaptive_chunk_size
 UTF8_REPLACEMENT = bytes([0xEF, 0xBF, 0xBD])  # U+FFFD
 
 
-def encode_merge_order(data: bytes, merges: list[tuple[int, int, int]]) -> list[int]:
+def encode_merge_order(
+    data: bytes,
+    merges: list[tuple[int, int, int]],
+    byte_ids: list[int] | None = None,
+) -> list[int]:
     """Apply merges in training order over the byte stream.
 
     One pass per merge rule, left-to-right, non-overlapping within the pass
-    (tokenizer-manager.js:43-58).
+    (tokenizer-manager.js:43-58). ``byte_ids`` maps each initial byte to its
+    token id for vocabularies (e.g. imported HF byte-level BPE) where the
+    single-byte tokens are not at ids 0-255; bytes with no single-byte token
+    (entry -1) keep the raw byte value, matching the trie walk's raw-byte
+    fallback.
     """
-    tokens = list(bytes(data))
+    if byte_ids is None:
+        tokens = list(bytes(data))
+    else:
+        tokens = [byte_ids[b] if byte_ids[b] >= 0 else b for b in bytes(data)]
     for token_a, token_b, new_id in merges:
         if len(tokens) < 2:
             break

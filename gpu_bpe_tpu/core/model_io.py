@@ -40,6 +40,28 @@ class BPEModel:
     def vocab_size(self) -> int:
         return len(self.vocab)
 
+    @property
+    def byte_ids(self) -> list[int] | None:
+        """byte → token id for the 256 initial byte tokens, or None when the
+        layout is canonical (ids 0-255 = the bytes themselves, as trained
+        models always are). Imported HF vocabularies place the single-byte
+        tokens at arbitrary ids; missing bytes map to -1."""
+        cached = getattr(self, "_byte_ids", False)
+        if cached is not False:
+            return cached
+        canonical = len(self.vocab) >= 256 and all(
+            self.vocab[b] == bytes([b]) for b in range(256)
+        )
+        if canonical:
+            ids = None
+        else:
+            ids = [-1] * 256
+            for tid, entry in enumerate(self.vocab):
+                if len(entry) == 1 and ids[entry[0]] < 0:
+                    ids[entry[0]] = tid
+        self._byte_ids = ids
+        return ids
+
     def to_json_obj(self) -> dict:
         return {
             "version": 1,
@@ -53,6 +75,11 @@ class BPEModel:
 
     @classmethod
     def from_json_obj(cls, obj: dict) -> "BPEModel":
+        from .hf_io import looks_like_hf_json, model_from_hf_obj
+
+        if looks_like_hf_json(obj):  # HF tokenizer.json auto-detection
+            model, _ = model_from_hf_obj(obj)
+            return model
         if "vocab" not in obj or "merges" not in obj:
             raise ValueError("Invalid vocabulary file: missing vocab or merges")
         return cls(

@@ -50,7 +50,9 @@ class BPETokenizer:
     # ── encoding ────────────────────────────────────────────────────
     def encode(self, text: str) -> list[int]:
         """Merge-priority-order BPE over raw text bytes (tokenizer-manager.js)."""
-        return encode_merge_order(text.encode("utf-8"), self.model.merges)
+        return encode_merge_order(
+            text.encode("utf-8"), self.model.merges, byte_ids=self.model.byte_ids
+        )
 
     def encode_bytes_greedy(self, data: bytes) -> np.ndarray:
         """Bulk chunked greedy longest-match (the reference's GPU path)."""
@@ -86,6 +88,12 @@ class BPETokenizer:
 
     def export_vocab_text(self) -> str:
         return self.model.to_vocab().export_text()
+
+    def export_hf_json(self, pretok: str = "none") -> str:
+        """Hugging Face ``tokenizer.json`` (byte-level BPE; core/hf_io.py)."""
+        from ..core.hf_io import model_to_hf_json
+
+        return model_to_hf_json(self.model, pretok=pretok)
 
     def save(self, path: str) -> None:
         self.model.save(path)
