@@ -208,6 +208,43 @@ class TestEncoders:
         out = decode_tokens([65, 999999], vocab)
         assert out == b"A\xef\xbf\xbd"
 
+    def test_fast_merge_order_equals_naive_trained(self, english_text):
+        from gpu_bpe_tpu.core.encoder_ref import _encode_merge_order_naive
+
+        model = self._model(english_text[:20000])
+        for text in (
+            "the quick brown fox don't stop",
+            "aaaa eeee oooo tttt",
+            english_text[:3000],
+            "",
+            "x",
+        ):
+            data = text.encode()
+            assert encode_merge_order(data, model.merges) == _encode_merge_order_naive(
+                data, model.merges
+            ), text[:40]
+
+    def test_fast_merge_order_equals_naive_fuzz(self, rng):
+        """Heap lowest-rank-first vs literal sequential passes on adversarial
+        random rule chains (self-overlapping pairs, chained new ids)."""
+        from gpu_bpe_tpu.core.encoder_ref import _encode_merge_order_naive
+
+        for trial in range(40):
+            alpha = int(rng.integers(2, 5))  # tiny alphabet → dense overlaps
+            data = bytes(rng.integers(97, 97 + alpha, size=int(rng.integers(0, 200))))
+            merges = []
+            next_id = 256
+            pool = list(range(97, 97 + alpha))
+            for _ in range(int(rng.integers(1, 24))):
+                a = int(pool[rng.integers(0, len(pool))])
+                b = int(pool[rng.integers(0, len(pool))])
+                merges.append((a, b, next_id))
+                pool.append(next_id)
+                next_id += 1
+            assert encode_merge_order(data, merges) == _encode_merge_order_naive(
+                data, merges
+            ), (trial, data[:40], merges)
+
 
 class TestModelIO:
     def test_json_roundtrip(self, english_text):
