@@ -34,11 +34,39 @@ from .core import BPEModel, ReferenceTrainer, Vocab
 __all__ = [
     "BATCH_MERGES",
     "BPEModel",
+    "BPETokenizer",
     "INVALID_TOKEN",
     "MAX_VOCAB",
     "ReferenceTrainer",
     "TOKEN_MASK",
+    "TrainConfig",
     "Vocab",
     "WORD_START_BIT",
     "__version__",
+    "build_corpus",
+    "collect_files",
+    "decode",
+    "encode",
+    "encode_bulk",
+    "export_bin",
+    "export_trie",
+    "load_model",
+    "train",
+    "train_files",
 ]
+
+_API_NAMES = {
+    "BPETokenizer", "TrainConfig", "build_corpus", "collect_files", "decode",
+    "encode", "encode_bulk", "export_bin", "export_trie", "load_model",
+    "train", "train_files",
+}
+
+
+def __getattr__(name: str):
+    # High-level entry points resolve lazily (PEP 562) so that importing the
+    # package stays light — api pulls in the pre-tokenizer/unicode stack.
+    if name in _API_NAMES:
+        from . import api
+
+        return getattr(api, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
