@@ -49,6 +49,8 @@ _BIG = BLOCK + _TILE  # staging window: carry tile + one block
 _BROWS = _BIG // _LANES
 _TRACK_SIDE = 16  # tracking-kernel histogram side (16x16=256 bins; [side, B]
 #   f32 one-hots must fit VMEM: 2 x [16, 32768] = 4 MB per hist call)
+N_PROBES = 16  # fused probe-pair slots (= train_step.A_AFFECTED: 99% of
+#   merges affect <= 16 tracked candidates on real text)
 
 
 def _fshift(x, s):
@@ -113,7 +115,7 @@ def _flat_prefix_sum_excl(x):
 
 
 def _merge_compact_kernel(
-    scalars_ref,  # SMEM [3] u32: packed pair, new token id, live length n
+    scalars_ref,  # SMEM [4+N_PROBES] u32: pair, new id, live n, n_probes, probes
     sym_ref,  # VMEM [ROWS, 128] u32 — this block (logical p-1 at flat t)
     w_ref,  # VMEM [ROWS, 128] i32
     sym_nxt_ref,  # VMEM [ROWS, 128] u32 — next block (halo source)
@@ -123,6 +125,7 @@ def _merge_compact_kernel(
     removed_ref,  # SMEM [1] i32 — total removed (written every step)
     bins_ref,  # VMEM [2*TRACK_SIDE, TRACK_SIDE] f32 — created-pair histograms
     samp_ref,  # SMEM [4] i32 — (max_wl, tok_l, max_wr, tok_r) sample
+    pcnt_ref,  # SMEM [N_PROBES] i32 — exact post-merge probe-pair counts
     off_ref,  # SMEM scratch [1] i32 — aligned output offset (TILE multiple)
     m_ref,  # SMEM scratch [1] i32 — carry length (0..TILE-1)
     acc_ref,  # SMEM scratch [1] i32 — running removed count
@@ -135,6 +138,7 @@ def _merge_compact_kernel(
     samp_state,  # SMEM scratch [4] i32 — running (max, tok) x 2
     bound_ref,  # SMEM scratch [2] i32 — stream tail (sym, w) across steps
     disp_ref,  # VMEM scratch [ROWS, 128] i32 — displacement (valid iff n_rem>0)
+    pacc_ref,  # SMEM scratch [N_PROBES] i32 — running probe counts
 ):
     i = pl.program_id(0)
     tok_mask = jnp.uint32(TOKEN_MASK)
@@ -142,6 +146,7 @@ def _merge_compact_kernel(
     pair = scalars_ref[0]
     new_id = scalars_ref[1]
     n_live = scalars_ref[2].astype(jnp.int32)
+    n_probes = scalars_ref[3].astype(jnp.int32)
     a = pair >> jnp.uint32(16)
     b = pair & tok_mask
 
@@ -150,6 +155,8 @@ def _merge_compact_kernel(
         off_ref[0] = 0
         m_ref[0] = 0
         acc_ref[0] = 0
+        for k in range(N_PROBES):
+            pacc_ref[k] = 0
 
     fi = _flat_index()
     # the input array is front-padded by one zero, so flat position t of
@@ -319,6 +326,26 @@ def _merge_compact_kernel(
     v_ok = valid & ((v_sym & ws_bit) == 0)
     wl = jnp.where(v_ok & (v_tok == z16), v_w, 0)
     wr = jnp.where(v_ok & (u_tok == z16), u_w, 0)
+
+    # ── fused probe-pair counting: exact post-merge pair-stream counts of
+    # up to N_PROBES pairs, riding the same staged window. Every adjacent
+    # pair of the compacted stream is visited exactly once by the tracking
+    # window (incl. the injected cross-window boundary pair), and the v_ok
+    # mask reproduces ops.train_step._masked_pairs on a compacted stream
+    # for any probe with nonzero members (a counted pair's members share a
+    # word, so u's weight — the _masked_pairs weight — equals v's). This
+    # replaces the separate [A, N] affected-recount stream pass when the
+    # affected set fits N_PROBES slots (see train_step._post_counts).
+    # Slots past n_probes hold sentinel 0 — the caller ignores their sums.
+    @pl.when(n_probes > 0)
+    def _probe_count():
+        pw = jnp.where(v_ok, (u_tok << jnp.uint32(16)) | v_tok, jnp.uint32(0))
+        wv = jnp.where(v_ok, u_w, 0)
+        for k in range(N_PROBES):
+            pacc_ref[k] = pacc_ref[k] + jnp.sum(jnp.where(pw == scalars_ref[4 + k], wv, 0))
+
+    for k in range(N_PROBES):
+        pcnt_ref[k] = pacc_ref[k]
 
     # Skip the whole tracking section for windows with no created-token
     # mass. Late-training merges rewrite a few hundred positions spread
