@@ -332,17 +332,23 @@ def _merge_compact_kernel(
     # pair of the compacted stream is visited exactly once by the tracking
     # window (incl. the injected cross-window boundary pair), and the v_ok
     # mask reproduces ops.train_step._masked_pairs on a compacted stream
-    # for any probe with nonzero members (a counted pair's members share a
+    # for any probe with NONZERO members (a counted pair's members share a
     # word, so u's weight — the _masked_pairs weight — equals v's). This
     # replaces the separate [A, N] affected-recount stream pass when the
     # affected set fits N_PROBES slots (see train_step._post_counts).
-    # Slots past n_probes hold sentinel 0 — the caller ignores their sums.
+    # CONTRACT: the caller must never probe a pair with a zero member —
+    # _masked_pairs excludes token 0 (train.wgsl:393-399) but this window
+    # does not, so such a probe would over-count; route those to the
+    # recount path. Slots at index >= n_probes accumulate nothing (masked
+    # by slot index, not by a sentinel word — every u32 is a legal pair).
     @pl.when(n_probes > 0)
     def _probe_count():
         pw = jnp.where(v_ok, (u_tok << jnp.uint32(16)) | v_tok, jnp.uint32(0))
         wv = jnp.where(v_ok, u_w, 0)
         for k in range(N_PROBES):
-            pacc_ref[k] = pacc_ref[k] + jnp.sum(jnp.where(pw == scalars_ref[4 + k], wv, 0))
+            live_slot = jnp.int32(k) < n_probes
+            s = jnp.sum(jnp.where(pw == scalars_ref[4 + k], wv, 0))
+            pacc_ref[k] = pacc_ref[k] + jnp.where(live_slot, s, 0)
 
     for k in range(N_PROBES):
         pcnt_ref[k] = pacc_ref[k]
@@ -425,7 +431,7 @@ def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
     grid = npad // BLOCK
     sym2 = sym_padded.reshape(grid * _ROWS, _LANES)
     w2 = w_padded.reshape(grid * _ROWS, _LANES)
-    out_sym, out_w, removed, bins, samp = pl.pallas_call(
+    out_sym, out_w, removed, bins, samp, pcnt = pl.pallas_call(
         _merge_compact_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -450,6 +456,7 @@ def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((2 * _TRACK_SIDE, _TRACK_SIDE), lambda i, s: (0, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
                 pltpu.SMEM((1,), jnp.int32),
@@ -464,6 +471,7 @@ def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
                 pltpu.SMEM((4,), jnp.int32),
                 pltpu.SMEM((2,), jnp.int32),
                 pltpu.VMEM((_ROWS, _LANES), jnp.int32),
+                pltpu.SMEM((N_PROBES,), jnp.int32),
             ],
         ),
         out_shape=[
@@ -472,11 +480,12 @@ def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
             jax.ShapeDtypeStruct((1,), jnp.int32),
             jax.ShapeDtypeStruct((2 * _TRACK_SIDE, _TRACK_SIDE), jnp.float32),
             jax.ShapeDtypeStruct((4,), jnp.int32),
+            jax.ShapeDtypeStruct((N_PROBES,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(scalars, sym2, w2, sym2, w2)
-    return out_sym, out_w, removed, bins, samp
+    return out_sym, out_w, removed, bins, samp, pcnt
 
 
 def merge_compact(symbols, weights, n, pair, new_id, interpret=False):
@@ -840,14 +849,24 @@ def expand_to_mask(mask, vals, interpret=False):
     return out[:n]
 
 
-def merge_compact_tracked(symbols, weights, n, pair, new_id, interpret=False):
+def merge_compact_tracked(symbols, weights, n, pair, new_id, probes=None, interpret=False):
     """``merge_compact`` plus fused created-pair tracking: also returns
     (bins_l, bins_r) — UNexcluded [TRACK_SIDE, TRACK_SIDE] f32 hashed
     histograms of the post-merge created-pair masses — and ``samp`` i32[4]
     = (max_wl, tok_l, max_wr, tok_r), the heaviest created-pair sample per
     side (token tie-break: smallest, earliest block wins ties on weight).
     One streaming pass; the caller subtracts the sampled pair's exact
-    count from its bin to get the excluded ceiling."""
+    count from its bin to get the excluded ceiling.
+
+    ``probes`` — optional fused probe-pair counting: ``(words, count)``
+    where ``words`` is a u32 [N_PROBES] array of packed pairs and ``count``
+    an i32 scalar (0..N_PROBES) of live leading slots. Returns a 7th value
+    ``pcnt`` i32 [N_PROBES]: the EXACT post-merge pair-stream count of each
+    probed pair (equal to a `_masked_pairs` recount), valid for slots
+    ``< count``. CONTRACT: probed pairs must have both members nonzero —
+    `_masked_pairs` excludes token 0 but this window does not (see the
+    kernel comment); callers route zero-member pairs to the recount path.
+    Without ``probes`` the 6-tuple of round 1 is returned unchanged."""
     cap = symbols.shape[0]
     # +1 front zero (shifts the window so flat t holds logical p-1) and
     # enough back zeros for (a) the +1/+2 lookahead, (b) BLOCK alignment,
@@ -855,8 +874,19 @@ def merge_compact_tracked(symbols, weights, n, pair, new_id, interpret=False):
     npad = ((cap + 1 + BLOCK - 1) // BLOCK + 1) * BLOCK
     sym_p = jnp.zeros((npad,), _U32).at[1 : cap + 1].set(symbols)
     w_p = jnp.zeros((npad,), jnp.int32).at[1 : cap + 1].set(weights)
-    scalars = jnp.stack([pair, new_id, jnp.asarray(n, jnp.int32).astype(_U32)]).astype(_U32)
-    out_sym, out_w, removed, bins, samp = _merge_compact_call(
+    if probes is None:
+        probe_words = jnp.zeros((N_PROBES,), _U32)
+        n_probes = jnp.zeros((), _U32)
+    else:
+        probe_words, n_probes = probes
+        probe_words = jnp.asarray(probe_words, _U32)
+        n_probes = jnp.asarray(n_probes, jnp.int32).astype(_U32)
+    head = jnp.stack(
+        [jnp.asarray(pair, _U32), jnp.asarray(new_id, _U32),
+         jnp.asarray(n, jnp.int32).astype(_U32), n_probes]
+    )
+    scalars = jnp.concatenate([head, probe_words])
+    out_sym, out_w, removed, bins, samp, pcnt = _merge_compact_call(
         sym_p, w_p, scalars, interpret=interpret
     )
     n_new = n - removed[0]
@@ -865,4 +895,5 @@ def merge_compact_tracked(symbols, weights, n, pair, new_id, interpret=False):
     iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
     sym_out = jnp.where(iota < n_new, out_sym[:cap], _U32(0))
     w_out = jnp.where(iota < n_new, out_w[:cap], 0)
-    return sym_out, w_out, n_new, bins[:_TRACK_SIDE], bins[_TRACK_SIDE:], samp
+    base = (sym_out, w_out, n_new, bins[:_TRACK_SIDE], bins[_TRACK_SIDE:], samp)
+    return base if probes is None else base + (pcnt,)

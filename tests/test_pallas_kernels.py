@@ -221,6 +221,121 @@ class TestTrackingKernels:
         assert samp[0] == int(jnp.max(wl))
 
 
+class TestProbeCounts:
+    """Fused probe-pair counting (merge_compact_tracked probes=) vs a
+    `_masked_pairs` recount on the compacted post-merge stream — the
+    exactness contract that lets _post_counts skip its separate stream
+    pass (CLAUDE.md invariant 3b)."""
+
+    def _host_counts(self, sym2, w2, n2, words):
+        from jax import lax
+
+        from gpu_bpe_tpu.ops.train_step import _masked_pairs
+
+        cap = sym2.shape[0]
+        iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+        pair2, w2m, _ = _masked_pairs(sym2, w2, jnp.asarray(n2), iota, 0)
+        return np.array(
+            [int(jnp.sum(jnp.where(pair2 == jnp.uint32(w), w2m, 0))) for w in words]
+        )
+
+    def _run(self, symf, wf, n, pair, new_id, words, count):
+        from gpu_bpe_tpu.ops.pallas_kernels import N_PROBES, merge_compact_tracked
+
+        pw = np.zeros(N_PROBES, np.uint32)
+        pw[: len(words)] = words
+        sym2, w2, n2, _bl, _br, _samp, pcnt = merge_compact_tracked(
+            jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n),
+            jnp.uint32(pair), jnp.uint32(new_id),
+            probes=(jnp.asarray(pw), jnp.asarray(count, jnp.int32)),
+            interpret=True,
+        )
+        return sym2, w2, int(n2), np.asarray(pcnt)
+
+    def test_matches_masked_pairs_recount(self):
+        rng = np.random.default_rng(19)
+        n = 5000
+        symf, wf = _random_stream(rng, n, alphabet=10)
+        # probe the affected shapes of merging (5,7)->300: pairs ending in
+        # 5, starting with 7, plus unrelated live pairs
+        words = [pack_pair(a, b) for a, b in
+                 ((2, 5), (3, 5), (7, 2), (7, 9), (1, 2), (4, 4), (9, 1))]
+        sym2, w2, n2, pcnt = self._run(symf, wf, n, pack_pair(5, 7), 300, words, len(words))
+        ref = self._host_counts(sym2, w2, n2, words)
+        np.testing.assert_array_equal(pcnt[: len(words)], ref)
+
+    def test_cross_block_boundary_pairs(self):
+        # multi-block stream: the injected cross-window boundary pair and
+        # carry-tile edges must each be counted exactly once
+        rng = np.random.default_rng(23)
+        n = 2 * BLOCK + 913
+        symf, wf = _random_stream(rng, n, alphabet=5)
+        words = [pack_pair(a, b) for a in range(1, 5) for b in range(1, 5)]
+        from gpu_bpe_tpu.ops.pallas_kernels import N_PROBES
+
+        words = words[:N_PROBES]
+        sym2, w2, n2, pcnt = self._run(symf, wf, n, pack_pair(2, 3), 300, words, len(words))
+        ref = self._host_counts(sym2, w2, n2, words)
+        np.testing.assert_array_equal(pcnt[: len(words)], ref)
+
+    def test_unused_slots_accumulate_nothing(self):
+        # slots at index >= count must stay 0 even when their word matches
+        # live pairs — masking is by slot index, not a sentinel word
+        rng = np.random.default_rng(29)
+        n = 3000
+        symf, wf = _random_stream(rng, n, alphabet=6)
+        words = [pack_pair(1, 2), pack_pair(3, 4), pack_pair(2, 3)]
+        _s, _w, _n2, pcnt = self._run(symf, wf, n, pack_pair(4, 5), 300, words, count=1)
+        assert np.all(pcnt[1:] == 0)
+        ref = self._host_counts(_s, _w, _n2, words[:1])
+        assert pcnt[0] == ref[0]
+
+    def test_probeless_call_unchanged(self):
+        # the 6-tuple API of round 1 still stands when probes is omitted
+        from gpu_bpe_tpu.ops.pallas_kernels import merge_compact_tracked
+
+        rng = np.random.default_rng(31)
+        symf, wf = _random_stream(rng, 2000, alphabet=6)
+        out = merge_compact_tracked(
+            jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(2000),
+            jnp.uint32(pack_pair(2, 3)), jnp.uint32(300), interpret=True,
+        )
+        assert len(out) == 6
+
+
+def test_kernel_wrapper_contract_traces():
+    """Trace tripwire: every exported Pallas entry point must TRACE with
+    its wrapper's argument list (jax.eval_shape — no execution, no
+    device). A kernel/wrapper signature drift (the round-2 HEAD breakage:
+    kernel grew pcnt/pacc but _merge_compact_call passed the old list)
+    fails here in milliseconds instead of deep inside a jit on device."""
+    import jax
+
+    from gpu_bpe_tpu.ops import pallas_kernels as pk
+
+    cap = 2048
+    sym = jnp.zeros((cap,), jnp.uint32)
+    w = jnp.zeros((cap,), jnp.int32)
+    n = jnp.asarray(100, jnp.int32)
+    pair = jnp.uint32(pack_pair(2, 3))
+    nid = jnp.uint32(300)
+
+    jax.eval_shape(lambda *a: pk.merge_compact(*a), sym, w, n, pair, nid)
+    jax.eval_shape(lambda *a: pk.merge_compact_tracked(*a), sym, w, n, pair, nid)
+    probes = (jnp.zeros((pk.N_PROBES,), jnp.uint32), jnp.asarray(0, jnp.int32))
+    jax.eval_shape(
+        lambda s, ww, nn, p, z, pw, pc: pk.merge_compact_tracked(
+            s, ww, nn, p, z, probes=(pw, pc)
+        ),
+        sym, w, n, pair, nid, *probes,
+    )
+    vals = jnp.zeros((pk.BLOCK,), jnp.uint32)
+    jax.eval_shape(lambda v: pk.compact_valid(v), vals)
+    jax.eval_shape(lambda v, e: pk.compact_mask(v, [e]), vals, vals)
+    mask = jnp.zeros((pk.BLOCK,), jnp.uint32)
+    jax.eval_shape(lambda m, v: pk.expand_to_mask(m, v), mask, vals)
+
+
 class TestCompactValid:
     """compact_valid (tokenizer PAD strip) vs numpy boolean compaction."""
 
