@@ -1,6 +1,6 @@
 """Pre-tokenization: Unicode word-boundary detection for BPE training."""
 
-from .boundaries import find_word_boundaries, find_word_boundaries_reference
+from .boundaries import find_word_boundaries
 from .byte_fallback import byte_char_class, tag_word_boundaries_bytes
 from .pretokenizer import PreTokenizer
 
@@ -8,6 +8,5 @@ __all__ = [
     "PreTokenizer",
     "byte_char_class",
     "find_word_boundaries",
-    "find_word_boundaries_reference",
     "tag_word_boundaries_bytes",
 ]

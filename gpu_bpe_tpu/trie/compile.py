@@ -121,14 +121,14 @@ def compile_vocab_to_trie(vocab: list[bytes]) -> bytes:
 def parse_header(data: bytes) -> TrieHeader:
     """Parse + validate the binary header (trie.js:110-128)."""
     if len(data) < TRIE_HEADER_SIZE:
-        raise ValueError("Truncated trie data")
+        raise ValueError(f"trie blob too short for a header ({len(data)} bytes)")
     magic, version, node_count, edge_count, max_token_len, vocab_size, flags = struct.unpack(
         "<7I", data[:TRIE_HEADER_SIZE]
     )
     if magic != TRIE_MAGIC:
-        raise ValueError(f"Invalid trie magic: 0x{magic:x}")
+        raise ValueError(f"not a trie blob (magic word 0x{magic:08x} != 'TRIE')")
     if version not in TRIE_SUPPORTED_VERSIONS:
-        raise ValueError(f"Unsupported trie version: {version}")
+        raise ValueError(f"trie format v{version} not supported (have: v2, v3)")
     return TrieHeader(
         version=version,
         node_count=node_count,
@@ -147,7 +147,10 @@ def parse_trie(data: bytes, header: TrieHeader | None = None) -> FlatTrie:
     node_bytes = header.node_count * bytes_per_node
     edge_bytes = header.edge_count * bytes_per_edge
     if len(data) < TRIE_HEADER_SIZE + node_bytes + edge_bytes:
-        raise ValueError("Truncated trie data")
+        raise ValueError(
+            f"trie blob ends mid-table: header promises {header.node_count} nodes"
+            f" + {header.edge_count} edges but only {len(data)} bytes present"
+        )
 
     node_view = data[TRIE_HEADER_SIZE : TRIE_HEADER_SIZE + node_bytes]
     edge_view = data[TRIE_HEADER_SIZE + node_bytes : TRIE_HEADER_SIZE + node_bytes + edge_bytes]

@@ -3,10 +3,11 @@
 import numpy as np
 import pytest
 
+from pretok_literal_oracle import find_word_boundaries_reference
+
 from gpu_bpe_tpu.pretok import (
     PreTokenizer,
     find_word_boundaries,
-    find_word_boundaries_reference,
     tag_word_boundaries_bytes,
 )
 from gpu_bpe_tpu.constants import WORD_START_BIT
