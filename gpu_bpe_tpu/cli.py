@@ -37,10 +37,27 @@ def _read_files(paths: list[str]) -> list[bytes]:
 def cmd_train(args) -> int:
     import os
 
+    # multi-host launch: federate devices BEFORE any backend touch; every
+    # process runs this same command (see parallel/multihost.py recipe)
+    from .parallel.multihost import init_multihost, multihost_requested, shutdown_multihost
+
+    multihost = multihost_requested(args)
+    rank = 0
+    if multihost:
+        rank, nproc = init_multihost(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+            platform=os.environ.get("GPU_BPE_TPU_PLATFORM"),
+        )
+        args.backend = "dist"
+        print(f"multi-host: process {rank}/{nproc}", file=sys.stderr)
+
     paths = collect_files(args.files)
     total = sum(os.path.getsize(p) for p in paths)
-    print(f"corpus: {len(paths)} file(s), {format_size(total)} · vocab target: {args.vocab_size}",
-          file=sys.stderr)
+    if rank == 0:
+        print(f"corpus: {len(paths)} file(s), {format_size(total)} · vocab target: {args.vocab_size}",
+              file=sys.stderr)
     config = TrainConfig(
         vocab_size=args.vocab_size,
         backend=args.backend,
@@ -59,10 +76,13 @@ def cmd_train(args) -> int:
     else:
         tokenizer, result = train([open(p, "rb").read() for p in paths], config)
     dt = time.perf_counter() - t0
-    print(f"✓ {len(result.merges)} merges, vocab {result.vocab_size}, "
-          f"{dt:.1f}s ({len(result.merges) / max(dt, 1e-9):.1f} merges/s)", file=sys.stderr)
-    tokenizer.save(args.output)
-    print(f"→ {args.output}", file=sys.stderr)
+    if rank == 0:
+        print(f"✓ {len(result.merges)} merges, vocab {result.vocab_size}, "
+              f"{dt:.1f}s ({len(result.merges) / max(dt, 1e-9):.1f} merges/s)", file=sys.stderr)
+        tokenizer.save(args.output)
+        print(f"→ {args.output}", file=sys.stderr)
+    if multihost:
+        shutdown_multihost()  # barrier: rank 0 finishes writing first
     return 0
 
 
@@ -206,6 +226,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="streamed ingestion (bounded host memory; auto above 1 GB)")
     t.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of training to DIR")
+    t.add_argument("--coordinator", metavar="HOST:PORT", default=None,
+                   help="multi-host: jax.distributed coordinator address "
+                        "(or env GPU_BPE_TPU_COORDINATOR); forces --backend dist")
+    t.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count (env GPU_BPE_TPU_NUM_PROCESSES)")
+    t.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's rank (env GPU_BPE_TPU_PROCESS_ID)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("encode", help="encode text (merge-order semantics)")

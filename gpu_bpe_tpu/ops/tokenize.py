@@ -34,7 +34,7 @@ from jax import lax
 
 from ..constants import INVALID_TOKEN, adaptive_chunk_size
 
-_PAD_TOKEN = jnp.uint32(INVALID_TOKEN)  # never a real id (ids are 16-bit)
+_PAD_TOKEN = np.uint32(INVALID_TOKEN)  # never a real id (ids are 16-bit)
 _SCAN_UNROLL = 8  # chunk offsets consumed per scan step (amortizes loop overhead)
 _PAGE_TOKENS = 1 << 21  # u16 tokens per device->host fetch page (4 MB)
 
@@ -60,7 +60,7 @@ _STAB_MAX_LEVELS = 5  # coverage cap: 8 + 6*4 = 32 bytes
 # cheaper, so the chain truncates and the tail lengths go dense (e.g. a
 # real 8K vocab has ~10 tokens past 14 bytes — not worth a level).
 _LEVEL_MIN_TOKENS = 512
-_NO_GROUP = jnp.uint32(0xFFFF)  # group ids are 16-bit (asserted)
+_NO_GROUP = np.uint32(0xFFFF)  # group ids are 16-bit (asserted)
 _RANK_MIN_N = 1 << 20  # rank-space level chain only pays off on big passes
 
 

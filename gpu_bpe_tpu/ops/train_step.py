@@ -45,15 +45,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..constants import BATCH_MERGES, TOKEN_MASK, WORD_START_BIT
 
 _U32 = jnp.uint32
-_TOKEN_MASK = jnp.uint32(TOKEN_MASK)
-_WS_BIT = jnp.uint32(WORD_START_BIT)
-_INVALID = jnp.uint32(0xFFFFFFFF)
-_HOLE = jnp.uint32(0xFFFFFFFF)  # removed-symbol sentinel (never a valid symbol)
+_TOKEN_MASK = np.uint32(TOKEN_MASK)
+_WS_BIT = np.uint32(WORD_START_BIT)
+_INVALID = np.uint32(0xFFFFFFFF)
+_HOLE = np.uint32(0xFFFFFFFF)  # removed-symbol sentinel (never a valid symbol)
 
 # Merges between real compactions. Hole runs are bounded by the number of
 # merges since the last compaction, so lookahead depth == COMPACT_EVERY.

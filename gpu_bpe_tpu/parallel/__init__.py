@@ -7,13 +7,16 @@ from .dist_train import (
     shard_stream,
 )
 from .mesh import make_mesh
+from .multihost import init_multihost, shutdown_multihost
 from .trainer import DistributedTrainer
 
 __all__ = [
     "DistState",
     "DistributedTrainer",
     "init_dist_state",
+    "init_multihost",
     "make_dist_train_batch",
     "make_mesh",
     "shard_stream",
+    "shutdown_multihost",
 ]

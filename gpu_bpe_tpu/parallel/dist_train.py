@@ -70,9 +70,9 @@ from ..ops.train_step import (
 )
 
 _U32 = jnp.uint32
-_TOKEN_MASK = jnp.uint32(TOKEN_MASK)
-_WS_BIT = jnp.uint32(WORD_START_BIT)
-_INVALID = jnp.uint32(0xFFFFFFFF)
+_TOKEN_MASK = np.uint32(TOKEN_MASK)
+_WS_BIT = np.uint32(WORD_START_BIT)
+_INVALID = np.uint32(0xFFFFFFFF)
 
 
 class DistState(NamedTuple):
@@ -553,24 +553,33 @@ def shard_stream(symbols: np.ndarray, weights: np.ndarray, n_devices: int):
 
 
 def init_dist_state(mesh: Mesh, symbols, weights, n, next_id, axis: str = "data") -> DistState:
-    sym_sh = jax.device_put(jnp.asarray(symbols, _U32), NamedSharding(mesh, P(axis, None)))
-    w_sh = jax.device_put(jnp.asarray(weights, jnp.int32), NamedSharding(mesh, P(axis, None)))
-    n_arr = jnp.asarray(n, jnp.int32)
+    """Place the sharded stream + replicated window state on the mesh.
+
+    Multi-process safe: every process computes the same deterministic host
+    split (shard_stream) but uploads only the rows its local devices own;
+    replicated fields are assembled per-process (see parallel/multihost.py
+    — the equivalent of the reference's zero-copy corpus transfer across
+    its worker boundary, training-manager.js:129-138).
+    """
+    from .multihost import make_replicated, make_row_sharded
+
+    n_arr = np.asarray(n, np.int32)
+    rep = lambda x: make_replicated(x, mesh)
     return DistState(
-        symbols=sym_sh,
-        weights=w_sh,
-        n=jax.device_put(n_arr, NamedSharding(mesh, P(axis))),
-        extent=jax.device_put(n_arr, NamedSharding(mesh, P(axis))),
-        dirty=jax.device_put(jnp.zeros_like(n_arr), NamedSharding(mesh, P(axis))),
-        next_id=jnp.asarray(next_id, _U32),
-        early_stop=jnp.asarray(False),
-        merges_done=jnp.asarray(0, jnp.int32),
-        merge_log=jnp.zeros((BATCH_MERGES, 3), _U32),
-        cand=jnp.full((K_CANDIDATES + S_CREATED,), _INVALID, _U32),
-        cand_counts=jnp.full((K_CANDIDATES + S_CREATED,), -1, jnp.int32),
-        theta=jnp.asarray(_I32_MAX, jnp.int32),  # force a recount first
-        ub_new=jnp.asarray(0, jnp.int32),
-        recounts=jnp.asarray(0, jnp.int32),
-        fill=jnp.asarray(K_CANDIDATES, jnp.int32),
-        duals=jnp.asarray(0, jnp.int32),
+        symbols=make_row_sharded(np.asarray(symbols, np.uint32), mesh, axis),
+        weights=make_row_sharded(np.asarray(weights, np.int32), mesh, axis),
+        n=make_row_sharded(n_arr, mesh, axis),
+        extent=make_row_sharded(n_arr, mesh, axis),
+        dirty=make_row_sharded(np.zeros_like(n_arr), mesh, axis),
+        next_id=rep(np.asarray(next_id, np.uint32)),
+        early_stop=rep(np.asarray(False)),
+        merges_done=rep(np.asarray(0, np.int32)),
+        merge_log=rep(np.zeros((BATCH_MERGES, 3), np.uint32)),
+        cand=rep(np.full((K_CANDIDATES + S_CREATED,), 0xFFFFFFFF, np.uint32)),
+        cand_counts=rep(np.full((K_CANDIDATES + S_CREATED,), -1, np.int32)),
+        theta=rep(np.asarray(_I32_MAX, np.int32)),  # force a recount first
+        ub_new=rep(np.asarray(0, np.int32)),
+        recounts=rep(np.asarray(0, np.int32)),
+        fill=rep(np.asarray(K_CANDIDATES, np.int32)),
+        duals=rep(np.asarray(0, np.int32)),
     )

@@ -98,23 +98,30 @@ class DistributedTrainer:
         early_stop = False
 
         # one packed readback per batch (separate scalar reads each pay the
-        # full host-link round trip — same fix as ops/trainer.py)
+        # full host-link round trip — same fix as ops/trainer.py). The
+        # global symbol count rides in the pack: st.n is SHARDED, so a host
+        # np.asarray on it would fail under multi-process (non-addressable
+        # shards) — summing under jit yields a replicated scalar instead.
         import jax
+
+        rank0 = jax.process_index() == 0
 
         @jax.jit
         def _summary(st):
             scalars = jnp.stack(
-                [st.merges_done, st.early_stop.astype(jnp.int32)]
+                [st.merges_done, st.early_stop.astype(jnp.int32),
+                 jnp.sum(st.n)]
             ).astype(jnp.uint32)
             return jnp.concatenate([st.merge_log.reshape(-1), scalars])
 
         while total_done < merges_needed and not early_stop:
             batch = min(self.batch_merges, merges_needed - total_done)
-            state = self._batch(state, jnp.asarray(batch, jnp.int32))
+            state = self._batch(state, np.int32(batch))
             packed = np.asarray(_summary(state))
             log = packed[: BATCH_MERGES * 3].reshape(BATCH_MERGES, 3)
-            merges_done = int(packed[-2])
-            early_stop = bool(packed[-1])
+            merges_done = int(packed[-3])
+            early_stop = bool(packed[-2])
+            symbol_count = int(packed[-1])
             for i in range(merges_done):
                 pair, new_id, count = int(log[i, 0]), int(log[i, 1]), int(log[i, 2])
                 a, b = pair >> 16, pair & TOKEN_MASK
@@ -124,7 +131,7 @@ class DistributedTrainer:
                 merge_counts.append(count)
             total_done += merges_done
 
-            if on_progress and merges_done:
+            if on_progress and merges_done and rank0:
                 elapsed = time.perf_counter() - start
                 on_progress(
                     {
@@ -132,7 +139,7 @@ class DistributedTrainer:
                         "totalMerges": merges_needed,
                         "mergeString": self.vocab.strings[-1],
                         "bestCount": merge_counts[-1],
-                        "symbolCount": int(np.asarray(state.n).sum()),
+                        "symbolCount": symbol_count,
                         "mergesPerSecond": total_done / max(elapsed, 1e-9),
                     }
                 )
