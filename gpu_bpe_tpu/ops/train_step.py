@@ -489,13 +489,35 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
     z_tok16 = st.next_id & _TOKEN_MASK
     has_room = st.fill <= K_CANDIDATES + S_CREATED - 2
     if _use_pallas():
-        from .pallas_kernels import _TRACK_SIDE, merge_compact_tracked
+        from .pallas_kernels import _TRACK_SIDE, N_PROBES, merge_compact_tracked
 
         assert _UB_SIDE == _TRACK_SIDE, "host exclusion hash must match kernel bins"
+        # ── affected candidates, computed BEFORE the merge from the
+        # pre-merge window (the affected-subset rule needs only the merged
+        # pair — see the _post_counts proof). The fused kernel counts them
+        # exactly on the post-merge stream inside its existing streaming
+        # pass, replacing the separate [A, N] affected-recount pass.
+        # Kernel probe contract (token-0): probed pairs must have nonzero
+        # members — holds for every live candidate by construction (stream
+        # pairs never contain token 0 per _masked_pairs, and scratch slots
+        # guard token 0 at sampling). Slots past n_aff are index-masked in
+        # the kernel, so the pad word is irrelevant. ──
+        live0 = st.cand_counts >= 0
+        a_m = best_pair >> _U32(16)
+        b_m = best_pair & _TOKEN_MASK
+        ca0, cb0 = st.cand >> _U32(16), st.cand & _TOKEN_MASK
+        affected = live0 & ((cb0 == a_m) | (ca0 == b_m)) & (st.cand != best_pair)
+        n_aff = jnp.sum(affected.astype(jnp.int32))
+        keys0 = jnp.where(affected, _U32(0), _U32(1))
+        _, aff_sorted = lax.sort((keys0, st.cand), num_keys=1)
+        ia_p = lax.broadcasted_iota(jnp.int32, (N_PROBES,), 0)
+        probes = jnp.where(ia_p < n_aff, aff_sorted[:N_PROBES], _U32(1))
+        use_probes = n_aff <= N_PROBES
         # one streaming kernel: merge + compaction + created-pair tracking
-        # (unexcluded histograms + heaviest-pair sample)
-        sym2, w2, n_new, bins_l, bins_r, samp = merge_compact_tracked(
-            st.symbols, st.weights, st.n, best_pair, st.next_id
+        # (unexcluded histograms + heaviest-pair sample) + probe counts
+        sym2, w2, n_new, bins_l, bins_r, samp, pcnt = merge_compact_tracked(
+            st.symbols, st.weights, st.n, best_pair, st.next_id,
+            probes=(probes, jnp.where(use_probes, n_aff, 0)),
         )
         extent2, dirty2 = n_new, jnp.asarray(0, jnp.int32)
         next2 = None  # compacted stream: merge 2 never needs a hole chain
@@ -538,9 +560,36 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
     r_pair = jnp.where(r_ok, (z_tok16 << _U32(16)) | r_tok, _INVALID)
     l_slot = jnp.where(l_ok, l_pair, _U32(1))
     r_slot = jnp.where(r_ok, r_pair, _U32(1))
-    counts2, c_l, c_r = _post_counts(
-        st.cand, st.cand_counts, best_pair, l_slot, r_slot, sym2, w2, extent2, lookahead
-    )
+    if _use_pallas():
+        # candidate counts come from the kernel's fused probe pass when the
+        # affected set fits the probe slots (>99% of merges); the sampled
+        # created pairs still need one cheap fused elementwise pass (their
+        # identity is only known from the kernel's output sample, and the
+        # exclusion + dual-merge certificate need their counts NOW). A
+        # dense _post_counts recount remains the rare wide-merge fallback.
+        def from_probes(_):
+            cap2 = sym2.shape[0]
+            iota2 = lax.broadcasted_iota(jnp.int32, (cap2,), 0)
+            pair2, w2m, _ = _masked_pairs(sym2, w2, extent2, iota2, 0)
+            c_l = jnp.sum(jnp.where(pair2 == l_slot, w2m, 0))
+            c_r = jnp.sum(jnp.where(pair2 == r_slot, w2m, 0))
+            match = (st.cand[:, None] == probes[None, :]) & (ia_p < n_aff)[None, :]
+            rec = jnp.max(jnp.where(match, pcnt[None, :], 0), axis=1)
+            counts2 = jnp.where(affected, rec, st.cand_counts)
+            counts2 = jnp.where(live0 & (st.cand == best_pair), 0, counts2)
+            return counts2, c_l, c_r
+
+        def dense_fallback(_):
+            return _post_counts(
+                st.cand, st.cand_counts, best_pair, l_slot, r_slot,
+                sym2, w2, extent2, lookahead,
+            )
+
+        counts2, c_l, c_r = lax.cond(use_probes, from_probes, dense_fallback, None)
+    else:
+        counts2, c_l, c_r = _post_counts(
+            st.cand, st.cand_counts, best_pair, l_slot, r_slot, sym2, w2, extent2, lookahead
+        )
     if _use_pallas():
         # subtract each sampled pair's exact count from its bin — identical
         # to in-stream exclusion because the pair's whole mass lives there

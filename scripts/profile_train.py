@@ -115,72 +115,89 @@ def main() -> None:
         _ = np.asarray(leaf.reshape(-1)[0]) if hasattr(leaf, "reshape") else leaf
         return time.perf_counter() - t0
 
+    def marginal(fn_of_k, k1, k2, reps=3):
+        """Median over reps of (t(k2)-t(k1))/(k2-k1): cancels the fixed
+        dispatch+sync cost (~29 ms on this tunnel), which would otherwise
+        dominate any single-call measurement."""
+        fn_of_k(k1), fn_of_k(k2)  # warm
+        vals = []
+        for _ in range(reps):
+            t1, t2 = fn_of_k(k1), fn_of_k(k2)
+            vals.append((t2 - t1) / (k2 - k1))
+        return sorted(vals)[len(vals) // 2] * 1e6
+
     # ── A: kernel chain over real merges at depth ──
     k = args.chain
-    timed(replay, sym, w, n, depth, depth + k)  # warm this rung
-    t1 = timed(replay, sym, w, n, depth, depth + k)
-    t2 = timed(replay, sym, w, n, depth, depth + 2 * k) if depth + 2 * k <= n_m else None
-    a_us = ((t2 - t1) / k if t2 else t1 / k) * 1e6
+    a_us = marginal(lambda kk: timed(replay, sym, w, n, depth, depth + kk),
+                    k, 2 * k if depth + 2 * k <= n_m else k + 1)
 
     # ── B: maintained-count update chain at each tier width ──
     cap = sym0.shape[0]
 
     def count_chain(width):
+        # stream perturbed per step (defeats loop-invariant hoisting of
+        # _masked_pairs — the production pass runs on a fresh stream every
+        # merge), probes dependent on acc (defeats CSE)
         @jax.jit
-        def chain(sym, w, n, seed):
+        def chain(sym, w, n, seed, kk):
             iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
 
-            def body(i, acc):
+            def body(i, carry):
+                sym, acc = carry
+                sym = sym.at[i % 64].set(sym[i % 64])
                 pair2, w2m, _ = _masked_pairs(sym, w, n, iota, 0)
-                # W probe pairs dependent on acc (defeats CSE across steps)
                 base = (acc & _U32(0xFFFF)) | (jnp.uint32(i) << _U32(16))
                 lst = base + lax.broadcasted_iota(jnp.uint32, (width + 2,), 0)
                 eq = lst[:, None] == pair2[None, :]
                 cnt = jnp.sum(jnp.where(eq, w2m[None, :], 0), axis=1)
-                return acc + cnt.astype(jnp.uint32)[0]
+                return sym, acc + cnt.astype(jnp.uint32)[0]
 
-            return lax.fori_loop(0, k, body, seed)
+            return lax.fori_loop(0, kk, body, (sym, seed))[1]
 
-        chain(sym, w, n, jnp.uint32(1))  # compile + warm
-        t1 = timed(chain, sym, w, n, jnp.uint32(1))
-        return t1 / k * 1e6
+        return marginal(
+            lambda kk: timed(chain, sym, w, n, jnp.uint32(1), kk), k, 3 * k
+        )
 
     b_fast_us = count_chain(A_FAST)
     b_full_us = count_chain(A_AFFECTED)
 
-    # ── C: ground truth — the real batch loop at depth. Re-pad to the
-    # right capacity rung first: the device loop's collapse stop returns
-    # early when n < capacity/2 (the trainer normally shrinks between
-    # batches), which would make the batch measure 1 merge. ──
-    from gpu_bpe_tpu.ops.ingest import SymbolStream
+    # ── C: ground truth — the real batch loop at depth, re-padded to the
+    # trainer's power-of-two rung (the production capacity; an off-ladder
+    # capacity both compiles fresh and mis-measures). Marginal between two
+    # batch sizes cancels the fixed sync cost; sizes stay below the
+    # collapse-stop horizon. ──
     from gpu_bpe_tpu.ops.train_step import train_batch
 
-    sym_h, w_h = np.asarray(sym)[:n_at], np.asarray(w)[:n_at]
-    repad = pad_stream(
-        SymbolStream(sym_h, w_h, n_at, padded.total_bytes), multiple=1024
-    )
-    sym_p = jnp.asarray(repad.symbols)
-    w_p = jnp.asarray(repad.weights)
-    st = init_state(sym_p, w_p, repad.n, 256 + depth)
+    rung = 1 << 15
+    while rung < n_at:
+        rung <<= 1
+    sym_h = np.zeros(rung, np.uint32); sym_h[:n_at] = np.asarray(sym)[:n_at]
+    w_h = np.zeros(rung, np.int32); w_h[:n_at] = np.asarray(w)[:n_at]
+    sym_p = jnp.asarray(sym_h)
+    w_p = jnp.asarray(w_h)
     tb = jax.jit(train_batch)
-    out = tb(st, jnp.asarray(k, jnp.int32))  # compile + warm
-    st2 = init_state(sym_p, w_p, repad.n, 256 + depth)
-    t0 = time.perf_counter()
-    out = tb(st2, jnp.asarray(k, jnp.int32))
-    done = int(out.merges_done)
-    c_us = (time.perf_counter() - t0) / max(1, done) * 1e6
+
+    def run_batch(kk):
+        st = init_state(sym_p, w_p, n_at, 256 + depth)
+        t0 = time.perf_counter()
+        out = tb(st, jnp.asarray(kk, jnp.int32))
+        done = int(out.merges_done)
+        assert done == kk, f"batch stopped early ({done}/{kk}); lower --chain"
+        return time.perf_counter() - t0
+
+    c_us = marginal(run_batch, 16, 16 + k)
 
     report = {
         "device": str(jax.devices()[0]),
         "corpus_mb": args.mb,
         "depth": depth,
         "n_at_depth": n_at,
-        "capacity": int(cap),
+        "capacity": int(rung),
         "kernel_us_per_merge": round(a_us, 1),
         "count_update_fast_us": round(b_fast_us, 1),
         "count_update_full_us": round(b_full_us, 1),
         "train_batch_us_per_merge": round(c_us, 1),
-        "batch_merges_done": done,
+        "batch_merges_done": 16 + k,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     print(json.dumps(report), flush=True)
