@@ -12,8 +12,12 @@
 * global placement — the TPU grid is sequential, so a running output
   offset lives in SMEM scratch and each block DMAs its compacted B
   elements to ``out[offset:offset+B]``. Offsets are nondecreasing with
-  gaps < B, so a block's garbage tail is overwritten by its successor; a
-  trailing all-zero pad block scrubs the last tail.
+  gaps < B, so a block's garbage tail is overwritten by its successor;
+  the caller re-zeroes the final tail (see ``merge_compact_tracked``).
+  The grid is DYNAMIC — ceil(n/BLOCK) blocks — so capacity above the
+  live stream is never streamed, and blocks hold the stream at natural
+  positions with the cross-block prev symbol carried in SMEM (no
+  front-pad copy).
 
 Everything runs in the VPU-native [rows, 128] layout; flat-order shifts
 are built from ``pltpu.roll`` (row rotate + lane rotate + previous-row
@@ -116,12 +120,11 @@ def _flat_prefix_sum_excl(x):
 
 def _merge_compact_kernel(
     scalars_ref,  # SMEM [4+N_PROBES] u32: pair, new id, live n, n_probes, probes
-    sym_ref,  # VMEM [ROWS, 128] u32 — this block (logical p-1 at flat t)
+    sym_ref,  # VMEM [ROWS, 128] u32 — this block (logical p at flat t)
     w_ref,  # VMEM [ROWS, 128] i32
     sym_nxt_ref,  # VMEM [ROWS, 128] u32 — next block (halo source)
-    w_nxt_ref,  # VMEM [ROWS, 128] i32
-    out_sym_ref,  # ANY [NPAD+TILE] u32 — full output, manual DMA
-    out_w_ref,  # ANY [NPAD+TILE] i32
+    out_sym_ref,  # ANY [CAP+BLOCK+TILE] u32 — full output, manual DMA
+    out_w_ref,  # ANY [CAP+BLOCK+TILE] i32
     removed_ref,  # SMEM [1] i32 — total removed (written every step)
     bins_ref,  # VMEM [2*TRACK_SIDE, TRACK_SIDE] f32 — created-pair histograms
     samp_ref,  # SMEM [4] i32 — (max_wl, tok_l, max_wr, tok_r) sample
@@ -139,6 +142,7 @@ def _merge_compact_kernel(
     bound_ref,  # SMEM scratch [2] i32 — stream tail (sym, w) across steps
     disp_ref,  # VMEM scratch [ROWS, 128] i32 — displacement (valid iff n_rem>0)
     pacc_ref,  # SMEM scratch [N_PROBES] i32 — running probe counts
+    pblast_ref,  # SMEM scratch [1] i32 — previous block's last symbol
 ):
     i = pl.program_id(0)
     tok_mask = jnp.uint32(TOKEN_MASK)
@@ -155,18 +159,28 @@ def _merge_compact_kernel(
         off_ref[0] = 0
         m_ref[0] = 0
         acc_ref[0] = 0
+        pblast_ref[0] = 0  # no predecessor: prev of position 0 is "none"
         for k in range(N_PROBES):
             pacc_ref[k] = 0
 
     fi = _flat_index()
-    # the input array is front-padded by one zero, so flat position t of
-    # this block holds the symbol at logical p-1; the +1/+2 shifts below
-    # expose the symbol at p and p+1 (train.wgsl reads raw_prev/raw/raw_next
-    # before any write — same trick, vectorized)
-    prev_s = sym_ref[:]
-    self_s = _shift_left_patched(prev_s, sym_nxt_ref[:], 1, fi)
-    next_s = _shift_left_patched(prev_s, sym_nxt_ref[:], 2, fi)
-    w_self = _shift_left_patched(w_ref[:], w_nxt_ref[:], 1, fi)
+    # blocks hold logical positions DIRECTLY (no front-pad copy — round 2
+    # padded the whole stream by one zero per merge, two full-array copies
+    # of pure HBM traffic). prev is a shift-right with the previous block's
+    # last symbol carried in SMEM across the sequential grid; next is a
+    # shift-left patched from the halo block. Same read-all-before-write
+    # semantics as train.wgsl:475-479.
+    self_s = sym_ref[:]
+    w_self = w_ref[:]
+    next_s = _shift_left_patched(self_s, sym_nxt_ref[:], 1, fi)
+    prev_r = _fshift(self_s, 1)  # slot 0 wraps to this block's last — patch
+    prev_s = jnp.where(fi == 0, jnp.uint32(pblast_ref[0]), prev_r)
+    # carry this block's last symbol for the NEXT block (read-before-write
+    # order: prev_s above already consumed the old value). i32 extraction:
+    # Mosaic has no unsigned reductions; symbol words are <= 0x1FFFF.
+    pblast_ref[0] = jnp.max(
+        jnp.where(fi == BLOCK - 1, self_s.astype(jnp.int32), 0)
+    )
 
     p_tok = prev_s & tok_mask
     s_tok = self_s & tok_mask
@@ -426,11 +440,21 @@ def _merge_compact_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
-    npad = sym_padded.shape[0]
-    grid = npad // BLOCK
-    sym2 = sym_padded.reshape(grid * _ROWS, _LANES)
-    w2 = w_padded.reshape(grid * _ROWS, _LANES)
+def _merge_compact_call(sym_blocked, w_blocked, scalars, grid_dyn, interpret=False):
+    """``sym_blocked``/``w_blocked`` are BLOCK-multiple arrays holding the
+    stream at its natural positions (no front pad — the kernel carries the
+    cross-block prev symbol in SMEM). ``grid_dyn`` is the TRACED number of
+    blocks to process — ceil(n/BLOCK) — so dead capacity above the live
+    stream is never streamed (n is always in (cap/2, cap] on the trainer's
+    power-of-two ladder, so this saves up to half the kernel's HBM traffic
+    right after a shrink). Interpret mode (CPU tests) runs the full static
+    grid instead: extra blocks stream the zero tail through, which appends
+    zeros to the output — identical results."""
+    nbytes = sym_blocked.shape[0]
+    nb_arr = nbytes // BLOCK
+    sym2 = sym_blocked.reshape(nb_arr * _ROWS, _LANES)
+    w2 = w_blocked.reshape(nb_arr * _ROWS, _LANES)
+    grid = nb_arr if interpret else grid_dyn
     out_sym, out_w, removed, bins, samp, pcnt = pl.pallas_call(
         _merge_compact_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -439,15 +463,13 @@ def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
             in_specs=[
                 pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0)),
                 pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0)),
-                # halo source: next block; the last (all-zero pad) block
-                # reads itself, which is still all zeros — harmless
+                # halo source: next block, clamped to the ARRAY's last
+                # block (NOT num_programs — the grid may stop short of the
+                # array). Clamped values only reach positions masked by
+                # gpos < n_live - 1.
                 pl.BlockSpec(
                     (_ROWS, _LANES),
-                    lambda i, s: (jnp.minimum(i + 1, pl.num_programs(0) - 1), 0),
-                ),
-                pl.BlockSpec(
-                    (_ROWS, _LANES),
-                    lambda i, s: (jnp.minimum(i + 1, pl.num_programs(0) - 1), 0),
+                    lambda i, s: (jnp.minimum(i + 1, nb_arr - 1), 0),
                 ),
             ],
             out_specs=[
@@ -472,11 +494,12 @@ def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
                 pltpu.SMEM((2,), jnp.int32),
                 pltpu.VMEM((_ROWS, _LANES), jnp.int32),
                 pltpu.SMEM((N_PROBES,), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((npad + _TILE,), jnp.uint32),
-            jax.ShapeDtypeStruct((npad + _TILE,), jnp.int32),
+            jax.ShapeDtypeStruct((nbytes + BLOCK + _TILE,), jnp.uint32),
+            jax.ShapeDtypeStruct((nbytes + BLOCK + _TILE,), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
             jax.ShapeDtypeStruct((2 * _TRACK_SIDE, _TRACK_SIDE), jnp.float32),
             jax.ShapeDtypeStruct((4,), jnp.int32),
@@ -484,7 +507,7 @@ def _merge_compact_call(sym_padded, w_padded, scalars, interpret=False):
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(scalars, sym2, w2, sym2, w2)
+    )(scalars, sym2, w2, sym2)
     return out_sym, out_w, removed, bins, samp, pcnt
 
 
@@ -868,12 +891,17 @@ def merge_compact_tracked(symbols, weights, n, pair, new_id, probes=None, interp
     kernel comment); callers route zero-member pairs to the recount path.
     Without ``probes`` the 6-tuple of round 1 is returned unchanged."""
     cap = symbols.shape[0]
-    # +1 front zero (shifts the window so flat t holds logical p-1) and
-    # enough back zeros for (a) the +1/+2 lookahead, (b) BLOCK alignment,
-    # (c) one full all-zero pad block that scrubs the final garbage tail.
-    npad = ((cap + 1 + BLOCK - 1) // BLOCK + 1) * BLOCK
-    sym_p = jnp.zeros((npad,), _U32).at[1 : cap + 1].set(symbols)
-    w_p = jnp.zeros((npad,), jnp.int32).at[1 : cap + 1].set(weights)
+    # Blocks hold the stream at its natural positions — no front-pad copy
+    # (the kernel carries the cross-block prev symbol in SMEM). Only
+    # non-BLOCK-multiple capacities (small rungs / odd shard sizes) pay a
+    # zero-pad copy; the trainer's power-of-two ladder >= BLOCK is free.
+    nbytes = max(((cap + BLOCK - 1) // BLOCK) * BLOCK, BLOCK)
+    if nbytes != cap:
+        sym_b = jnp.zeros((nbytes,), _U32).at[:cap].set(symbols)
+        w_b = jnp.zeros((nbytes,), jnp.int32).at[:cap].set(weights)
+    else:
+        sym_b = jnp.asarray(symbols, _U32)
+        w_b = jnp.asarray(weights, jnp.int32)
     if probes is None:
         probe_words = jnp.zeros((N_PROBES,), _U32)
         n_probes = jnp.zeros((), _U32)
@@ -886,8 +914,11 @@ def merge_compact_tracked(symbols, weights, n, pair, new_id, probes=None, interp
          jnp.asarray(n, jnp.int32).astype(_U32), n_probes]
     )
     scalars = jnp.concatenate([head, probe_words])
+    grid_dyn = jnp.maximum(
+        (jnp.asarray(n, jnp.int32) + BLOCK - 1) // BLOCK, 1
+    )
     out_sym, out_w, removed, bins, samp, pcnt = _merge_compact_call(
-        sym_p, w_p, scalars, interpret=interpret
+        sym_b, w_b, scalars, grid_dyn, interpret=interpret
     )
     n_new = n - removed[0]
     # the DMA windows cover only up to the compacted stream end + one tile;

@@ -66,6 +66,16 @@ import os as _os
 
 
 @_functools.cache
+def _multi_merge_enabled() -> bool:
+    """Multi-merge (dual/triple) iterations in the SINGLE-CHIP step.
+
+    Off by default (see the comment at the dual_pre gate in _one_merge);
+    GPU_BPE_TPU_MULTI=1 re-enables. The distributed step is unaffected —
+    it has its own iteration and always multi-merges."""
+    return bool(_os.environ.get("GPU_BPE_TPU_MULTI"))
+
+
+@_functools.cache
 def _use_pallas() -> bool:
     """Use the fused Pallas merge+compact kernel (TPU only).
 
@@ -722,6 +732,18 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
         & (state.next_id + _U32(1) <= _TOKEN_MASK)
         & (state.merges_done + 2 <= batch_merges)
     )
+    if not _multi_merge_enabled():
+        # Single-chip default since round 3: with candidate counts
+        # MAINTAINED (probe-fused kernel recounts), a multi-merge
+        # iteration no longer shares any stream pass — it only shares
+        # iteration overhead, and the nested cond boundaries it needs
+        # cost MORE than that overhead on TPU (measured at the 16 MB
+        # depth-1024 state: 223 µs/merge dual+triple vs 166 µs/merge
+        # single). The DISTRIBUTED step keeps multi-merge: there an
+        # iteration pays ICI collective latency, which dualing halves.
+        # Merge lists are invariant either way (the certificate never
+        # changes WHICH merges apply). Re-enable: GPU_BPE_TPU_MULTI=1.
+        dual_pre = jnp.asarray(False)
     counts3 = jnp.where(state.cand == q, -1, counts2)
     m3 = jnp.max(counts3)
     r3 = jnp.min(jnp.where(counts3 == m3, state.cand, _INVALID))

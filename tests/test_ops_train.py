@@ -453,3 +453,40 @@ class TestNativeIngest:
         b = self._numpy(run, monkeypatch)
         self._assert_equal(a, b)
         assert a.n == 8 and int((np.asarray(a.symbols) >> 16).sum()) == 2
+
+
+def test_multi_merge_mode_conformance(english_text, tmp_path):
+    """GPU_BPE_TPU_MULTI=1 (dual/triple iterations) must stay bitwise-
+    identical to the single-merge default. Subprocess: the flag is read at
+    trace time and cached (monkeypatching would be silently ignored by
+    memoized traces — CLAUDE.md invariant 4)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    worker = tmp_path / "w.py"
+    worker.write_text(
+        "import sys, json\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from gpu_bpe_tpu.ops import TPUTrainer\n"
+        "from gpu_bpe_tpu.pretok import PreTokenizer\n"
+        "data, starts = PreTokenizer().pre_tokenize_bytes(open(sys.argv[1],'rb').read())\n"
+        "r = TPUTrainer().train(data, starts, target_vocab_size=330)\n"
+        "json.dump({'m': r.merges, 'c': r.merge_counts}, open(sys.argv[2],'w'))\n"
+    )
+    corpus = tmp_path / "c.txt"
+    corpus.write_bytes((english_text * 12).encode()[:8000])
+    import os
+
+    outs = {}
+    for mode, env in (("single", {}), ("multi", {"GPU_BPE_TPU_MULTI": "1"})):
+        out = tmp_path / f"{mode}.json"
+        e = dict(os.environ, PYTHONPATH=str(repo), **env)
+        p = subprocess.run([sys.executable, str(worker), str(corpus), str(out)],
+                           env=e, capture_output=True, timeout=600)
+        assert p.returncode == 0, p.stderr.decode()[-2000:]
+        outs[mode] = json.loads(out.read_text())
+    assert outs["single"] == outs["multi"]
