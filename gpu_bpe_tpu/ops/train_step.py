@@ -885,3 +885,24 @@ def train_batch(state: TrainState, batch_merges: jax.Array) -> TrainState:
 
 
 train_batch_jit = jax.jit(train_batch, donate_argnums=(0,))
+
+
+def _pack_summary(st: TrainState) -> jax.Array:
+    """Merge log + batch scalars packed into ONE u32 array: the host's
+    entire per-batch readback (each separate device->host read pays the
+    full link latency — ~29 ms on the axon tunnel)."""
+    scalars = jnp.stack(
+        [st.duals, st.merges_done, st.n, st.early_stop.astype(jnp.int32), st.recounts]
+    ).astype(_U32)
+    return jnp.concatenate([st.merge_log.reshape(-1), scalars])
+
+
+def train_batch_with_summary(state: TrainState, batch_merges: jax.Array):
+    """``train_batch`` + the packed host summary in the SAME dispatch (a
+    separate jitted summary call costs one more host->device command per
+    batch on a high-latency link)."""
+    st = train_batch(state, batch_merges)
+    return st, _pack_summary(st)
+
+
+train_batch_summary_jit = jax.jit(train_batch_with_summary, donate_argnums=(0,))

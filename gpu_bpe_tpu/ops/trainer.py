@@ -21,7 +21,7 @@ from ..constants import BATCH_MERGES, TOKEN_MASK
 from ..core.trainer_ref import ProgressFn, TrainingResult
 from ..core.vocab import Vocab
 from .ingest import SymbolStream, make_stream, pad_stream
-from .train_step import TrainState, init_state, train_batch_jit
+from .train_step import init_state, train_batch_summary_jit
 
 logger = logging.getLogger(__name__)
 
@@ -111,23 +111,17 @@ class TPUTrainer:
                 target_vocab_size=target_vocab_size,
             ).save(checkpoint_path)
 
-        # Pack the log + scalars into one array so each batch costs exactly
-        # ONE device->host round trip (separate int()/np.asarray() reads
-        # each pay the full host-link latency).
-        @jax.jit
-        def _summary(st: TrainState):
-            scalars = jnp.stack(
-                [st.duals, st.merges_done, st.n, st.early_stop.astype(jnp.int32), st.recounts]
-            ).astype(jnp.uint32)
-            return jnp.concatenate([st.merge_log.reshape(-1), scalars])
-
         while total_done < merges_needed and not early_stop:
             batch = min(self.batch_merges, merges_needed - total_done)
             cap = state.symbols.shape[0]
-            state = train_batch_jit(state, jnp.asarray(batch, jnp.int32))
-
-            # ── single host readback per batch ──
-            packed = np.asarray(_summary(state))
+            # one dispatch per batch: the packed log+scalars summary rides
+            # the same jitted call (a separate summary dispatch costs one
+            # more host->device command on a high-latency link), and ONE
+            # host readback syncs it
+            state, packed_dev = train_batch_summary_jit(
+                state, jnp.asarray(batch, jnp.int32)
+            )
+            packed = np.asarray(packed_dev)
             log = packed[: BATCH_MERGES * 3].reshape(BATCH_MERGES, 3)
             merges_done = int(packed[-4])
             n_now = int(np.int32(packed[-3]))

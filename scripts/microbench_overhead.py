@@ -113,6 +113,54 @@ def main() -> None:
     cond1_us = marginal(lambda kk: timed(c1, sym, w, kk), k, 3 * k)
     cond3_us = marginal(lambda kk: timed(c3, sym, w, kk), k, 3 * k)
 
+    # ── write-through baseline vs the same write behind a (rarely taken)
+    # identity cond: if equal, a cond whose taken branch produces the new
+    # arrays anyway is free, and restructuring do_stop/do_merge buys nothing ──
+    @jax.jit
+    def wbase(sym, w, kk):
+        def body(i, c):
+            s, ww = c
+            return s + jnp.uint32(2), ww + 1
+
+        return lax.fori_loop(0, kk, body, (sym, w))
+
+    wbase_us = marginal(lambda kk: timed(wbase, sym, w, kk), k, 3 * k)
+
+    @jax.jit
+    def wcond(sym, w, kk):
+        def body(i, c):
+            s, ww = c
+            pred = s[0] > jnp.uint32(0xFFFFFFF0)  # data-dependent, never true
+            return lax.cond(
+                pred,
+                lambda a, b: (a, b),  # identity (the do_stop shape)
+                lambda a, b: (a + jnp.uint32(2), b + 1),  # the do_merge shape
+                s, ww,
+            )
+
+        return lax.fori_loop(0, kk, body, (sym, w))
+
+    wcond_us = marginal(lambda kk: timed(wcond, sym, w, kk), k, 3 * k)
+
+    # ── big CAPTURED operands, small result (the certified/full_recount
+    # and use_probes/dense_fallback shape): rare branch reduces the big
+    # arrays, taken branch is scalar-cheap ──
+    @jax.jit
+    def copsmall(sym, w, kk):
+        def body(i, c):
+            s, ww, acc = c
+            pred = acc < jnp.int32(0x7FFFFFF0)  # data-dependent, always true
+            acc = lax.cond(
+                pred,
+                lambda: acc + 1,
+                lambda: jnp.max(s).astype(jnp.int32) + jnp.max(ww),  # captures both
+            )
+            return s + jnp.uint32(1), ww, acc
+
+        return lax.fori_loop(0, kk, body, (sym, w, jnp.int32(0)))
+
+    cop_small_us = marginal(lambda kk: timed(copsmall, sym, w, kk), k, 3 * k)
+
     # ── cond over scalars only (big arrays NOT operands of the cond) ──
     @jax.jit
     def csmall(sym, w, kk):
@@ -168,6 +216,9 @@ def main() -> None:
         "device": str(jax.devices()[0]),
         "cap": cap,
         "base_us": round(base_us, 1),
+        "write_base_us": round(wbase_us, 1),
+        "write_cond_us": round(wcond_us, 1),
+        "cond_captured_smallres_us": round(cop_small_us, 1),
         "cond_big1_us": round(cond1_us, 1),
         "cond_big3_us": round(cond3_us, 1),
         "cond_small_us": round(cond_small_us, 1),
