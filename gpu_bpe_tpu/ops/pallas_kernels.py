@@ -193,8 +193,19 @@ def _merge_compact_kernel(
     # phantom removals that silently shrank n (weight-loss corruption
     # first seen at 64 MB corpus scale).
     gpos = i * BLOCK + fi  # logical position of flat slot t
-    site_here = (s_tok == a) & (n_tok == b) & ((next_s & ws_bit) == 0) & (gpos < n_live - 1)
-    removed = (p_tok == a) & (s_tok == b) & ((self_s & ws_bit) == 0) & (gpos < n_live)
+    # pair 0 means NO merge (the system-wide "no winner" value: token-0
+    # pairs are never counted, so pair 0 can never win — but token-0
+    # ADJACENCIES can exist in binary corpora, so (0,0) must not match).
+    # Used by the neutralized-stop iteration in train_step._one_merge.
+    noop = pair == 0
+    site_here = (
+        (s_tok == a) & (n_tok == b) & ((next_s & ws_bit) == 0)
+        & (gpos < n_live - 1) & ~noop
+    )
+    removed = (
+        (p_tok == a) & (s_tok == b) & ((self_s & ws_bit) == 0)
+        & (gpos < n_live) & ~noop
+    )
     vals = jnp.where(site_here, new_id | (self_s & ws_bit), self_s)
     wts = w_self
     keep = ~removed
@@ -525,6 +536,109 @@ def merge_compact(symbols, weights, n, pair, new_id, interpret=False):
         symbols, weights, n, pair, new_id, interpret=interpret
     )
     return sym_out, w_out, n_new
+
+
+def _count_pairs_kernel(
+    scalars_ref,  # SMEM [4] u32: pair1, pair2, live n, pad
+    sym_ref,  # VMEM [ROWS, 128] u32 — this block (logical p at flat t)
+    w_ref,  # VMEM [ROWS, 128] i32
+    sym_nxt_ref,  # VMEM [ROWS, 128] u32 — next block (halo source)
+    cnt_ref,  # SMEM [2] i32 — exact pair-stream counts (written every step)
+    acc_ref,  # SMEM scratch [2] i32 — running sums
+):
+    """Exact pair-stream counts of TWO pairs over a hole-free stream.
+
+    Reproduces ``ops.train_step._masked_pairs`` on a compacted stream
+    EXACTLY (including the token-0 guards, so sentinel pairs with a zero
+    member count 0): pair (p, p+1) contributes ``w[p]`` iff p < n-1, the
+    successor lacks the word-start bit, and neither token is 0
+    (train.wgsl:393-399). One streaming read at ceil(n/BLOCK) blocks —
+    the per-merge sampled-created-pair counts previously cost a full
+    O(capacity) XLA pass."""
+    i = pl.program_id(0)
+    tok_mask = jnp.uint32(TOKEN_MASK)
+    ws_bit = jnp.uint32(WORD_START_BIT)
+    p1 = scalars_ref[0]
+    p2 = scalars_ref[1]
+    n_live = scalars_ref[2].astype(jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[0] = 0
+        acc_ref[1] = 0
+
+    fi = _flat_index()
+    self_s = sym_ref[:]
+    next_s = _shift_left_patched(self_s, sym_nxt_ref[:], 1, fi)
+    gpos = i * BLOCK + fi
+    s_tok = self_s & tok_mask
+    n_tok = next_s & tok_mask
+    valid = (
+        (gpos < n_live - 1)
+        & ((next_s & ws_bit) == 0)
+        & (s_tok != 0)
+        & (n_tok != 0)
+    )
+    pairw = jnp.where(valid, (s_tok << jnp.uint32(16)) | n_tok, jnp.uint32(0))
+    w = w_ref[:]
+    acc_ref[0] = acc_ref[0] + jnp.sum(jnp.where(pairw == p1, w, 0))
+    acc_ref[1] = acc_ref[1] + jnp.sum(jnp.where(pairw == p2, w, 0))
+    cnt_ref[0] = acc_ref[0]
+    cnt_ref[1] = acc_ref[1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def count_pairs2(symbols, weights, n, pair1, pair2, interpret=False):
+    """Exact ``_masked_pairs`` counts of two pairs: i32 [2].
+
+    ``symbols``/``weights`` are CAP-sized, hole-free, zero past ``n``. The
+    grid is dynamic (ceil(n/BLOCK) blocks — interpret mode runs the full
+    static grid; the zero tail counts nothing either way)."""
+    cap = symbols.shape[0]
+    nbytes = max(((cap + BLOCK - 1) // BLOCK) * BLOCK, BLOCK)
+    if nbytes != cap:
+        sym_b = jnp.zeros((nbytes,), _U32).at[:cap].set(symbols)
+        w_b = jnp.zeros((nbytes,), jnp.int32).at[:cap].set(weights)
+    else:
+        sym_b = jnp.asarray(symbols, _U32)
+        w_b = jnp.asarray(weights, jnp.int32)
+    nb_arr = nbytes // BLOCK
+    sym2 = sym_b.reshape(nb_arr * _ROWS, _LANES)
+    w2 = w_b.reshape(nb_arr * _ROWS, _LANES)
+    scalars = jnp.stack(
+        [
+            jnp.asarray(pair1, _U32),
+            jnp.asarray(pair2, _U32),
+            jnp.asarray(n, jnp.int32).astype(_U32),
+            jnp.zeros((), _U32),
+        ]
+    )
+    grid_dyn = jnp.maximum((jnp.asarray(n, jnp.int32) + BLOCK - 1) // BLOCK, 1)
+    grid = nb_arr if interpret else grid_dyn
+    (cnt,) = pl.pallas_call(
+        _count_pairs_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0)),
+                pl.BlockSpec((_ROWS, _LANES), lambda i, s: (i, 0)),
+                # halo: next block, clamped to the ARRAY's last block (the
+                # grid may stop short); clamped values only reach positions
+                # masked by gpos < n - 1
+                pl.BlockSpec(
+                    (_ROWS, _LANES),
+                    lambda i, s: (jnp.minimum(i + 1, nb_arr - 1), 0),
+                ),
+            ],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((2,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(scalars, sym2, w2, sym2)
+    return cnt
 
 
 def _make_compact_kernel(n_extra: int):

@@ -131,6 +131,34 @@ def run_kernel_selftest(interpret: bool = False) -> dict[str, bool]:
     ok &= samp[0] == int(jnp.max(wl)) and samp[2] == int(jnp.max(wr))
     results["tracked_hist_multiblock"] = bool(ok)
 
+    # 5b. count_pairs2 (per-merge sampled-pair counts): vs a host
+    #     _masked_pairs count, with a boundary-straddling occurrence and a
+    #     token-0 sentinel pair (must count 0)
+    from jax import lax
+
+    from .pallas_kernels import count_pairs2
+    from .train_step import _masked_pairs
+
+    n = BLOCK + 200
+    cap5 = 2 * BLOCK
+    symf = np.zeros(cap5, np.uint32)
+    symf[:n] = 7
+    symf[0] |= 1 << 16
+    symf[BLOCK - 1] = 2
+    symf[BLOCK] = 3
+    wf = np.zeros(cap5, np.int32)
+    wf[:n] = 4
+    got = np.asarray(
+        count_pairs2(
+            jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n),
+            jnp.uint32(pack_pair(2, 3)), jnp.uint32(1), interpret=interpret,
+        )
+    )
+    iota5 = lax.broadcasted_iota(jnp.int32, (cap5,), 0)
+    p5, w5, _ = _masked_pairs(jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n), iota5, 0)
+    want = int(jnp.sum(jnp.where(p5 == jnp.uint32(pack_pair(2, 3)), w5, 0)))
+    results["count_pairs2"] = bool(got[0] == want and got[1] == 0)
+
     # Tokenizer kernels (sections 6-7) are newer than the merge kernels
     # above; a lowering failure is recorded as False instead of raised, so
     # bench.py can fall back to the XLA tokenizer paths (kill switch

@@ -354,6 +354,10 @@ def apply_merge_with_holes(symbols, weights, n, extent, dirty, pair, new_id, nxt
     valid = symbols != _HOLE
     nxt_tok = nxt & _TOKEN_MASK
 
+    # pair 0 means NO merge (the system-wide "no winner" value; token-0
+    # ADJACENCIES can exist in binary corpora, so (0,0) must not match) —
+    # used by the neutralized-stop iteration in _one_merge
+    noop = pair == _U32(0)
     # A-side: position i whose next-valid matches (a,b) — rewrite to Z.
     sites = (
         valid
@@ -362,6 +366,7 @@ def apply_merge_with_holes(symbols, weights, n, extent, dirty, pair, new_id, nxt
         & (tok == a)
         & (nxt_tok == b)
         & ((nxt & _WS_BIT) == 0)
+        & ~noop
     )
     # B-side: position j whose prev-valid is the A of the pair — remove.
     prv = _prev_valid(symbols, lookahead)
@@ -372,6 +377,7 @@ def apply_merge_with_holes(symbols, weights, n, extent, dirty, pair, new_id, nxt
         & ((symbols & _WS_BIT) == 0)
         & (prv != _HOLE)
         & ((prv & _TOKEN_MASK) == a)
+        & ~noop
     )
     merged = jnp.where(sites, new_id | ws, symbols)
     merged = jnp.where(removed, _HOLE, merged)
@@ -480,8 +486,18 @@ def _post_counts(cand, counts, merged_pair, l_slot, r_slot, sym2, w2, extent2, l
     return counts2, c_l, c_r
 
 
-def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
+def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead, active=None):
     """Apply one certified merge to ``st`` and maintain the window state.
+
+    ``active`` (traced bool, or None for unconditionally active) is the
+    neutralized-stop gate: when False, the merge pair is replaced by the
+    no-op pair 0 (matches nothing — see the noop guard in the kernel and
+    in ``apply_merge_with_holes``), every state mutation is suppressed,
+    and ``early_stop`` is set. The stream passes still run once — that
+    single wasted iteration per training run is what removes the
+    do_stop/do_merge conditional, whose identity branch copies the full
+    symbol/weight arrays EVERY iteration (~10 us/merge measured on v5e;
+    scripts/microbench_overhead.py).
 
     Applies ``best_pair`` -> ``st.next_id``, samples the heaviest created
     pairs into scratch slots (excluding them from the ceiling histogram),
@@ -498,8 +514,16 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
     """
     z_tok16 = st.next_id & _TOKEN_MASK
     has_room = st.fill <= K_CANDIDATES + S_CREATED - 2
+    if active is not None:
+        best_pair = jnp.where(active, best_pair, _U32(0))  # no-op pair
+        has_room = has_room & active
     if _use_pallas():
-        from .pallas_kernels import _TRACK_SIDE, N_PROBES, merge_compact_tracked
+        from .pallas_kernels import (
+            _TRACK_SIDE,
+            N_PROBES,
+            count_pairs2,
+            merge_compact_tracked,
+        )
 
         assert _UB_SIDE == _TRACK_SIDE, "host exclusion hash must match kernel bins"
         # ── affected candidates, computed BEFORE the merge from the
@@ -518,10 +542,17 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
         ca0, cb0 = st.cand >> _U32(16), st.cand & _TOKEN_MASK
         affected = live0 & ((cb0 == a_m) | (ca0 == b_m)) & (st.cand != best_pair)
         n_aff = jnp.sum(affected.astype(jnp.int32))
-        keys0 = jnp.where(affected, _U32(0), _U32(1))
-        _, aff_sorted = lax.sort((keys0, st.cand), num_keys=1)
+        # gather the <= N_PROBES affected pairs into probe slots WITHOUT a
+        # sort: each affected slot's exclusive rank is unique, so probe
+        # slot k's masked sum has exactly one contributor — same window
+        # order a stable sort would give, and order is irrelevant anyway
+        # (probe counts are matched back by pair equality). A [192]
+        # lax.sort costs ~10 us of fixed overhead per iteration on TPU.
+        rank = jnp.cumsum(affected.astype(jnp.int32)) - 1
         ia_p = lax.broadcasted_iota(jnp.int32, (N_PROBES,), 0)
-        probes = jnp.where(ia_p < n_aff, aff_sorted[:N_PROBES], _U32(1))
+        sel = affected[None, :] & (rank[None, :] == ia_p[:, None])
+        probes = jnp.sum(jnp.where(sel, st.cand[None, :], _U32(0)), axis=1)
+        probes = jnp.where(ia_p < n_aff, probes, _U32(1))
         use_probes = n_aff <= N_PROBES
         # one streaming kernel: merge + compaction + created-pair tracking
         # (unexcluded histograms + heaviest-pair sample) + probe counts
@@ -578,11 +609,12 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
         # exclusion + dual-merge certificate need their counts NOW). A
         # dense _post_counts recount remains the rare wide-merge fallback.
         def from_probes(_):
-            cap2 = sym2.shape[0]
-            iota2 = lax.broadcasted_iota(jnp.int32, (cap2,), 0)
-            pair2, w2m, _ = _masked_pairs(sym2, w2, extent2, iota2, 0)
-            c_l = jnp.sum(jnp.where(pair2 == l_slot, w2m, 0))
-            c_r = jnp.sum(jnp.where(pair2 == r_slot, w2m, 0))
+            # exact _masked_pairs counts of the two sampled created pairs
+            # via one O(n) dynamic-grid streaming kernel — this was a full
+            # O(capacity) XLA pass (the kernel's token-0 guard makes the
+            # sentinel slots count 0, exactly like _masked_pairs)
+            cnt2 = count_pairs2(sym2, w2, n_new, l_slot, r_slot)
+            c_l, c_r = cnt2[0], cnt2[1]
             match = (st.cand[:, None] == probes[None, :]) & (ia_p < n_aff)[None, :]
             rec = jnp.max(jnp.where(match, pcnt[None, :], 0), axis=1)
             counts2 = jnp.where(affected, rec, st.cand_counts)
@@ -602,13 +634,17 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
         )
     if _use_pallas():
         # subtract each sampled pair's exact count from its bin — identical
-        # to in-stream exclusion because the pair's whole mass lives there
+        # to in-stream exclusion because the pair's whole mass lives there.
+        # One-hot mask instead of .at[].add: a 1-element scatter is a slow
+        # op on TPU, and this runs twice per merge.
         def _excl(bins, tok, c):
             h = ((tok * _U32(2654435761)) >> _U32(16)) & _U32(_UB_SIDE * _UB_SIDE - 1)
             half = ((_UB_SIDE * _UB_SIDE).bit_length() - 1) // 2  # matches the kernel
-            return bins.at[(h >> _U32(half)).astype(jnp.int32),
-                           (h & _U32((1 << half) - 1)).astype(jnp.int32)].add(
-                -c.astype(jnp.float32))
+            hi = (h >> _U32(half)).astype(jnp.int32)
+            lo = (h & _U32((1 << half) - 1)).astype(jnp.int32)
+            ri = lax.broadcasted_iota(jnp.int32, (_UB_SIDE, _UB_SIDE), 0)
+            ci = lax.broadcasted_iota(jnp.int32, (_UB_SIDE, _UB_SIDE), 1)
+            return bins - jnp.where((ri == hi) & (ci == lo), c.astype(jnp.float32), 0.0)
 
         bins_l = _excl(bins_l, l_tok, c_l)
         bins_r = _excl(bins_r, r_tok, c_r)
@@ -629,15 +665,24 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead):
         jnp.stack([best_pair, st.next_id, count.astype(_U32)])[None, :],
         (st.merges_done, 0),
     )
+    if active is None:
+        adv, early = _U32(1), st.early_stop
+    else:
+        # a neutralized iteration advances nothing (its log row sits past
+        # merges_done, never consumed) and raises early_stop; ub_merge of
+        # a no-op pass is gated out of the running ceiling
+        adv = jnp.where(active, _U32(1), _U32(0))
+        early = st.early_stop | ~active
+        ub_merge = jnp.where(active, ub_merge, 0)
     new_state = TrainState(
         symbols=sym2,
         weights=w2,
         n=n_new,
         extent=extent2,
         dirty=dirty2,
-        next_id=st.next_id + _U32(1),
-        early_stop=st.early_stop,
-        merges_done=st.merges_done + 1,
+        next_id=st.next_id + adv,
+        early_stop=early,
+        merges_done=st.merges_done + adv.astype(jnp.int32),
         merge_log=log,
         cand=cand2,
         cand_counts=counts3,
@@ -804,42 +849,43 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
     recounts = state.recounts + jnp.where(certified, 0, 1)
     stop = (count < 2) | (state.next_id > _TOKEN_MASK)
 
-    def do_merge(st: TrainState) -> TrainState:
-        st_base = st._replace(
-            cand=cand, cand_counts=ccounts, theta=theta, ub_new=ub_new,
-            fill=fill, recounts=recounts,
+    # Neutralized stop: the iteration that discovers the stop still runs
+    # the merge body once with the no-op pair 0 and every state mutation
+    # gated off (active=~stop in _merge_and_track) — the result equals the
+    # pre-iteration state except early_stop plus the adopted window fields
+    # (cand/theta/recounts), all inert because the loop exits immediately.
+    # This removes the former do_stop/do_merge conditional, whose identity
+    # branch copied the full symbol/weight arrays every iteration.
+    st_base = state._replace(
+        cand=cand, cand_counts=ccounts, theta=theta, ub_new=ub_new,
+        fill=fill, recounts=recounts,
+    )
+    # pre-merge next-valid chain, needed only by the jnp holed path
+    nxt = None if _use_pallas() else _next_valid(state.symbols, lookahead)
+    st1, ub_merge1, c_l, c_r, next2 = _merge_and_track(
+        st_base, best_pair, count, nxt, lookahead, active=~stop
+    )
+    dual = dual_pre & ~stop & (m2 > ub_merge1) & (m2 > c_l) & (m2 > c_r)
+
+    def second(s: TrainState) -> TrainState:
+        s2, ub_merge2, c_l2, c_r2, next3 = _merge_and_track(s, q, m2, next2, lookahead)
+        # third winner: same proof one level deeper — r3's pre-merge
+        # count is exact (member-disjoint from BOTH applied pairs, and
+        # old-pair counts only decrease), and it must strictly beat
+        # every ceiling of both merges' created pairs
+        triple = (
+            triple_pre
+            & (m3 > ub_merge1) & (m3 > c_l) & (m3 > c_r)
+            & (m3 > ub_merge2) & (m3 > c_l2) & (m3 > c_r2)
         )
-        # pre-merge next-valid chain, needed only by the jnp holed path
-        nxt = None if _use_pallas() else _next_valid(st.symbols, lookahead)
-        st1, ub_merge1, c_l, c_r, next2 = _merge_and_track(
-            st_base, best_pair, count, nxt, lookahead
-        )
-        dual = dual_pre & (m2 > ub_merge1) & (m2 > c_l) & (m2 > c_r)
 
-        def second(s: TrainState) -> TrainState:
-            s2, ub_merge2, c_l2, c_r2, next3 = _merge_and_track(s, q, m2, next2, lookahead)
-            # third winner: same proof one level deeper — r3's pre-merge
-            # count is exact (member-disjoint from BOTH applied pairs, and
-            # old-pair counts only decrease), and it must strictly beat
-            # every ceiling of both merges' created pairs
-            triple = (
-                triple_pre
-                & (m3 > ub_merge1) & (m3 > c_l) & (m3 > c_r)
-                & (m3 > ub_merge2) & (m3 > c_l2) & (m3 > c_r2)
-            )
+        def third(t: TrainState) -> TrainState:
+            t2, _ub, _cl, _cr, _nx = _merge_and_track(t, r3, m3, next3, lookahead)
+            return t2._replace(duals=t2.duals + 2)
 
-            def third(t: TrainState) -> TrainState:
-                t2, _ub, _cl, _cr, _nx = _merge_and_track(t, r3, m3, next3, lookahead)
-                return t2._replace(duals=t2.duals + 2)
+        return lax.cond(triple, third, lambda t: t._replace(duals=t.duals + 1), s2)
 
-            return lax.cond(triple, third, lambda t: t._replace(duals=t.duals + 1), s2)
-
-        return lax.cond(dual, second, lambda s: s, st1)
-
-    def do_stop(st: TrainState) -> TrainState:
-        return st._replace(early_stop=jnp.asarray(True))
-
-    return lax.cond(stop, do_stop, do_merge, state)
+    return lax.cond(dual, second, lambda s: s, st1)
 
 
 # Capacity below which the mid-batch collapse stop is disabled (stopping

@@ -329,6 +329,7 @@ def test_kernel_wrapper_contract_traces():
         ),
         sym, w, n, pair, nid, *probes,
     )
+    jax.eval_shape(lambda *a: pk.count_pairs2(*a), sym, w, n, pair, jnp.uint32(1))
     vals = jnp.zeros((pk.BLOCK,), jnp.uint32)
     jax.eval_shape(lambda v: pk.compact_valid(v), vals)
     jax.eval_shape(lambda v, e: pk.compact_mask(v, [e]), vals, vals)
@@ -472,3 +473,94 @@ class TestExpandToMask:
         back = expand_to_mask(jnp.asarray(~drop), outs[1], interpret=True)
         ref = np.where(~drop, ex, 0).astype(np.uint32)
         np.testing.assert_array_equal(np.asarray(back), ref)
+
+
+class TestCountPairs2:
+    """count_pairs2 vs a host _masked_pairs count (the exactness contract:
+    the kernel must reproduce _masked_pairs for ANY pair, including the
+    token-0 guards that make sentinel slots count 0)."""
+
+    @staticmethod
+    def _host_count(symf, wf, n, pair):
+        from jax import lax
+
+        from gpu_bpe_tpu.ops.train_step import _masked_pairs
+
+        cap = symf.shape[0]
+        iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+        pair2, w2m, _ = _masked_pairs(
+            jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n), iota, 0
+        )
+        return int(jnp.sum(jnp.where(pair2 == jnp.uint32(pair), w2m, 0)))
+
+    def _check(self, symf, wf, n, p1, p2):
+        from gpu_bpe_tpu.ops.pallas_kernels import count_pairs2
+
+        got = np.asarray(
+            count_pairs2(
+                jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n),
+                jnp.uint32(p1), jnp.uint32(p2), interpret=True,
+            )
+        )
+        assert got[0] == self._host_count(symf, wf, n, p1)
+        assert got[1] == self._host_count(symf, wf, n, p2)
+
+    @pytest.mark.parametrize("n", [16, 2771, 40_000])
+    def test_random_streams(self, n):
+        rng = np.random.default_rng(n + 7)
+        symf, wf = _random_stream(rng, n)
+        self._check(symf, wf, n, pack_pair(2, 3), pack_pair(4, 5))
+
+    def test_sentinel_and_token0(self):
+        # stream CONTAINING token-0 adjacencies: the sentinel pair (0,1)
+        # and any token-0 pair must count 0, exactly like _masked_pairs
+        n = 4096
+        symf = np.zeros(8192, np.uint32)
+        rng = np.random.default_rng(3)
+        symf[:n] = rng.integers(0, 4, size=n).astype(np.uint32)  # incl. 0
+        symf[0] |= 1 << 16
+        wf = np.zeros(8192, np.int32)
+        wf[:n] = 1
+        self._check(symf, wf, n, 1, pack_pair(0, 2))
+        self._check(symf, wf, n, pack_pair(2, 3), pack_pair(3, 0))
+
+    def test_block_boundary_pair(self):
+        # occurrences exactly straddling the BLOCK edge exercise the halo
+        n = BLOCK + 64
+        cap = BLOCK * 2
+        symf = np.zeros(cap, np.uint32)
+        symf[:n] = 7
+        symf[0] |= 1 << 16
+        symf[BLOCK - 1] = 2
+        symf[BLOCK] = 3
+        wf = np.zeros(cap, np.int32)
+        wf[:n] = 5
+        self._check(symf, wf, n, pack_pair(2, 3), pack_pair(7, 7))
+
+    def test_last_element_has_no_successor(self):
+        n = 8
+        symf = np.zeros(2048, np.uint32)
+        symf[:n] = [2 | (1 << 16), 3, 2, 3, 2, 3, 9, 2]
+        # symf[n] == 0 past extent; pair (2, <pad>) must not count
+        wf = np.zeros(2048, np.int32)
+        wf[:n] = 1
+        self._check(symf, wf, n, pack_pair(2, 3), pack_pair(9, 2))
+
+
+def test_noop_pair_zero_is_identity():
+    """pair 0 must merge NOTHING, even on a stream with (0,0) adjacencies
+    (the neutralized-stop contract in train_step._one_merge)."""
+    n = 512
+    symf = np.zeros(2048, np.uint32)
+    rng = np.random.default_rng(11)
+    symf[:n] = rng.integers(0, 3, size=n).astype(np.uint32)  # many 0s
+    symf[0] |= 1 << 16
+    wf = np.zeros(2048, np.int32)
+    wf[:n] = 1
+    sym2, w2, n2 = merge_compact(
+        jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n),
+        jnp.uint32(0), jnp.uint32(300), interpret=True,
+    )
+    assert int(n2) == n
+    assert np.array_equal(np.asarray(sym2), symf)
+    assert np.array_equal(np.asarray(w2), wf)
