@@ -92,6 +92,12 @@ class TPUTrainer:
                 self.vocab.next_token_id,
             )
         merges_needed = max(target_vocab_size - self.vocab.size, 0)
+        # Sync the uploaded state before starting the clock: device_put is
+        # async, so without this the host->device corpus transfer is billed
+        # to the first batch. The reference also starts its merges/s clock
+        # after buffer upload (trainer.js:230); on a standard PCIe host the
+        # transfer is sub-ms, but on a slow host link it would dominate.
+        _ = np.asarray(state.symbols[0])
         start = time.perf_counter()
         total_done = 0
         early_stop = False
