@@ -232,6 +232,11 @@ def _wait_for_device(attempts: int = 4, delay_s: float = 120.0) -> None:
 
 
 def main() -> None:
+    # --selftest-only: compiled-mode kernel regression check without the
+    # full bench (~4 min cold vs ~8 min) — the cheap per-change TPU gate
+    # for any kernel edit (CPU CI runs the same cases interpret-only).
+    selftest_only = "--selftest-only" in sys.argv
+
     _wait_for_device()
     import jax
 
@@ -240,6 +245,11 @@ def main() -> None:
     from gpu_bpe_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
+
+    if selftest_only:
+        run_selftest()
+        print(json.dumps({"metric": "kernel_selftest_only", "value": "pass"}))
+        return
 
     from gpu_bpe_tpu.ops import TPUTrainer, make_stream
     from gpu_bpe_tpu.pretok import PreTokenizer

@@ -580,7 +580,9 @@ def _count_pairs_kernel(
         & (n_tok != 0)
     )
     pairw = jnp.where(valid, (s_tok << jnp.uint32(16)) | n_tok, jnp.uint32(0))
-    w = w_ref[:]
+    # weights masked too: pair 0 (the system-wide no-winner value) must
+    # count 0 exactly like _masked_pairs, not sum every invalid slot
+    w = jnp.where(valid, w_ref[:], 0)
     acc_ref[0] = acc_ref[0] + jnp.sum(jnp.where(pairw == p1, w, 0))
     acc_ref[1] = acc_ref[1] + jnp.sum(jnp.where(pairw == p2, w, 0))
     cnt_ref[0] = acc_ref[0]

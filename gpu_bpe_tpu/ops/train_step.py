@@ -512,6 +512,12 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead, active=No
     the post-merge stream — everything the dual-merge certificate in
     ``_one_merge`` needs.
     """
+    # SOUNDNESS: when next_id > _TOKEN_MASK on a neutralized-stop pass,
+    # this 16-bit truncation can alias a LIVE token, making the kernel's
+    # created-pair bins/samp nonzero for a merge that did nothing. That is
+    # inert only because every consumer is gated: sampling through
+    # l_ok/r_ok (via has_room & active below) and the running ceiling via
+    # the ub_merge zeroing when inactive. Keep them fully gated.
     z_tok16 = st.next_id & _TOKEN_MASK
     has_room = st.fill <= K_CANDIDATES + S_CREATED - 2
     if active is not None:
