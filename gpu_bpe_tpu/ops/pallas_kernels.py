@@ -56,6 +56,16 @@ _TRACK_SIDE = 16  # tracking-kernel histogram side (16x16=256 bins; [side, B]
 N_PROBES = 16  # fused probe-pair slots (= train_step.A_AFFECTED: 99% of
 #   merges affect <= 16 tracked candidates on real text)
 
+# Candidate-window geometry for the fused-window kernels: the tracked
+# window (train_step.K_CANDIDATES + S_CREATED) must fill exactly
+# [W_ROWS, 128] so window math runs as whole VPU tiles (asserted at the
+# train_step import site).
+W_SLOTS = 256
+W_ROWS = W_SLOTS // _LANES
+# scalars[3] sentinel: compute the probe set in-kernel from the candidate
+# window (block 0) instead of taking explicit probes from the host
+_MODE_WINDOW = 0xFFFFFFFF
+
 
 def _fshift(x, s):
     """Circular flat-order shift right by ``s``: y[j] = x[(j - s) mod B].
@@ -101,34 +111,40 @@ def _flat_prefix_sum_excl(x):
     """Exclusive flat-order prefix sum over an [ROWS, LANES] i32 tile.
 
     Hierarchical: 7 lane-roll rounds build inclusive per-row sums, a tiny
-    doubling pass accumulates the 256 row totals, and subtracting ``x``
+    doubling pass accumulates the row totals, and subtracting ``x``
     makes it exclusive. Shared by the merge-compaction displacement, the
-    generic stream compaction, and the expansion kernel's rank."""
-    lane = lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
+    generic stream compaction, the expansion kernel's rank, and the
+    window kernels' probe gather (any row count)."""
+    rows = x.shape[0]
+    lane = lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
     inc = x
     for s in (1, 2, 4, 8, 16, 32, 64):
         inc = inc + jnp.where(lane >= s, pltpu.roll(inc, s, axis=1), 0)
     row_tot = inc[:, _LANES - 1 :]  # [ROWS, 1] inclusive row sums
-    row_iota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
+    row_iota = lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     row_inc = row_tot
     s = 1
-    while s < _ROWS:
+    while s < rows:
         row_inc = row_inc + jnp.where(row_iota >= s, pltpu.roll(row_inc, s, axis=0), 0)
         s <<= 1
     return inc + (row_inc - row_tot) - x
 
 
 def _merge_compact_kernel(
-    scalars_ref,  # SMEM [4+N_PROBES] u32: pair, new id, live n, n_probes, probes
+    scalars_ref,  # SMEM [4+N_PROBES] u32: pair, new id, live n, probe mode, probes
     sym_ref,  # VMEM [ROWS, 128] u32 — this block (logical p at flat t)
     w_ref,  # VMEM [ROWS, 128] i32
     sym_nxt_ref,  # VMEM [ROWS, 128] u32 — next block (halo source)
+    cand_ref,  # VMEM [W_ROWS, 128] u32 — candidate window (grid-invariant)
+    counts_ref,  # VMEM [W_ROWS, 128] i32 — maintained candidate counts
     out_sym_ref,  # ANY [CAP+BLOCK+TILE] u32 — full output, manual DMA
     out_w_ref,  # ANY [CAP+BLOCK+TILE] i32
     removed_ref,  # SMEM [1] i32 — total removed (written every step)
     bins_ref,  # VMEM [2*TRACK_SIDE, TRACK_SIDE] f32 — created-pair histograms
     samp_ref,  # SMEM [4] i32 — (max_wl, tok_l, max_wr, tok_r) sample
     pcnt_ref,  # SMEM [N_PROBES] i32 — exact post-merge probe-pair counts
+    probes_ref,  # SMEM [N_PROBES] i32 — the probe pairs actually counted
+    naff_ref,  # SMEM [1] i32 — affected-candidate count (window mode)
     off_ref,  # SMEM scratch [1] i32 — aligned output offset (TILE multiple)
     m_ref,  # SMEM scratch [1] i32 — carry length (0..TILE-1)
     acc_ref,  # SMEM scratch [1] i32 — running removed count
@@ -143,6 +159,8 @@ def _merge_compact_kernel(
     disp_ref,  # VMEM scratch [ROWS, 128] i32 — displacement (valid iff n_rem>0)
     pacc_ref,  # SMEM scratch [N_PROBES] i32 — running probe counts
     pblast_ref,  # SMEM scratch [1] i32 — previous block's last symbol
+    pvals_ref,  # SMEM scratch [N_PROBES] i32 — resolved probe pairs (bitcast)
+    npe_ref,  # SMEM scratch [1] i32 — effective probe count (0..N_PROBES)
 ):
     i = pl.program_id(0)
     tok_mask = jnp.uint32(TOKEN_MASK)
@@ -150,7 +168,7 @@ def _merge_compact_kernel(
     pair = scalars_ref[0]
     new_id = scalars_ref[1]
     n_live = scalars_ref[2].astype(jnp.int32)
-    n_probes = scalars_ref[3].astype(jnp.int32)
+    probe_mode = scalars_ref[3]
     a = pair >> jnp.uint32(16)
     b = pair & tok_mask
 
@@ -162,6 +180,47 @@ def _merge_compact_kernel(
         pblast_ref[0] = 0  # no predecessor: prev of position 0 is "none"
         for k in range(N_PROBES):
             pacc_ref[k] = 0
+
+    # ── probe resolution (block 0): either take the host's explicit probe
+    # list (scalars[4:]), or — window mode — derive the affected candidate
+    # subset from the tracked window right here, replacing the host-side
+    # [W] mask/cumsum/gather fusion chain (train_step round-3 HLO showed
+    # those tiny window ops dominating iteration time). The affected rule
+    # is the _post_counts theorem: only candidates ending in ``a``,
+    # starting with ``b``, or equal to the merged pair can change. ──
+    @pl.when((i == 0) & (probe_mode != jnp.uint32(_MODE_WINDOW)))
+    def _explicit_probes():
+        naff_ref[0] = probe_mode.astype(jnp.int32)
+        npe_ref[0] = probe_mode.astype(jnp.int32)
+        for k in range(N_PROBES):
+            pvals_ref[k] = scalars_ref[4 + k].astype(jnp.int32)
+            probes_ref[k] = scalars_ref[4 + k].astype(jnp.int32)
+
+    @pl.when((i == 0) & (probe_mode == jnp.uint32(_MODE_WINDOW)))
+    def _window_probes():
+        cw = cand_ref[:]
+        cc = counts_ref[:]
+        live = cc >= 0
+        ca = cw >> jnp.uint32(16)
+        cb = cw & tok_mask
+        # noop (pair 0) needs no special case: live candidates never have
+        # zero members, so (cb == 0) | (ca == 0) is false on live slots
+        aff = live & ((cb == a) | (ca == b)) & (cw != pair)
+        aff_i = aff.astype(jnp.int32)
+        naff = jnp.sum(aff_i)
+        naff_ref[0] = naff
+        npe = jnp.where(naff <= N_PROBES, naff, 0)
+        npe_ref[0] = npe
+        # gather the affected pairs into probe slots by exclusive rank:
+        # each rank has exactly one contributor, so a masked sum extracts
+        # it (i32 view: same 32 bits, Mosaic has no unsigned reductions)
+        rank = _flat_prefix_sum_excl(aff_i)
+        cw_i = cw.astype(jnp.int32)
+        for k in range(N_PROBES):
+            v = jnp.sum(jnp.where(aff & (rank == k), cw_i, 0))
+            slot = jnp.where(jnp.int32(k) < npe, v, 1)  # sentinel pair 1
+            pvals_ref[k] = slot
+            probes_ref[k] = slot
 
     fi = _flat_index()
     # blocks hold logical positions DIRECTLY (no front-pad copy — round 2
@@ -366,13 +425,15 @@ def _merge_compact_kernel(
     # does not, so such a probe would over-count; route those to the
     # recount path. Slots at index >= n_probes accumulate nothing (masked
     # by slot index, not by a sentinel word — every u32 is a legal pair).
+    n_probes = npe_ref[0]
+
     @pl.when(n_probes > 0)
     def _probe_count():
         pw = jnp.where(v_ok, (u_tok << jnp.uint32(16)) | v_tok, jnp.uint32(0))
         wv = jnp.where(v_ok, u_w, 0)
         for k in range(N_PROBES):
             live_slot = jnp.int32(k) < n_probes
-            s = jnp.sum(jnp.where(pw == scalars_ref[4 + k], wv, 0))
+            s = jnp.sum(jnp.where(pw == pvals_ref[k].astype(jnp.uint32), wv, 0))
             pacc_ref[k] = pacc_ref[k] + jnp.where(live_slot, s, 0)
 
     for k in range(N_PROBES):
@@ -451,7 +512,8 @@ def _merge_compact_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _merge_compact_call(sym_blocked, w_blocked, scalars, grid_dyn, interpret=False):
+def _merge_compact_call(sym_blocked, w_blocked, cand, counts, scalars, grid_dyn,
+                        interpret=False):
     """``sym_blocked``/``w_blocked`` are BLOCK-multiple arrays holding the
     stream at its natural positions (no front pad — the kernel carries the
     cross-block prev symbol in SMEM). ``grid_dyn`` is the TRACED number of
@@ -460,13 +522,17 @@ def _merge_compact_call(sym_blocked, w_blocked, scalars, grid_dyn, interpret=Fal
     power-of-two ladder, so this saves up to half the kernel's HBM traffic
     right after a shrink). Interpret mode (CPU tests) runs the full static
     grid instead: extra blocks stream the zero tail through, which appends
-    zeros to the output — identical results."""
+    zeros to the output — identical results. ``cand``/``counts`` are the
+    [W_SLOTS] candidate window (only read in window probe mode; callers
+    pass zeros otherwise)."""
     nbytes = sym_blocked.shape[0]
     nb_arr = nbytes // BLOCK
     sym2 = sym_blocked.reshape(nb_arr * _ROWS, _LANES)
     w2 = w_blocked.reshape(nb_arr * _ROWS, _LANES)
+    cand2 = cand.reshape(W_ROWS, _LANES)
+    counts2 = counts.reshape(W_ROWS, _LANES)
     grid = nb_arr if interpret else grid_dyn
-    out_sym, out_w, removed, bins, samp, pcnt = pl.pallas_call(
+    out_sym, out_w, removed, bins, samp, pcnt, probes, naff = pl.pallas_call(
         _merge_compact_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -482,12 +548,16 @@ def _merge_compact_call(sym_blocked, w_blocked, scalars, grid_dyn, interpret=Fal
                     (_ROWS, _LANES),
                     lambda i, s: (jnp.minimum(i + 1, nb_arr - 1), 0),
                 ),
+                pl.BlockSpec((W_ROWS, _LANES), lambda i, s: (0, 0)),
+                pl.BlockSpec((W_ROWS, _LANES), lambda i, s: (0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((2 * _TRACK_SIDE, _TRACK_SIDE), lambda i, s: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
@@ -506,6 +576,8 @@ def _merge_compact_call(sym_blocked, w_blocked, scalars, grid_dyn, interpret=Fal
                 pltpu.VMEM((_ROWS, _LANES), jnp.int32),
                 pltpu.SMEM((N_PROBES,), jnp.int32),
                 pltpu.SMEM((1,), jnp.int32),
+                pltpu.SMEM((N_PROBES,), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
             ],
         ),
         out_shape=[
@@ -515,11 +587,13 @@ def _merge_compact_call(sym_blocked, w_blocked, scalars, grid_dyn, interpret=Fal
             jax.ShapeDtypeStruct((2 * _TRACK_SIDE, _TRACK_SIDE), jnp.float32),
             jax.ShapeDtypeStruct((4,), jnp.int32),
             jax.ShapeDtypeStruct((N_PROBES,), jnp.int32),
+            jax.ShapeDtypeStruct((N_PROBES,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(scalars, sym2, w2, sym2)
-    return out_sym, out_w, removed, bins, samp, pcnt
+    )(scalars, sym2, w2, sym2, cand2, counts2)
+    return out_sym, out_w, removed, bins, samp, pcnt, probes, naff
 
 
 def merge_compact(symbols, weights, n, pair, new_id, interpret=False):
@@ -988,7 +1062,206 @@ def expand_to_mask(mask, vals, interpret=False):
     return out[:n]
 
 
-def merge_compact_tracked(symbols, weights, n, pair, new_id, probes=None, interpret=False):
+_WP_NSC = 18 + 2 * N_PROBES  # window-post scalar words
+
+
+def _window_post_kernel(
+    sc,  # SMEM [_WP_NSC] u32 — packed scalars (see window_post wrapper)
+    cand_ref,  # VMEM [W_ROWS, 128] u32 — candidate window (pre-append)
+    counts_ref,  # VMEM [W_ROWS, 128] i32 — counts (dense-updated when ~use_probes)
+    bins_l_ref,  # VMEM [S, S] f32 — unexcluded created-pair histograms
+    bins_r_ref,  # VMEM [S, S] f32
+    log_ref,  # VMEM [LOG_ROWS, 128] u32 — merge log, flattened
+    cand_out,  # VMEM [W_ROWS, 128] u32
+    counts_out,  # VMEM [W_ROWS, 128] i32
+    log_out,  # VMEM [LOG_ROWS, 128] u32
+    sout,  # SMEM [8] i32 — md2, fill2, early2, ub_new2, pend_count, pend_cert,
+    #                        next_id2 (bitcast), pend_pair (bitcast)
+):
+    """Post-merge window maintenance in ONE kernel (train_step's fused
+    path): probe-count adoption, merged-pair zeroing, scratch append,
+    histogram exclusion + created-pair ceiling, merge-log row, scalar
+    advances, and NEXT-iteration winner selection + certificate. Replaces
+    ~40 tiny XLA fusions per training iteration (round-3 HLO diagnosis:
+    the loop body was op-count-bound at ~2 us launch overhead per op)."""
+    tok_mask = jnp.uint32(TOKEN_MASK)
+    i32 = jnp.int32
+    pair = sc[0]
+    cnt_u = sc[1]
+    next_id = sc[2]
+    theta = sc[3].astype(i32)
+    ub_new = sc[4].astype(i32)
+    fill = sc[5].astype(i32)
+    md = sc[6].astype(i32)
+    active = sc[7] != 0
+    early_in = sc[8] != 0
+    use_probes = sc[9] != 0
+    naff = sc[10].astype(i32)
+    c_l = sc[11].astype(i32)
+    c_r = sc[12].astype(i32)
+    l_ok = sc[13] != 0
+    r_ok = sc[14] != 0
+    l_tok = sc[15]
+    r_tok = sc[16]
+    has_room = sc[17] != 0  # includes the active gate (host-computed)
+
+    cand = cand_ref[:]
+    counts = counts_ref[:]
+    live = counts >= 0
+
+    # ── maintained-count adoption from the fused probe counts (certified
+    # merges; ~use_probes means counts_ref is already dense-updated) ──
+    a = pair >> jnp.uint32(16)
+    b = pair & tok_mask
+    ca = cand >> jnp.uint32(16)
+    cb = cand & tok_mask
+    aff = live & ((cb == a) | (ca == b)) & (cand != pair)
+    rec = jnp.zeros_like(counts)
+    for k in range(N_PROBES):
+        hit = (cand == sc[18 + k]) & (jnp.int32(k) < naff)
+        rec = jnp.maximum(rec, jnp.where(hit, sc[18 + N_PROBES + k].astype(i32), 0))
+    counts_p = jnp.where(aff & use_probes, rec, counts)
+    counts_p = jnp.where(live & (cand == pair), 0, counts_p)
+
+    # ── scratch append of the sampled created pairs ──
+    z16 = next_id & tok_mask
+    inval = jnp.uint32(0xFFFFFFFF)
+    l_pair = jnp.where(l_ok, (l_tok << jnp.uint32(16)) | z16, inval)
+    r_pair = jnp.where(r_ok, (z16 << jnp.uint32(16)) | r_tok, inval)
+    slot0 = jnp.where(has_room, fill, W_SLOTS - 2)
+    fiw = _flat_index(W_ROWS)
+    at0 = has_room & (fiw == slot0)
+    at1 = has_room & (fiw == slot0 + 1)
+    cand2 = jnp.where(at0, l_pair, cand)
+    cand2 = jnp.where(at1, r_pair, cand2)
+    counts2 = jnp.where(at0, jnp.where(l_ok, c_l, -1), counts_p)
+    counts2 = jnp.where(at1, jnp.where(r_ok, c_r, -1), counts2)
+    cand_out[:] = cand2
+    counts_out[:] = counts2
+
+    # ── histogram exclusion + created-pair ceiling (_ub_from_bins exact:
+    # same f32 constants/order as ops.train_step) ──
+    side = _TRACK_SIDE
+    nbins = side * side
+    half = (nbins.bit_length() - 1) // 2
+    ri = lax.broadcasted_iota(i32, (side, side), 0)
+    ci = lax.broadcasted_iota(i32, (side, side), 1)
+
+    def excl_ub(bins, tok, c):
+        h = ((tok * jnp.uint32(2654435761)) >> jnp.uint32(16)) & jnp.uint32(nbins - 1)
+        hi = (h >> jnp.uint32(half)).astype(i32)
+        lo = (h & jnp.uint32((1 << half) - 1)).astype(i32)
+        b2 = bins - jnp.where((ri == hi) & (ci == lo), c.astype(jnp.float32), 0.0)
+        mx = jnp.max(b2) * (1.0 + 4e-3) + 4.0
+        return jnp.where(mx > 2e9, jnp.int32(2**31 - 1), mx.astype(i32))
+
+    ub_merge = jnp.maximum(
+        excl_ub(bins_l_ref[:], l_tok, c_l), excl_ub(bins_r_ref[:], r_tok, c_r)
+    )
+    ub_merge = jnp.where(active, ub_merge, 0)
+    ub_new2 = jnp.maximum(ub_new, ub_merge)
+
+    # ── merge-log row (a neutralized pass writes past md2, never read) ──
+    lf = _flat_index(log_ref.shape[0])
+    log2 = jnp.where(lf == 3 * md, pair, log_ref[:])
+    log2 = jnp.where(lf == 3 * md + 1, next_id, log2)
+    log2 = jnp.where(lf == 3 * md + 2, cnt_u, log2)
+    log_out[:] = log2
+
+    # ── scalar advances + NEXT-iteration winner (count desc, pair asc:
+    # unsigned compare via the sign-bit flip; INVALID maps to i32 max) ──
+    adv = jnp.where(active, 1, 0)
+    m2 = jnp.max(counts2)
+    sgn = jnp.int32(-(2**31))
+    cx = lax.bitwise_xor(cand2.astype(i32), sgn)
+    wx = jnp.where(counts2 == m2, cx, jnp.int32(2**31 - 1))
+    pend_pair_i = lax.bitwise_xor(jnp.min(wx), sgn)
+    pend_cert = (m2 > theta) & (m2 > ub_new2) & (m2 >= 2)
+    sout[0] = md + adv
+    sout[1] = jnp.where(has_room, fill + 2, fill)
+    sout[2] = (early_in | ~active).astype(i32)
+    sout[3] = ub_new2
+    sout[4] = m2
+    sout[5] = pend_cert.astype(i32)
+    sout[6] = (next_id + adv.astype(jnp.uint32)).astype(i32)
+    sout[7] = pend_pair_i
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _window_post_call(sc, cand, counts, bins_l, bins_r, log_flat, interpret=False):
+    log_rows = log_flat.shape[0] // _LANES
+    outs = pl.pallas_call(
+        _window_post_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((W_ROWS, _LANES), lambda i, s: (0, 0)),
+                pl.BlockSpec((W_ROWS, _LANES), lambda i, s: (0, 0)),
+                pl.BlockSpec((_TRACK_SIDE, _TRACK_SIDE), lambda i, s: (0, 0)),
+                pl.BlockSpec((_TRACK_SIDE, _TRACK_SIDE), lambda i, s: (0, 0)),
+                pl.BlockSpec((log_rows, _LANES), lambda i, s: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((W_ROWS, _LANES), lambda i, s: (0, 0)),
+                pl.BlockSpec((W_ROWS, _LANES), lambda i, s: (0, 0)),
+                pl.BlockSpec((log_rows, _LANES), lambda i, s: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((W_ROWS, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((W_ROWS, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((log_rows, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((8,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        sc,
+        cand.reshape(W_ROWS, _LANES),
+        counts.reshape(W_ROWS, _LANES),
+        bins_l,
+        bins_r,
+        log_flat.reshape(log_rows, _LANES),
+    )
+    return outs
+
+
+def window_post(
+    cand, counts, bins_l, bins_r, log_flat,
+    *, pair, count, next_id, theta, ub_new, fill, merges_done, active,
+    early_stop, use_probes, n_aff, c_l, c_r, l_ok, r_ok, l_tok, r_tok,
+    has_room, probes, pcnt, interpret=False,
+):
+    """Fused post-merge window update (see ``_window_post_kernel``).
+
+    ``log_flat`` must be a u32 array of length ``rows * 128`` (the
+    [BATCH_MERGES, 3] merge log reshaped flat and zero-padded to a lane
+    multiple by the caller, once, at state init). Returns
+    ``(cand2 [W_SLOTS], counts2 [W_SLOTS], log2, scalars i32 [8])`` with
+    scalars = (merges_done2, fill2, early2, ub_new2, pend_count,
+    pend_cert, next_id2 bitcast, pend_pair bitcast).
+    """
+    u = lambda x: jnp.asarray(x).astype(_U32)
+    sc = jnp.concatenate([
+        jnp.stack([
+            u(pair), u(count), u(next_id), u(theta), u(ub_new), u(fill),
+            u(merges_done), u(active), u(early_stop), u(use_probes),
+            u(n_aff), u(c_l), u(c_r), u(l_ok), u(r_ok), u(l_tok), u(r_tok),
+            u(has_room),
+        ]),
+        jnp.asarray(probes).astype(_U32).reshape(N_PROBES),
+        jnp.asarray(pcnt).astype(_U32).reshape(N_PROBES),
+    ])
+    cand2, counts2, log2, sout = _window_post_call(
+        sc, jnp.asarray(cand, _U32), jnp.asarray(counts, jnp.int32),
+        bins_l, bins_r, jnp.asarray(log_flat, _U32), interpret=interpret,
+    )
+    return cand2.reshape(W_SLOTS), counts2.reshape(W_SLOTS), log2.reshape(-1), sout
+
+
+def merge_compact_tracked(symbols, weights, n, pair, new_id, probes=None,
+                          window=None, interpret=False):
     """``merge_compact`` plus fused created-pair tracking: also returns
     (bins_l, bins_r) — UNexcluded [TRACK_SIDE, TRACK_SIDE] f32 hashed
     histograms of the post-merge created-pair masses — and ``samp`` i32[4]
@@ -1005,7 +1278,18 @@ def merge_compact_tracked(symbols, weights, n, pair, new_id, probes=None, interp
     ``< count``. CONTRACT: probed pairs must have both members nonzero —
     `_masked_pairs` excludes token 0 but this window does not (see the
     kernel comment); callers route zero-member pairs to the recount path.
-    Without ``probes`` the 6-tuple of round 1 is returned unchanged."""
+
+    ``window`` — (cand u32 [W_SLOTS], counts i32 [W_SLOTS]): derive the
+    probe set IN-KERNEL from the tracked candidate window (block 0)
+    instead of host-side XLA ops. Mutually exclusive with ``probes``.
+    Returns a 9-tuple ``(..., pcnt, probes_out, n_aff)`` where
+    ``probes_out`` (i32 [N_PROBES], bitcast pairs) is the probe list the
+    kernel counted and ``n_aff`` (i32 [1]) the affected-candidate count;
+    when ``n_aff[0] > N_PROBES`` nothing was probed (the caller falls back
+    to a dense window recount). Live candidates never have zero members,
+    so the probe contract holds by construction.
+
+    Without ``probes``/``window`` the 6-tuple of round 1 is returned."""
     cap = symbols.shape[0]
     # Blocks hold the stream at its natural positions — no front-pad copy
     # (the kernel carries the cross-block prev symbol in SMEM). Only
@@ -1018,13 +1302,23 @@ def merge_compact_tracked(symbols, weights, n, pair, new_id, probes=None, interp
     else:
         sym_b = jnp.asarray(symbols, _U32)
         w_b = jnp.asarray(weights, jnp.int32)
-    if probes is None:
+    assert probes is None or window is None
+    if window is not None:
+        cand, counts = window
+        cand = jnp.asarray(cand, _U32)
+        counts = jnp.asarray(counts, jnp.int32)
         probe_words = jnp.zeros((N_PROBES,), _U32)
-        n_probes = jnp.zeros((), _U32)
+        n_probes = jnp.full((), _MODE_WINDOW, _U32)
     else:
-        probe_words, n_probes = probes
-        probe_words = jnp.asarray(probe_words, _U32)
-        n_probes = jnp.asarray(n_probes, jnp.int32).astype(_U32)
+        cand = jnp.zeros((W_SLOTS,), _U32)
+        counts = jnp.zeros((W_SLOTS,), jnp.int32)
+        if probes is None:
+            probe_words = jnp.zeros((N_PROBES,), _U32)
+            n_probes = jnp.zeros((), _U32)
+        else:
+            probe_words, n_probes = probes
+            probe_words = jnp.asarray(probe_words, _U32)
+            n_probes = jnp.asarray(n_probes, jnp.int32).astype(_U32)
     head = jnp.stack(
         [jnp.asarray(pair, _U32), jnp.asarray(new_id, _U32),
          jnp.asarray(n, jnp.int32).astype(_U32), n_probes]
@@ -1033,8 +1327,8 @@ def merge_compact_tracked(symbols, weights, n, pair, new_id, probes=None, interp
     grid_dyn = jnp.maximum(
         (jnp.asarray(n, jnp.int32) + BLOCK - 1) // BLOCK, 1
     )
-    out_sym, out_w, removed, bins, samp, pcnt = _merge_compact_call(
-        sym_b, w_b, scalars, grid_dyn, interpret=interpret
+    out_sym, out_w, removed, bins, samp, pcnt, probes_out, naff = _merge_compact_call(
+        sym_b, w_b, cand, counts, scalars, grid_dyn, interpret=interpret
     )
     n_new = n - removed[0]
     # the DMA windows cover only up to the compacted stream end + one tile;
@@ -1043,4 +1337,6 @@ def merge_compact_tracked(symbols, weights, n, pair, new_id, probes=None, interp
     sym_out = jnp.where(iota < n_new, out_sym[:cap], _U32(0))
     w_out = jnp.where(iota < n_new, out_w[:cap], 0)
     base = (sym_out, w_out, n_new, bins[:_TRACK_SIDE], bins[_TRACK_SIDE:], samp)
+    if window is not None:
+        return base + (pcnt, probes_out, naff)
     return base if probes is None else base + (pcnt,)

@@ -159,6 +159,135 @@ def run_kernel_selftest(interpret: bool = False) -> dict[str, bool]:
     want = int(jnp.sum(jnp.where(p5 == jnp.uint32(pack_pair(2, 3)), w5, 0)))
     results["count_pairs2"] = bool(got[0] == want and got[1] == 0)
 
+    # 5c. window probe mode: block-0 in-kernel probe prep must reproduce
+    #     the host-side affected-subset gather exactly (probes, n_aff,
+    #     pcnt), with streams/bins/samp unchanged vs explicit-probe mode
+    def _sec5c():
+        from .pallas_kernels import N_PROBES, W_SLOTS, merge_compact_tracked as mct
+        from .train_step import K_CANDIDATES
+
+        n = BLOCK + 333
+        symf, wf = _random_stream(rng, n, alphabet=12)
+        pair = pack_pair(5, 7)
+        # a window with some affected candidates: pairs ending in 5 /
+        # starting with 7 / the merged pair itself / unrelated / dead slots
+        cand = np.full(W_SLOTS, 0xFFFFFFFF, np.uint32)
+        counts = np.full(W_SLOTS, -1, np.int32)
+        wins = [pack_pair(3, 5), pack_pair(7, 2), pack_pair(5, 7),
+                pack_pair(9, 9), pack_pair(2, 5), pack_pair(7, 7)]
+        for k, pw in enumerate(wins):
+            cand[k] = pw
+            counts[k] = 100 - k
+        # host-side expected affected subset (the _post_counts rule)
+        live = counts >= 0
+        ca, cb = cand >> 16, cand & 0xFFFF
+        a, b = pair >> 16, pair & 0xFFFF
+        aff = live & ((cb == a) | (ca == b)) & (cand != pair)
+        exp_probes = cand[aff]
+        out_w = mct(
+            jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n),
+            jnp.uint32(pair), jnp.uint32(300),
+            window=(jnp.asarray(cand), jnp.asarray(counts)),
+            interpret=interpret,
+        )
+        sym_w, w_w, n_w, bl_w, br_w, samp_w, pcnt_w, probes_w, naff_w = out_w
+        exp_list = np.full(N_PROBES, 1, np.uint32)
+        exp_list[: len(exp_probes)] = exp_probes
+        out_e = mct(
+            jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n),
+            jnp.uint32(pair), jnp.uint32(300),
+            probes=(jnp.asarray(exp_list), jnp.asarray(len(exp_probes), jnp.int32)),
+            interpret=interpret,
+        )
+        sym_e, w_e, n_e, bl_e, br_e, samp_e, pcnt_e = out_e
+        ok = int(naff_w[0]) == int(aff.sum())
+        ok &= np.array_equal(
+            np.asarray(probes_w).astype(np.uint32), exp_list
+        )
+        for x, y in ((sym_w, sym_e), (w_w, w_e), (bl_w, bl_e), (br_w, br_e),
+                     (samp_w, samp_e), (pcnt_w, pcnt_e)):
+            ok &= np.array_equal(np.asarray(x), np.asarray(y))
+        ok &= int(n_w) == int(n_e)
+        return bool(ok)
+
+    results["window_probe_prep"] = _sec5c()
+
+    # 5d. window_post kernel vs a numpy reference of the classic
+    #     _merge_and_track tail (count adoption, scratch append, histogram
+    #     exclusion + ceiling, log row, scalar advances, next winner)
+    def _sec5d():
+        from .pallas_kernels import N_PROBES, W_SLOTS, window_post
+        from ..constants import BATCH_MERGES
+
+        r2 = np.random.default_rng(11)
+        cand = r2.integers(1, 1 << 17, size=W_SLOTS).astype(np.uint32)
+        cand[0] = pack_pair(5, 7)
+        counts = r2.integers(0, 1000, size=W_SLOTS).astype(np.int32)
+        counts[200:] = -1
+        cand[200:] = 0xFFFFFFFF
+        pair = np.uint32(pack_pair(5, 7))
+        bins_l = r2.random((_TRACK_SIDE, _TRACK_SIDE)).astype(np.float32) * 500
+        bins_r = r2.random((_TRACK_SIDE, _TRACK_SIDE)).astype(np.float32) * 500
+        log = np.zeros(BATCH_MERGES * 3, np.uint32)
+        probes = cand[:N_PROBES].copy()
+        pcnt = r2.integers(0, 800, size=N_PROBES).astype(np.int32)
+        args = dict(
+            pair=jnp.uint32(pair), count=jnp.asarray(321, jnp.int32),
+            next_id=jnp.uint32(300), theta=jnp.asarray(400, jnp.int32),
+            ub_new=jnp.asarray(350, jnp.int32), fill=jnp.asarray(180, jnp.int32),
+            merges_done=jnp.asarray(9, jnp.int32), active=jnp.asarray(True),
+            early_stop=jnp.asarray(False), use_probes=jnp.asarray(True),
+            n_aff=jnp.asarray(6, jnp.int32), c_l=jnp.asarray(77, jnp.int32),
+            c_r=jnp.asarray(55, jnp.int32), l_ok=jnp.asarray(True),
+            r_ok=jnp.asarray(True), l_tok=jnp.uint32(9), r_tok=jnp.uint32(12),
+            has_room=jnp.asarray(True),
+            probes=jnp.asarray(probes), pcnt=jnp.asarray(pcnt),
+        )
+        cand2, counts2, log2, sout = window_post(
+            jnp.asarray(cand), jnp.asarray(counts),
+            jnp.asarray(bins_l), jnp.asarray(bins_r), jnp.asarray(log),
+            interpret=interpret, **args,
+        )
+        # numpy reference (mirrors ops.train_step classic math)
+        live = counts >= 0
+        ca, cb = cand >> 16, cand & 0xFFFF
+        a, b = int(pair) >> 16, int(pair) & 0xFFFF
+        aff = live & ((cb == a) | (ca == b)) & (cand != pair)
+        rec = np.zeros(W_SLOTS, np.int32)
+        for k in range(6):
+            rec = np.maximum(rec, np.where(cand == probes[k], pcnt[k], 0))
+        cexp = np.where(aff, rec, counts)
+        cexp = np.where(live & (cand == pair), 0, cexp).astype(np.int32)
+        pexp = cand.copy()
+        pexp[180] = (9 << 16) | (300 & 0xFFFF)
+        pexp[181] = ((300 & 0xFFFF) << 16) | 12
+        cexp[180] = 77
+        cexp[181] = 55
+        ok = np.array_equal(np.asarray(cand2), pexp)
+        ok &= np.array_equal(np.asarray(counts2), cexp)
+
+        def ub(bins, tok, c):
+            h = ((tok * 2654435761) & 0xFFFFFFFF) >> 16 & 255
+            b2 = bins.copy().reshape(-1)
+            b2[h] -= c
+            mx = np.float32(np.float32(b2.max()) * np.float32(1.0 + 4e-3) + np.float32(4.0))
+            return int(mx) if mx <= 2e9 else 2**31 - 1
+
+        ub_exp = max(350, max(ub(bins_l, 9, 77), ub(bins_r, 12, 55)))
+        so = np.asarray(sout)
+        ok &= so[3] == ub_exp
+        ok &= so[0] == 10 and so[1] == 182 and so[2] == 0
+        ok &= np.uint32(so[6]) == 301
+        m2 = cexp.max()
+        winner = np.asarray(cand2)[cexp == m2].min()
+        ok &= np.uint32(so[7]) == winner and so[4] == m2
+        ok &= (so[5] != 0) == bool((m2 > 400) and (m2 > ub_exp) and (m2 >= 2))
+        lg = np.asarray(log2)
+        ok &= lg[27] == pair and lg[28] == 300 and lg[29] == 321
+        return bool(ok)
+
+    results["window_post"] = _sec5d()
+
     # Tokenizer kernels (sections 6-7) are newer than the merge kernels
     # above; a lowering failure is recorded as False instead of raised, so
     # bench.py can fall back to the XLA tokenizer paths (kill switch

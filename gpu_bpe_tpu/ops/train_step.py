@@ -83,13 +83,25 @@ def _use_pallas() -> bool:
     ops.pallas_kernels.merge_compact, so holes never materialize and the
     deferred-compaction machinery below is bypassed. The jnp path remains
     for CPU execution and as an escape hatch (GPU_BPE_TPU_NO_PALLAS=1).
+
+    GPU_BPE_TPU_PALLAS_INTERPRET=1 forces the Pallas paths ON with every
+    kernel in interpret mode — the CI hook that runs the TPU code path
+    (including the fused-window iteration) on the CPU backend, bit-exact.
+    Single-chip only: the distributed step does not thread the flag.
     """
+    if _pallas_interpret():
+        return True
     if _os.environ.get("GPU_BPE_TPU_NO_PALLAS"):
         return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+
+
+@_functools.cache
+def _pallas_interpret() -> bool:
+    return bool(_os.environ.get("GPU_BPE_TPU_PALLAS_INTERPRET"))
 
 # Lazy-candidate window: number of tracked top pairs between full recounts.
 # Round 2: with counts MAINTAINED incrementally (no per-iteration [K, N]
@@ -103,7 +115,11 @@ K_CANDIDATES = 128
 # token). A sampled pair is tracked exactly AND excluded from the ub
 # histogram, which keeps the created-pair ceiling from ending the window
 # the moment a dominant new pair (e.g. "th"+"e") appears.
-S_CREATED = 64
+# Round 4: 64 -> 128 so the whole window (K + S = 256) fills exactly
+# [2, 128] VPU tiles for the fused window kernels — and scratch-bound
+# window ends halve as a side effect. Merge lists are invariant under
+# K/S by construction.
+S_CREATED = 128
 _NO_EXCL = 0x10000  # 17-bit sentinel: matches no 16-bit token
 # Hash bins for the new-pair upper-bound histogram: 16x16 = 256 bins built
 # as a one-hot outer-product matmul. MUST equal pallas_kernels._TRACK_SIDE —
@@ -147,6 +163,12 @@ class TrainState(NamedTuple):
     recounts: jax.Array  # i32 scalar — full recounts performed (diagnostics)
     fill: jax.Array  # i32 scalar — next free created-pair scratch slot
     duals: jax.Array  # i32 scalar — dual-merge certificate fires (diagnostics)
+    # Fused-path pipeline (see _one_merge_fused): the NEXT iteration's
+    # winner + certificate, computed by the window-post kernel of the
+    # previous iteration. Inert on the jnp/multi paths.
+    pend_pair: jax.Array  # u32 scalar
+    pend_count: jax.Array  # i32 scalar
+    pend_cert: jax.Array  # bool scalar — False forces a full recount
 
 
 def init_state(symbols: jax.Array, weights: jax.Array, n, next_id) -> TrainState:
@@ -167,6 +189,9 @@ def init_state(symbols: jax.Array, weights: jax.Array, n, next_id) -> TrainState
         recounts=jnp.asarray(0, jnp.int32),
         fill=jnp.asarray(K_CANDIDATES, jnp.int32),
         duals=jnp.asarray(0, jnp.int32),
+        pend_pair=jnp.asarray(0, _U32),
+        pend_count=jnp.asarray(-1, jnp.int32),
+        pend_cert=jnp.asarray(False),
     )
 
 
@@ -565,6 +590,7 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead, active=No
         sym2, w2, n_new, bins_l, bins_r, samp, pcnt = merge_compact_tracked(
             st.symbols, st.weights, st.n, best_pair, st.next_id,
             probes=(probes, jnp.where(use_probes, n_aff, 0)),
+            interpret=_pallas_interpret(),
         )
         extent2, dirty2 = n_new, jnp.asarray(0, jnp.int32)
         next2 = None  # compacted stream: merge 2 never needs a hole chain
@@ -619,7 +645,8 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead, active=No
             # via one O(n) dynamic-grid streaming kernel — this was a full
             # O(capacity) XLA pass (the kernel's token-0 guard makes the
             # sentinel slots count 0, exactly like _masked_pairs)
-            cnt2 = count_pairs2(sym2, w2, n_new, l_slot, r_slot)
+            cnt2 = count_pairs2(sym2, w2, n_new, l_slot, r_slot,
+                                interpret=_pallas_interpret())
             c_l, c_r = cnt2[0], cnt2[1]
             match = (st.cand[:, None] == probes[None, :]) & (ia_p < n_aff)[None, :]
             rec = jnp.max(jnp.where(match, pcnt[None, :], 0), axis=1)
@@ -680,7 +707,7 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead, active=No
         adv = jnp.where(active, _U32(1), _U32(0))
         early = st.early_stop | ~active
         ub_merge = jnp.where(active, ub_merge, 0)
-    new_state = TrainState(
+    new_state = st._replace(
         symbols=sym2,
         weights=w2,
         n=n_new,
@@ -692,18 +719,180 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead, active=No
         merge_log=log,
         cand=cand2,
         cand_counts=counts3,
-        theta=st.theta,
         ub_new=jnp.maximum(st.ub_new, ub_merge),
-        recounts=st.recounts,
         fill=fill2,
-        duals=st.duals,
     )
     return new_state, ub_merge, c_l, c_r, next2
+
+
+def _full_recount_impl(symbols, weights, extent, iota, lookahead):
+    """Exact full recount: sort-based winner + fresh candidate window.
+
+    Returns (best_pair, count, cand, counts, theta, ub_new=0,
+    fill=K_CANDIDATES) — the 7-tuple both iteration structures adopt.
+    """
+    pair, w, _nxt = _masked_pairs(symbols, weights, extent, iota, lookahead)
+    sp, sw = lax.sort((pair, w), num_keys=1)
+    run_total = _run_totals(sp, sw)
+    # exact winner with the reference's is_better ordering
+    # (train.wgsl:83-85): count desc, pair id asc
+    bc = jnp.max(run_total)
+    bp = jnp.min(jnp.where((run_total == bc) & (sp != 0), sp, _INVALID))
+    bp = jnp.where(bc > 0, bp, _U32(0))
+    # candidate set: approx top-K is fine BECAUSE theta below is the
+    # EXACT max count over non-candidates — a missed heavy pair only
+    # shortens the window (more recounts), never breaks exactness.
+    # approx_max_k is ~10x cheaper than exact lax.top_k here.
+    _av, ai = lax.approx_max_k(run_total.astype(jnp.float32), K_CANDIDATES)
+    picked = run_total[ai]
+    # a picked position with run_total == 0 is NOT a run end (possible
+    # when the stream has fewer than K distinct pairs): its sp value is
+    # some run's interior, and seeding it with count 0 would track a
+    # pair with a WRONG maintained count. Invalidate such slots — the
+    # pair stays untracked and theta covers it exactly.
+    ok = picked > 0
+    new_cand = jnp.where(ok, sp[ai], _INVALID).at[0].set(bp)
+    new_counts = jnp.where(ok, picked, -1).at[0].set(bc)  # exact seeds
+    tracked = jnp.any(new_cand[:, None] == sp[None, :], axis=0)
+    new_theta = jnp.max(jnp.where(tracked, 0, run_total))
+    new_cand = jnp.concatenate([new_cand, jnp.full((S_CREATED,), _INVALID, _U32)])
+    new_counts = jnp.concatenate([new_counts, jnp.full((S_CREATED,), -1, jnp.int32)])
+    return (bp, bc, new_cand, new_counts, new_theta,
+            jnp.asarray(0, jnp.int32), jnp.asarray(K_CANDIDATES, jnp.int32))
+
+
+def _one_merge_fused(state: TrainState, batch_merges) -> TrainState:
+    """One device iteration, fused-window structure (single-chip Pallas
+    default; round 4).
+
+    Same certificate and merge semantics as ``_one_merge`` (bitwise-equal
+    merge lists — validated vs the classic structure and the
+    FORCE_RECOUNT ground truth), restructured so the while body is ~3
+    custom calls + a handful of fusions instead of ~66 tiny window ops
+    (round-3 HLO diagnosis: the iteration was op-count-bound at ~2 us
+    launch overhead per op):
+
+    * winner + certificate — computed by the PREVIOUS iteration's
+      window-post kernel, carried in ``pend_pair/pend_count/pend_cert``
+      (a full recount refreshes them when the certificate fails);
+    * probe prep — block 0 of the merge kernel derives the affected
+      candidate subset from the window in-kernel;
+    * post-merge window maintenance + next-winner selection — ONE
+      [2,128]-tile Pallas kernel (ops.pallas_kernels.window_post).
+
+    Multi-merge (GPU_BPE_TPU_MULTI) keeps the classic structure: its
+    nested conds cost more than they save single-chip (see _one_merge).
+    """
+    from .pallas_kernels import (
+        N_PROBES,
+        W_SLOTS,
+        count_pairs2,
+        merge_compact_tracked,
+        window_post,
+    )
+
+    assert K_CANDIDATES + S_CREATED == W_SLOTS
+    cap = state.symbols.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    interp = _pallas_interpret()
+
+    certified = state.pend_cert
+    if _os.environ.get("GPU_BPE_TPU_FORCE_RECOUNT"):
+        # ground-truth mode (see _one_merge): every merge recounts
+        certified = jnp.asarray(False)
+
+    def adopt(_):
+        return (state.pend_pair, state.pend_count, state.cand,
+                state.cand_counts, state.theta, state.ub_new, state.fill)
+
+    def full_recount(_):
+        return _full_recount_impl(
+            state.symbols, state.weights, state.extent, iota, 0
+        )
+
+    best_pair, count, cand, ccounts, theta, ub_new, fill = lax.cond(
+        certified, adopt, full_recount, None
+    )
+    recounts = state.recounts + jnp.where(certified, 0, 1)
+    stop = (count < 2) | (state.next_id > _TOKEN_MASK)
+    active = ~stop
+    # neutralized stop: pair 0 matches nothing (see _merge_and_track)
+    pair_eff = jnp.where(active, best_pair, _U32(0))
+    has_room = (fill <= W_SLOTS - 2) & active
+
+    (sym2, w2, n_new, bins_l, bins_r, samp, pcnt, probes_out, naff_a) = (
+        merge_compact_tracked(
+            state.symbols, state.weights, state.n, pair_eff, state.next_id,
+            window=(cand, ccounts), interpret=interp,
+        )
+    )
+    n_aff = naff_a[0]
+    use_probes = n_aff <= N_PROBES
+
+    # sampled created pairs: slots + exact counts (token-0 guard as in
+    # _merge_and_track; see the z_tok16 aliasing note there — everything
+    # below is gated through has_room/active)
+    z16 = state.next_id & _TOKEN_MASK
+    l_ok = has_room & (samp[0] > 0) & (samp[1] != 0)
+    r_ok = has_room & (samp[2] > 0) & (samp[3] != 0)
+    l_tok = jnp.where(l_ok, samp[1].astype(_U32), _U32(_NO_EXCL))
+    r_tok = jnp.where(r_ok, samp[3].astype(_U32), _U32(_NO_EXCL))
+    l_slot = jnp.where(l_ok, (l_tok << _U32(16)) | z16, _U32(1))
+    r_slot = jnp.where(r_ok, (z16 << _U32(16)) | r_tok, _U32(1))
+    cnt2 = count_pairs2(sym2, w2, n_new, l_slot, r_slot, interpret=interp)
+
+    # rare wide-merge fallback: dense window recount in XLA (the cheap
+    # branch passes the maintained counts through; c_l/c_r come from the
+    # streaming kernel). >99% of merges take the cheap branch.
+    def dense_fallback(_):
+        return _post_counts(
+            cand, ccounts, pair_eff, l_slot, r_slot, sym2, w2, n_new, 0
+        )
+
+    def from_kernel(_):
+        return ccounts, cnt2[0], cnt2[1]
+
+    counts_sel, c_l, c_r = lax.cond(use_probes, from_kernel, dense_fallback, None)
+
+    cand2, counts3, log2, sc_out = window_post(
+        cand, counts_sel, bins_l, bins_r, state.merge_log.reshape(-1),
+        pair=pair_eff, count=count, next_id=state.next_id, theta=theta,
+        ub_new=ub_new, fill=fill, merges_done=state.merges_done,
+        active=active, early_stop=state.early_stop, use_probes=use_probes,
+        n_aff=n_aff, c_l=c_l, c_r=c_r, l_ok=l_ok, r_ok=r_ok,
+        l_tok=l_tok, r_tok=r_tok, has_room=has_room,
+        probes=probes_out, pcnt=pcnt, interpret=interp,
+    )
+
+    return state._replace(
+        symbols=sym2,
+        weights=w2,
+        n=n_new,
+        extent=n_new,
+        dirty=jnp.asarray(0, jnp.int32),
+        next_id=sc_out[6].astype(_U32),
+        early_stop=sc_out[2] != 0,
+        merges_done=sc_out[0],
+        merge_log=log2.reshape(BATCH_MERGES, 3),
+        cand=cand2,
+        cand_counts=counts3,
+        theta=theta,
+        ub_new=sc_out[3],
+        recounts=recounts,
+        fill=sc_out[1],
+        pend_pair=sc_out[7].astype(_U32),
+        pend_count=sc_out[4],
+        pend_cert=sc_out[5] != 0,
+    )
 
 
 def _one_merge(state: TrainState, batch_merges) -> TrainState:
     """One device iteration: one exact merge, or TWO when the dual-merge
     certificate fires (sharing a single candidate-count pass).
+
+    On the single-chip Pallas path (multi-merge off) the fused-window
+    structure runs instead — see ``_one_merge_fused``; this classic
+    structure serves the jnp/CPU path and GPU_BPE_TPU_MULTI.
 
     The winner is the global weighted argmax pair with the reference
     tie-break. Proof of exactness of the candidate fast path: let R be the
@@ -747,6 +936,8 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
     path never changes WHICH merges happen, only how many candidate-count
     passes they cost.
     """
+    if _use_pallas() and not _multi_merge_enabled():
+        return _one_merge_fused(state, batch_merges)
     cap = state.symbols.shape[0]
     iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
     # Pallas path: the stream is compacted after every merge, so there are
@@ -814,36 +1005,9 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
     )
 
     def full_recount(_):
-        pair, w, _nxt = _masked_pairs(
+        return _full_recount_impl(
             state.symbols, state.weights, state.extent, iota, lookahead
         )
-        sp, sw = lax.sort((pair, w), num_keys=1)
-        run_total = _run_totals(sp, sw)
-        # exact winner with the reference's is_better ordering
-        # (train.wgsl:83-85): count desc, pair id asc
-        bc = jnp.max(run_total)
-        bp = jnp.min(jnp.where((run_total == bc) & (sp != 0), sp, _INVALID))
-        bp = jnp.where(bc > 0, bp, _U32(0))
-        # candidate set: approx top-K is fine BECAUSE theta below is the
-        # EXACT max count over non-candidates — a missed heavy pair only
-        # shortens the window (more recounts), never breaks exactness.
-        # approx_max_k is ~10x cheaper than exact lax.top_k here.
-        _av, ai = lax.approx_max_k(run_total.astype(jnp.float32), K_CANDIDATES)
-        picked = run_total[ai]
-        # a picked position with run_total == 0 is NOT a run end (possible
-        # when the stream has fewer than K distinct pairs): its sp value is
-        # some run's interior, and seeding it with count 0 would track a
-        # pair with a WRONG maintained count. Invalidate such slots — the
-        # pair stays untracked and theta covers it exactly.
-        ok = picked > 0
-        new_cand = jnp.where(ok, sp[ai], _INVALID).at[0].set(bp)
-        new_counts = jnp.where(ok, picked, -1).at[0].set(bc)  # exact seeds
-        tracked = jnp.any(new_cand[:, None] == sp[None, :], axis=0)
-        new_theta = jnp.max(jnp.where(tracked, 0, run_total))
-        new_cand = jnp.concatenate([new_cand, jnp.full((S_CREATED,), _INVALID, _U32)])
-        new_counts = jnp.concatenate([new_counts, jnp.full((S_CREATED,), -1, jnp.int32)])
-        return (bp, bc, new_cand, new_counts, new_theta,
-                jnp.asarray(0, jnp.int32), jnp.asarray(K_CANDIDATES, jnp.int32))
 
     def from_candidates_full(_):
         return (cand_winner, m, state.cand, state.cand_counts, state.theta,
@@ -899,7 +1063,9 @@ def _one_merge(state: TrainState, batch_merges) -> TrainState:
 _MIN_SHRINK_CAP = 4096
 
 
-def train_batch(state: TrainState, batch_merges: jax.Array) -> TrainState:
+def train_batch(
+    state: TrainState, batch_merges: jax.Array, recount_budget: jax.Array | None = None
+) -> TrainState:
     """Run up to ``batch_merges`` merges on device with early stopping.
 
     Equivalent of encodeBatch + the GPU-driven IterState loop
@@ -913,15 +1079,32 @@ def train_batch(state: TrainState, batch_merges: jax.Array) -> TrainState:
     count falls below half capacity the loop returns early so the host
     can re-pad onto the next rung of the power-of-two ladder — one extra
     round trip buys a 2x cheaper iteration for the rest of the batch.
+
+    Recount budget: ``recount_budget`` (traced i32, optional) caps the
+    number of FULL sort recounts one dispatch performs — the loop returns
+    early (merges_done < batch_merges, no flags set) once the cap is hit,
+    and the host simply re-dispatches. A full recount costs O(cap log cap)
+    (~1 s at the 2^25 rung), so an unlucky recount-dense stretch can push
+    a single dispatch past execution watchdogs (the 10 GB train died
+    deterministically at merge 17,573: batch 18's recount rate doubled to
+    59, crossing this environment's measured ~60 s per-dispatch limit —
+    scripts/probe_dispatch_limit.py). Bounding recounts bounds dispatch
+    wall time data-independently; the merge list is invariant (the budget
+    only moves batch boundaries). Progress is guaranteed: the check reads
+    recounts BEFORE the iteration, so at least one merge happens per
+    dispatch even at budget 1.
     """
     state = state._replace(merges_done=jnp.asarray(0, jnp.int32))
     cap = state.symbols.shape[0]
+    recounts0 = state.recounts
 
     def cond(st: TrainState):
         go = (st.merges_done < batch_merges) & ~st.early_stop
         if cap > _MIN_SHRINK_CAP:  # static per trace
             collapsed = (st.n + 32 <= cap // 2) & (st.merges_done > 0)
             go &= ~collapsed
+        if recount_budget is not None:
+            go &= (st.recounts - recounts0) < recount_budget
         return go
 
     body = _functools.partial(_one_merge, batch_merges=batch_merges)
@@ -949,11 +1132,13 @@ def _pack_summary(st: TrainState) -> jax.Array:
     return jnp.concatenate([st.merge_log.reshape(-1), scalars])
 
 
-def train_batch_with_summary(state: TrainState, batch_merges: jax.Array):
+def train_batch_with_summary(
+    state: TrainState, batch_merges: jax.Array, recount_budget: jax.Array
+):
     """``train_batch`` + the packed host summary in the SAME dispatch (a
     separate jitted summary call costs one more host->device command per
     batch on a high-latency link)."""
-    st = train_batch(state, batch_merges)
+    st = train_batch(state, batch_merges, recount_budget)
     return st, _pack_summary(st)
 
 

@@ -27,6 +27,24 @@ logger = logging.getLogger(__name__)
 
 _MIN_CAP = 2048
 
+# Per-dispatch device-time target. A full sort recount costs roughly
+# _RECOUNT_S_PER_ELEM * capacity on v5e (measured ~32 ns/elem at the 2^25
+# rung from the 10 GB bisect logs; 35 ns keeps margin), and this
+# environment's worker kills any dispatch over ~60 s
+# (scripts/probe_dispatch_limit.py) — 12 s of budgeted recounts plus the
+# stream-merge cost of a full batch stays a 2-3x margin under it. On
+# standard hosts with no watchdog the cap is harmless: at small
+# capacities the budget exceeds any real batch's recount count.
+_DISPATCH_TARGET_S = 12.0
+_RECOUNT_S_PER_ELEM = 35e-9
+
+
+def _recount_budget(cap: int) -> int:
+    import os
+
+    target = float(os.environ.get("GPU_BPE_TPU_DISPATCH_TARGET_S", _DISPATCH_TARGET_S))
+    return max(4, int(target / (_RECOUNT_S_PER_ELEM * max(cap, 1))))
+
 
 class TPUTrainer:
     """Device-resident BPE trainer with batched merge loops."""
@@ -125,7 +143,9 @@ class TPUTrainer:
             # more host->device command on a high-latency link), and ONE
             # host readback syncs it
             state, packed_dev = train_batch_summary_jit(
-                state, jnp.asarray(batch, jnp.int32)
+                state,
+                jnp.asarray(batch, jnp.int32),
+                jnp.asarray(_recount_budget(cap), jnp.int32),
             )
             packed = np.asarray(packed_dev)
             log = packed[: BATCH_MERGES * 3].reshape(BATCH_MERGES, 3)

@@ -99,6 +99,7 @@ def run_loop(state, total_done: int, args) -> None:
 
     from gpu_bpe_tpu.constants import BATCH_MERGES, TOKEN_MASK
     from gpu_bpe_tpu.ops.train_step import train_batch_summary_jit
+    from gpu_bpe_tpu.ops.trainer import _recount_budget
 
     _MIN_CAP = 2048
     merges_needed = args.vocab - 256
@@ -111,7 +112,9 @@ def run_loop(state, total_done: int, args) -> None:
         batch = min(step, merges_needed - total_done)
         cap = state.symbols.shape[0]
         t0 = time.time()
-        state, packed_dev = train_batch_summary_jit(state, jnp.asarray(batch, jnp.int32))
+        budget = 1 << 30 if args.no_budget else _recount_budget(cap)
+        state, packed_dev = train_batch_summary_jit(
+            state, jnp.asarray(batch, jnp.int32), jnp.asarray(budget, jnp.int32))
         packed = np.asarray(packed_dev)
         dt = time.time() - t0
         log_arr = packed[: BATCH_MERGES * 3].reshape(BATCH_MERGES, 3)
@@ -186,6 +189,8 @@ def main() -> None:
     ap.add_argument("--step", type=int, default=None,
                     help="merges per dispatch (default BATCH_MERGES)")
     ap.add_argument("--merges-out", default=None)
+    ap.add_argument("--no-budget", action="store_true",
+                    help="disable the recount budget (reproduce the crash)")
     args = ap.parse_args()
     if args.phase == "ingest":
         do_ingest(args)

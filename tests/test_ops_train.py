@@ -455,6 +455,53 @@ class TestNativeIngest:
         assert a.n == 8 and int((np.asarray(a.symbols) >> 16).sum()) == 2
 
 
+class TestRecountBudget:
+    """The per-dispatch recount budget (watchdog guard: a recount-dense
+    batch at a large capacity can push one dispatch past execution limits
+    — the 10 GB crash at merge 17,573) must only move batch boundaries:
+    the merge list is invariant and progress is guaranteed."""
+
+    def _run(self, data, starts, budget, vocab=330):
+        import jax.numpy as jnp
+
+        from gpu_bpe_tpu.ops import init_state, make_stream
+        from gpu_bpe_tpu.ops.ingest import pad_stream
+        from gpu_bpe_tpu.ops.train_step import train_batch_summary_jit
+        from gpu_bpe_tpu.constants import BATCH_MERGES, TOKEN_MASK
+
+        stream = make_stream(data, starts, dedup=True)
+        padded = pad_stream(stream)
+        state = init_state(
+            jnp.asarray(padded.symbols), jnp.asarray(padded.weights), stream.n, 256
+        )
+        merges = []
+        dispatches = 0
+        while len(merges) < vocab - 256:
+            state, packed = train_batch_summary_jit(
+                state,
+                jnp.asarray(min(BATCH_MERGES, vocab - 256 - len(merges)), jnp.int32),
+                jnp.asarray(budget, jnp.int32),
+            )
+            packed = np.asarray(packed)
+            log = packed[: BATCH_MERGES * 3].reshape(BATCH_MERGES, 3)
+            done = int(packed[-4])
+            for i in range(done):
+                merges.append((int(log[i, 0]) >> 16, int(log[i, 0]) & TOKEN_MASK,
+                               int(log[i, 1])))
+            dispatches += 1
+            if bool(packed[-2]):  # early stop
+                break
+            assert dispatches < 4096, "no progress under recount budget"
+        return merges, dispatches
+
+    def test_budget_invariance(self, english_text):
+        data, starts = _pretok(english_text[:8000])
+        unbounded, d0 = self._run(data, starts, 1 << 30)
+        tight, d1 = self._run(data, starts, 1)  # every recount ends a dispatch
+        assert tight == unbounded
+        assert d1 > d0  # the budget actually split dispatches
+
+
 def test_multi_merge_mode_conformance(english_text, tmp_path):
     """GPU_BPE_TPU_MULTI=1 (dual/triple iterations) must stay bitwise-
     identical to the single-merge default. Subprocess: the flag is read at
