@@ -122,6 +122,22 @@ def main() -> None:
     fp = hashlib.sha256(
         json.dumps([[a, b, c] for a, b, c in merges]).encode()
     ).hexdigest()[:16]
+
+    # model round-trip: save -> load -> encode/decode a sample from the
+    # corpus plus a fixed probe string; decode must invert encode exactly
+    model_path = f"/tmp/stream_model_{args.gb:g}gb.json"
+    tok.save(model_path)
+    from gpu_bpe_tpu.api import load_model
+
+    tok2 = load_model(model_path)
+    with open(corpus_path, "rb") as f:
+        sample = f.read(1 << 16).decode("utf-8", errors="ignore")
+    probe = "The quick brown fox; étude 中文 2026!"
+    roundtrip_ok = (
+        tok2.decode_text(tok2.encode(sample)) == sample
+        and tok2.decode_text(tok2.encode(probe)) == probe
+        and tok2.encode(probe) == tok.encode(probe)
+    )
     artifact = {
         "corpus_bytes": n_bytes,
         "corpus_gb": args.gb,
@@ -136,6 +152,8 @@ def main() -> None:
         ).native_available(),
         "peak_rss_gb": round(peak_rss, 2),
         "merge_list_sha256_16": fp,
+        "model_roundtrip_ok": roundtrip_ok,
+        "vocab_size": tok2.vocab_size,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -89,3 +89,51 @@ def test_dist_flat_counts_tie_break_regression():
     dist = DistributedTrainer(make_mesh(8)).train(data, starts, target_vocab_size=256 + 120)
     assert dist.merges == oracle.merges
     assert dist.merge_counts == oracle.merge_counts
+
+
+def test_dist_64k_id_cap_early_stop(english_text):
+    """The 64K-id cap (16-bit tokens, reference stop condition
+    train.wgsl:345-348) through the DISTRIBUTED path: seed device state
+    with next_id a few merges below 65,536 on a virtual mesh, run a batch,
+    and require (a) early stop exactly at id 65,535 and (b) a merge log
+    bitwise-equal to the single-chip step from the same seed."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpu_bpe_tpu.constants import BATCH_MERGES
+    from gpu_bpe_tpu.ops import init_state, make_stream
+    from gpu_bpe_tpu.ops.ingest import pad_stream
+    from gpu_bpe_tpu.ops.train_step import train_batch
+    from gpu_bpe_tpu.parallel.dist_train import (
+        init_dist_state,
+        make_dist_train_batch,
+        shard_stream as dist_shard,
+    )
+
+    data, starts = _pretok(english_text[:8000])
+    stream = make_stream(data, starts, dedup=True)
+    start_id = 65_530  # 6 ids of room before the cap
+
+    # single-chip
+    padded = pad_stream(stream)
+    st = init_state(jnp.asarray(padded.symbols), jnp.asarray(padded.weights),
+                    stream.n, start_id)
+    st = jax.jit(train_batch)(st, jnp.asarray(64, jnp.int32))
+    done = int(st.merges_done)
+    log_single = np.asarray(st.merge_log)[:done]
+    assert bool(st.early_stop)
+    assert done == 65_536 - start_id  # ids 65530..65535 assigned, then stop
+    assert int(log_single[-1, 1]) == 65_535
+
+    # distributed, 4-way
+    mesh = make_mesh(4)
+    sym_sh, w_sh, n_sh = dist_shard(stream.symbols[: stream.n],
+                                    stream.weights[: stream.n], 4)
+    dst = init_dist_state(mesh, sym_sh, w_sh, n_sh, start_id)
+    batch_fn = jax.jit(make_dist_train_batch(mesh))
+    dst = batch_fn(dst, jnp.asarray(64, jnp.int32))
+    ddone = int(dst.merges_done)
+    log_dist = np.asarray(dst.merge_log)[:ddone]
+    assert bool(dst.early_stop)
+    assert ddone == done
+    np.testing.assert_array_equal(log_dist, log_single)
