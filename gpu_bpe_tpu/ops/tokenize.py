@@ -319,6 +319,49 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
     return out
 
 
+_SEG_MIN_ROWS = 1 << 16  # smallest join worth the replication overhead
+
+
+def _seg_shape(rows: int, v2: int) -> tuple[int, int]:
+    """Segmented sort-join shape: split ``rows`` position rows into
+    ``nseg`` contiguous segments of ``S`` and replicate the ``v2`` static
+    vocab rows into each, sorting [nseg, S + v2] along the minor axis.
+    The TPU sort network's depth scales ~log^2(length) and it pads each
+    sorted length to a power of two internally — so S is chosen to make
+    S + v2 EXACTLY a power of two (callers pad the position stream to
+    nseg*S with inert max-key rows; <1% waste vs the up-to-2x internal
+    padding a naive split pays). Measured at 16M rows / 8K vocab:
+    unsegmented 305 ms -> pow2-divisor segments 168 ms -> exact-fit
+    segments cut the join sorts roughly in half again.
+    Returns (1, rows) when segmentation doesn't apply (small inputs or
+    GPU_BPE_TPU_STAB_SEG=0); GPU_BPE_TPU_STAB_SEG=<bits> pins
+    S = 2^bits - v2 (tuning escape hatch)."""
+    import os
+
+    env = os.environ.get("GPU_BPE_TPU_STAB_SEG")
+    if env == "0":
+        return 1, rows
+    if rows < _SEG_MIN_ROWS:
+        return 1, rows
+    if env:
+        s = (1 << int(env)) - v2
+        nseg = -(-rows // s)
+        return (nseg, s) if s > 0 and nseg >= 2 else (1, rows)
+    best = None
+    for k in range(16, 23):
+        m = 1 << k
+        s = m - v2
+        if s <= m // 2 or s >= rows:  # >50% replication, or one segment
+            continue
+        nseg = -(-rows // s)
+        cost = nseg * m * k * k  # total bitonic compare-volume model
+        if best is None or cost < best[0]:
+            best = (cost, nseg, s)
+    if best is None or best[1] < 2:
+        return 1, rows
+    return best[1], best[2]
+
+
 def _k3(flag, ln, pay):
     """Packed third key word: flag (major: opens < positions < closes) |
     depth | payload. Keeps the sort narrow — multi-operand sorts compile
@@ -335,16 +378,19 @@ def _paren_overlay(sflag, skp, m: int, depths: int):
 
     ``vals`` is laid out [depths, m] — m minor — so every array tiles the
     (8, 128) vector registers densely; the [m, depths] orientation pads
-    the ~10-wide minor dimension to 128 lanes (measured ~12x slower)."""
+    the ~10-wide minor dimension to 128 lanes (measured ~12x slower).
+
+    ``sflag``/``skp`` may carry a leading segment dim ([nseg, m]; the scan
+    runs along the minor axis per segment) — ``m`` is the minor length."""
     sln = (skp >> jnp.uint32(25)) & jnp.uint32(0x1F)
     spay = skp & jnp.uint32(0x1FFFFFF)
-    depth = lax.broadcasted_iota(jnp.uint32, (depths, 1), 0)
+    depth = lax.broadcasted_iota(jnp.uint32, (depths,) + (1,) * sflag.ndim, 0)
     is_open = sflag == 0
     is_close = sflag == 2
     mod = jnp.where(is_open | is_close, jnp.uint32(1) << sln, 0)
     openb = jnp.where(is_open, jnp.uint32(1) << sln, 0)
     vals = jnp.where(
-        (sln[None, :] == depth) & is_open[None, :], spay[None, :], 0
+        (sln[None] == depth) & is_open[None], spay[None], 0
     ).astype(jnp.uint16)
 
     # identity op has mod == 0, so left-padding with zeros is a no-op prefix
@@ -355,7 +401,7 @@ def _paren_overlay(sflag, skp, m: int, depths: int):
     s = 1
     while s < m:
         pv, po, pm = shift_down(vals, s), shift_down(openb, s), shift_down(mod, s)
-        bmod_d = ((mod[None, :] >> depth) & 1) == 1
+        bmod_d = ((mod[None] >> depth) & 1) == 1
         vals = jnp.where(bmod_d, vals, pv)
         openb = (po & ~mod) | (openb & mod)
         mod = pm | mod
@@ -368,21 +414,22 @@ def _deepest_fit(vals, openb, spay, sflag, input_len, chunk_size: int,
     """Per-position extraction: the deepest open depth whose token (of
     length ``base_len + depth``) still fits within the position's chunk.
     Returns packed (len << 16 | id) per sorted row, 0 where no match.
-    ``vals`` is [depths, m] (m minor — see _paren_overlay)."""
-    depth = lax.broadcasted_iota(jnp.uint32, (vals.shape[0], 1), 0)
+    ``vals`` is [depths, m] (m minor — see _paren_overlay); a leading
+    segment dim on ``openb``/``spay``/``sflag`` broadcasts through."""
+    depth = lax.broadcasted_iota(jnp.uint32, (vals.shape[0],) + (1,) * sflag.ndim, 0)
     pos_i = spay.astype(jnp.int32)
     cend = jnp.minimum((pos_i // chunk_size + 1) * chunk_size, input_len)
     d_i = depth.astype(jnp.int32)
-    fits = base_len + d_i <= (cend - pos_i)[None, :]
+    fits = base_len + d_i <= (cend - pos_i)[None]
     openable = (
-        (((openb[None, :] >> depth) & 1) == 1)
+        (((openb[None] >> depth) & 1) == 1)
         & fits
-        & (sflag == 1)[None, :]
+        & (sflag == 1)[None]
         & (d_i <= max_depth)
     )
     best_d = jnp.max(jnp.where(openable, d_i, 0), axis=0)
     best_id = jnp.max(
-        jnp.where(openable & (d_i == best_d[None, :]), vals.astype(jnp.int32), 0),
+        jnp.where(openable & (d_i == best_d[None]), vals.astype(jnp.int32), 0),
         axis=0,
     )
     return jnp.where(
@@ -443,27 +490,60 @@ def _stab_match(
     vln = jnp.asarray(stab["ln"])
     vid = jnp.asarray(stab["id"])
 
-    k0 = jnp.concatenate([pw[0], ow[:, 0], cw[:, 0]])
-    k1 = jnp.concatenate([pw[1], ow[:, 1], cw[:, 1]])
-    kp = jnp.concatenate([
+    # Segmented join (see _seg_shape): positions split into contiguous
+    # segments, vocab rows replicated per segment, every sort/scan along
+    # the minor axis — exact by construction (matching is per-position
+    # against the static vocab; windows were packed from the full stream).
+    nseg, seg = _seg_shape(n, 2 * v)
+    if nseg > 1:
+        # pad the position stream to nseg*seg with inert rows (max key,
+        # max position payload — no chunk fit, sliced off before the
+        # levels chain) so segments tile exactly
+        padn = nseg * seg
+
+        def cat(p, o, c, fill):
+            if padn > n:
+                p = jnp.concatenate([p, jnp.full((padn - n,), fill, p.dtype)])
+            return jnp.concatenate(
+                [p.reshape(nseg, seg),
+                 jnp.broadcast_to(o, (nseg, v)),
+                 jnp.broadcast_to(c, (nseg, v))], axis=-1)
+
+        def take(x):
+            return x[..., :seg].reshape(padn)[:n]
+
+        m = seg + 2 * v
+    else:
+        def cat(p, o, c, fill):
+            return jnp.concatenate([p, o, c])
+
+        def take(x):
+            return x[:n]
+
+        m = n + 2 * v
+    k0 = cat(pw[0], ow[:, 0], cw[:, 0], jnp.uint32(0xFFFFFFFF))
+    k1 = cat(pw[1], ow[:, 1], cw[:, 1], jnp.uint32(0xFFFFFFFF))
+    kp = cat(
         _k3(jnp.uint32(1), jnp.uint32(0), iota),
         _k3(jnp.uint32(0), vln, vid),
         _k3(jnp.uint32(2), vln, vid),
-    ])
+        _k3(jnp.uint32(1), jnp.uint32(0), jnp.uint32(0x1FFFFFF)),
+    )
 
     _, _, skp = lax.sort((k0, k1, kp), num_keys=3)
     sflag = skp >> jnp.uint32(30)
 
-    m = n + 2 * v
     depths = _GROUP_DEPTH + 1 if levels else _STAB_MAX_LEN + 1
     vals, openb, spay = _paren_overlay(sflag, skp, m, depths)
     packed = _deepest_fit(vals, openb, spay, sflag, input_len, chunk_size, 0, _STAB_MAX_LEN)
 
-    # restore position order (vocab rows sort to the tail and are sliced off)
+    # restore position order (vocab rows sort to the tail and are sliced
+    # off; within a segment positions are a contiguous global range, so a
+    # per-segment sort on global position restores order exactly)
     key2 = jnp.where(sflag == 1, spay, jnp.uint32(0xFFFFFFFF))
     if not levels:
         _, packed_sorted = lax.sort((key2, packed), num_keys=1)
-        return packed_sorted[:n]
+        return take(packed_sorted)
 
     # position's prefix-group id (exact 8-byte window match), or _NO_GROUP
     in_group = ((openb >> jnp.uint32(_GROUP_DEPTH)) & 1) == 1
@@ -471,8 +551,8 @@ def _stab_match(
         in_group & (sflag == 1), vals[_GROUP_DEPTH].astype(jnp.uint32), _NO_GROUP
     )
     _, packed_sorted, gid_sorted = lax.sort((key2, packed, gid), num_keys=1)
-    result = packed_sorted[:n]
-    gid_pos = gid_sorted[:n]
+    result = take(packed_sorted)
+    gid_pos = take(gid_sorted)
 
     # ── levels k >= 2: (gid, 6-byte window at pos+base) vs that level's
     # suffix-interval rows, packed into TWO key words (gid<<16 | b0<<8 |
@@ -496,16 +576,43 @@ def _stab_match(
         lcw = jnp.asarray(lvl["close"])
         lln = jnp.asarray(lvl["ln"])
         lid = jnp.asarray(lvl["id"])
-        g0 = jnp.concatenate([sw0, low[:, 0], lcw[:, 0]])
-        g1 = jnp.concatenate([sw1, low[:, 1], lcw[:, 1]])
-        gp = jnp.concatenate([
+        # segmented like level 1 (restore stays exact: live rank rows are
+        # in increasing-position order per contiguous segment, garbage
+        # rows carry max payloads and their order is inert)
+        nseg2, seg2 = _seg_shape(rows, 2 * lv)
+        if nseg2 > 1:
+            padr = nseg2 * seg2
+
+            def cat2(p, o, c, fill):
+                if padr > rows:
+                    p = jnp.concatenate([p, jnp.full((padr - rows,), fill, p.dtype)])
+                return jnp.concatenate(
+                    [p.reshape(nseg2, seg2),
+                     jnp.broadcast_to(o, (nseg2, lv)),
+                     jnp.broadcast_to(c, (nseg2, lv))], axis=-1)
+
+            def take2(x):
+                return x[..., :seg2].reshape(padr)[:rows]
+
+            m2 = seg2 + 2 * lv
+        else:
+            def cat2(p, o, c, fill):
+                return jnp.concatenate([p, o, c])
+
+            def take2(x):
+                return x[:rows]
+
+            m2 = rows + 2 * lv
+        g0 = cat2(sw0, low[:, 0], lcw[:, 0], jnp.uint32(0xFFFFFFFF))
+        g1 = cat2(sw1, low[:, 1], lcw[:, 1], jnp.uint32(0xFFFFFFFF))
+        gp = cat2(
             _k3(jnp.uint32(1), jnp.uint32(0), pos_pay),
             _k3(jnp.uint32(0), lln, lid),
             _k3(jnp.uint32(2), lln, lid),
-        ])
+            _k3(jnp.uint32(1), jnp.uint32(0), jnp.uint32(0x1FFFFFF)),
+        )
         _, _, skp2 = lax.sort((g0, g1, gp), num_keys=3)
         sflag2 = skp2 >> jnp.uint32(30)
-        m2 = rows + 2 * lv
         depths2 = _LVL_GROUP_DEPTH + 1 if not last else _STAB_MAX_SUFFIX + 1
         vals2, openb2, spay2 = _paren_overlay(sflag2, skp2, m2, depths2)
         packed2 = _deepest_fit(
@@ -514,7 +621,7 @@ def _stab_match(
         key2b = jnp.where(sflag2 == 1, spay2, jnp.uint32(0xFFFFFFFF))
         if last:
             _, packed2_sorted = lax.sort((key2b, packed2), num_keys=1)
-            return packed2_sorted[:rows], None
+            return take2(packed2_sorted), None
         in_group2 = ((openb2 >> jnp.uint32(_LVL_GROUP_DEPTH)) & 1) == 1
         gid2 = jnp.where(
             in_group2 & (sflag2 == 1),
@@ -522,7 +629,7 @@ def _stab_match(
             _NO_GROUP,
         )
         _, packed2_sorted, gid2_sorted = lax.sort((key2b, packed2, gid2), num_keys=1)
-        return packed2_sorted[:rows], gid2_sorted[:rows]
+        return take2(packed2_sorted), take2(gid2_sorted)
 
     def _levels_chain(gid0, sw_bytes, pos_pay):
         """All levels >= 2 over one row stream: max packed contribution.

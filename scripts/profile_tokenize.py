@@ -65,7 +65,7 @@ def main() -> None:
     corpus = bench.synth_corpus(args.mb << 20)
     pt = PreTokenizer()
     data, starts = pt.pre_tokenize_bytes(corpus)
-    data = np.asarray(data, dtype=np.uint8)
+    data = np.frombuffer(bytes(data), dtype=np.uint8)
     if os.path.exists(cache):
         vocab = BPEModel.load(cache).vocab
     else:

@@ -1,5 +1,7 @@
 """TPU tokenizer conformance vs the CPU greedy reference encoder."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -437,6 +439,108 @@ class TestRankSpaceStab:
             idx = rng.integers(0, len(pieces), size=2500)
             data = b"".join(pieces[i] for i in idx)[:60000]
             self._both(vocab, data)
+
+
+class TestSegmentedStab:
+    """The segmented sort-join (positions split into segments, vocab rows
+    replicated per segment, sorts/scans along the minor axis — the TPU
+    sort network's cost scales ~log^2 of the sorted length) must be
+    bitwise-equal to the unsegmented join at every level."""
+
+    @pytest.fixture(autouse=True)
+    def _force_deep_levels(self, monkeypatch):
+        from gpu_bpe_tpu.ops import tokenize as tz
+
+        monkeypatch.setattr(tz, "_LEVEL_MIN_TOKENS", 1)
+
+    def _vocab(self):
+        rng = np.random.default_rng(31)
+        toks = {bytes([b]) for b in range(256)}
+        vocab = [bytes([b]) for b in range(256)]
+        while len(vocab) < 2600:
+            ln = int(rng.integers(2, 9))
+            t = bytes(rng.integers(97, 105, size=ln).tolist())
+            if t not in toks:
+                toks.add(t)
+                vocab.append(t)
+        return vocab + [
+            b"the quick brown",
+            b"the quick brown fox j",
+            b"prefixAAsuffix",
+        ]
+
+    def _both(self, vocab, data: bytes, chunk_size=2048):
+        import jax.numpy as jnp
+
+        from gpu_bpe_tpu.ops import tokenize as tz
+
+        t = tz.MatchTables.from_vocab(vocab)
+        assert t.stab is not None and len(t.stab["levels"]) >= 1
+        n = 1 << max(17, (len(data) - 1).bit_length())
+        buf = np.zeros(n, np.uint8)
+        buf[: len(data)] = np.frombuffer(data, np.uint8)
+        d = jnp.asarray(buf).astype(jnp.uint32)
+        ln = jnp.asarray(len(data), jnp.int32)
+        # segmentation must actually engage for the test to mean anything
+        nseg, _ = tz._seg_shape(n, 2 * t.stab["count"])
+        assert nseg > 1
+        seg = tz._stab_match(d, t.stab, ln, chunk_size, rank_mode="off")
+        os.environ["GPU_BPE_TPU_STAB_SEG"] = "0"
+        try:
+            flat = tz._stab_match(d, t.stab, ln, chunk_size, rank_mode="off")
+        finally:
+            del os.environ["GPU_BPE_TPU_STAB_SEG"]
+        np.testing.assert_array_equal(np.asarray(seg), np.asarray(flat))
+
+    def test_mixed_corpus(self):
+        rng = np.random.default_rng(32)
+        filler = bytes(rng.integers(97, 105, size=120000).tolist())
+        data = (
+            filler[:30000]
+            + b"the quick brown fox jXXprefixAAsuffixYY" * 20
+            + filler[30000:]
+        )
+        self._both(self._vocab(), data)
+
+    def test_match_straddles_segment_boundary(self):
+        # a long token crossing the segment boundary: windows are packed
+        # from the full stream before segmentation, so the row that owns
+        # the match position must still see the full window
+        vocab = self._vocab()
+        probe = b"the quick brown fox j"
+        data = bytearray(np.random.default_rng(33).integers(
+            105, 111, size=140000).astype(np.uint8).tobytes())
+        for start in (65536 - 21, 65536 - 10, 65536 - 1, 65536):
+            data[start : start + len(probe)] = probe
+        self._both(vocab, bytes(data))
+
+    def test_rank_space_segmented_consistency(self):
+        # rank path with segmentation on vs off (interpret Pallas): the
+        # compacted rank rows reshape into segments with garbage tails
+        rng = np.random.default_rng(34)
+        from gpu_bpe_tpu.ops import tokenize as tz
+
+        vocab = self._vocab()
+        t = tz.MatchTables.from_vocab(vocab)
+        import jax.numpy as jnp
+
+        data = (
+            bytes(rng.integers(97, 105, size=60000).tolist())
+            + b"the quick brown fox jQQ" * 30
+            + bytes(rng.integers(97, 105, size=60000).tolist())
+        )
+        n = 1 << 17
+        buf = np.zeros(n, np.uint8)
+        buf[: len(data)] = np.frombuffer(data[:n], np.uint8)
+        d = jnp.asarray(buf).astype(jnp.uint32)
+        ln = jnp.asarray(min(len(data), n), jnp.int32)
+        rank = tz._stab_match(d, t.stab, ln, 2048, rank_mode="interpret")
+        os.environ["GPU_BPE_TPU_STAB_SEG"] = "0"
+        try:
+            flat = tz._stab_match(d, t.stab, ln, 2048, rank_mode="off")
+        finally:
+            del os.environ["GPU_BPE_TPU_STAB_SEG"]
+        np.testing.assert_array_equal(np.asarray(rank), np.asarray(flat))
 
 
 class Test64KVocabScale:
