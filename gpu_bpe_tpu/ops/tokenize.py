@@ -369,6 +369,59 @@ def _k3(flag, ln, pay):
     return (flag << jnp.uint32(30)) | (ln << jnp.uint32(25)) | pay
 
 
+def _overlay_mode() -> str:
+    """Overlay-scan execution mode (trace-time): "pallas" = the streaming
+    ops.stab_kernels.overlay_fit kernel (TPU default — the XLA doubling
+    scan was the single biggest stage of the tokenize pass, 57.7 ms of
+    169 ms at 16 MB), "interpret" = interpreted Pallas (CPU test hook via
+    GPU_BPE_TPU_STAB_SCAN=interpret), "xla" = the doubling scan
+    (GPU_BPE_TPU_STAB_SCAN=0 escape hatch, and any shape the kernel does
+    not serve)."""
+    import os
+
+    env = os.environ.get("GPU_BPE_TPU_STAB_SCAN")
+    if env == "0":
+        return "xla"
+    if env == "interpret":
+        return "interpret"
+    return "pallas" if _tokenize_use_pallas() else "xla"
+
+
+def _overlay_fit_dispatch(skp, m: int, depths: int, input_len, chunk_size: int,
+                          base_len: int, max_depth: int, group_depth: int):
+    """(packed, key2, gid) for a sorted stream — Pallas streaming scan on
+    TPU, XLA doubling scan otherwise. ``skp`` is [nseg, m] or [m]; results
+    match bitwise (tests/test_ops_tokenize.py::TestOverlayKernel).
+    ``gid`` is None when ``group_depth`` < 0."""
+    from .stab_kernels import SBLK
+
+    mode = _overlay_mode()
+    if mode != "xla" and m % SBLK == 0:
+        from .stab_kernels import overlay_fit
+
+        skp2 = skp if skp.ndim == 2 else skp[None, :]
+        packed, key2, gid = overlay_fit(
+            skp2, input_len, chunk_size=chunk_size, depths=depths,
+            base_len=base_len, max_depth=max_depth, group_depth=group_depth,
+            interpret=mode == "interpret",
+        )
+        if skp.ndim == 1:
+            packed, key2, gid = packed[0], key2[0], gid[0]
+        return packed, key2, (gid if group_depth >= 0 else None)
+
+    sflag = skp >> jnp.uint32(30)
+    vals, openb, spay = _paren_overlay(sflag, skp, m, depths)
+    packed = _deepest_fit(vals, openb, spay, sflag, input_len, chunk_size,
+                          base_len, max_depth)
+    key2 = jnp.where(sflag == 1, spay, jnp.uint32(0xFFFFFFFF))
+    if group_depth < 0:
+        return packed, key2, None
+    in_group = ((openb >> jnp.uint32(group_depth)) & 1) == 1
+    gid = jnp.where(in_group & (sflag == 1),
+                    vals[group_depth].astype(jnp.uint32), _NO_GROUP)
+    return packed, key2, gid
+
+
 def _paren_overlay(sflag, skp, m: int, depths: int):
     """Balanced-parens overlay scan over a sorted open/position/close
     stream: inclusive Hillis-Steele doubling scan that propagates, per
@@ -531,25 +584,21 @@ def _stab_match(
     )
 
     _, _, skp = lax.sort((k0, k1, kp), num_keys=3)
-    sflag = skp >> jnp.uint32(30)
 
     depths = _GROUP_DEPTH + 1 if levels else _STAB_MAX_LEN + 1
-    vals, openb, spay = _paren_overlay(sflag, skp, m, depths)
-    packed = _deepest_fit(vals, openb, spay, sflag, input_len, chunk_size, 0, _STAB_MAX_LEN)
+    packed, key2, gid = _overlay_fit_dispatch(
+        skp, m, depths, input_len, chunk_size, 0, _STAB_MAX_LEN,
+        _GROUP_DEPTH if levels else -1,
+    )
 
     # restore position order (vocab rows sort to the tail and are sliced
     # off; within a segment positions are a contiguous global range, so a
     # per-segment sort on global position restores order exactly)
-    key2 = jnp.where(sflag == 1, spay, jnp.uint32(0xFFFFFFFF))
     if not levels:
         _, packed_sorted = lax.sort((key2, packed), num_keys=1)
         return take(packed_sorted)
 
     # position's prefix-group id (exact 8-byte window match), or _NO_GROUP
-    in_group = ((openb >> jnp.uint32(_GROUP_DEPTH)) & 1) == 1
-    gid = jnp.where(
-        in_group & (sflag == 1), vals[_GROUP_DEPTH].astype(jnp.uint32), _NO_GROUP
-    )
     _, packed_sorted, gid_sorted = lax.sort((key2, packed, gid), num_keys=1)
     result = take(packed_sorted)
     gid_pos = take(gid_sorted)
@@ -612,22 +661,14 @@ def _stab_match(
             _k3(jnp.uint32(1), jnp.uint32(0), jnp.uint32(0x1FFFFFF)),
         )
         _, _, skp2 = lax.sort((g0, g1, gp), num_keys=3)
-        sflag2 = skp2 >> jnp.uint32(30)
         depths2 = _LVL_GROUP_DEPTH + 1 if not last else _STAB_MAX_SUFFIX + 1
-        vals2, openb2, spay2 = _paren_overlay(sflag2, skp2, m2, depths2)
-        packed2 = _deepest_fit(
-            vals2, openb2, spay2, sflag2, input_len, chunk_size, base, _STAB_MAX_SUFFIX
+        packed2, key2b, gid2 = _overlay_fit_dispatch(
+            skp2, m2, depths2, input_len, chunk_size, base, _STAB_MAX_SUFFIX,
+            -1 if last else _LVL_GROUP_DEPTH,
         )
-        key2b = jnp.where(sflag2 == 1, spay2, jnp.uint32(0xFFFFFFFF))
         if last:
             _, packed2_sorted = lax.sort((key2b, packed2), num_keys=1)
             return take2(packed2_sorted), None
-        in_group2 = ((openb2 >> jnp.uint32(_LVL_GROUP_DEPTH)) & 1) == 1
-        gid2 = jnp.where(
-            in_group2 & (sflag2 == 1),
-            vals2[_LVL_GROUP_DEPTH].astype(jnp.uint32),
-            _NO_GROUP,
-        )
         _, packed2_sorted, gid2_sorted = lax.sort((key2b, packed2, gid2), num_keys=1)
         return take2(packed2_sorted), take2(gid2_sorted)
 

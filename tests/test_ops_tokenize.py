@@ -469,7 +469,7 @@ class TestSegmentedStab:
             b"prefixAAsuffix",
         ]
 
-    def _both(self, vocab, data: bytes, chunk_size=2048):
+    def _both(self, vocab, data: bytes, monkeypatch, chunk_size=2048):
         import jax.numpy as jnp
 
         from gpu_bpe_tpu.ops import tokenize as tz
@@ -482,17 +482,18 @@ class TestSegmentedStab:
         d = jnp.asarray(buf).astype(jnp.uint32)
         ln = jnp.asarray(len(data), jnp.int32)
         # segmentation must actually engage for the test to mean anything
+        # — and the auto heuristic (not a user-pinned shape) must be what
+        # gets tested, so clear the tuning env var for the segmented arm
+        monkeypatch.delenv("GPU_BPE_TPU_STAB_SEG", raising=False)
         nseg, _ = tz._seg_shape(n, 2 * t.stab["count"])
         assert nseg > 1
         seg = tz._stab_match(d, t.stab, ln, chunk_size, rank_mode="off")
-        os.environ["GPU_BPE_TPU_STAB_SEG"] = "0"
-        try:
-            flat = tz._stab_match(d, t.stab, ln, chunk_size, rank_mode="off")
-        finally:
-            del os.environ["GPU_BPE_TPU_STAB_SEG"]
+        monkeypatch.setenv("GPU_BPE_TPU_STAB_SEG", "0")
+        flat = tz._stab_match(d, t.stab, ln, chunk_size, rank_mode="off")
+        monkeypatch.delenv("GPU_BPE_TPU_STAB_SEG", raising=False)
         np.testing.assert_array_equal(np.asarray(seg), np.asarray(flat))
 
-    def test_mixed_corpus(self):
+    def test_mixed_corpus(self, monkeypatch):
         rng = np.random.default_rng(32)
         filler = bytes(rng.integers(97, 105, size=120000).tolist())
         data = (
@@ -500,47 +501,134 @@ class TestSegmentedStab:
             + b"the quick brown fox jXXprefixAAsuffixYY" * 20
             + filler[30000:]
         )
-        self._both(self._vocab(), data)
+        self._both(self._vocab(), data, monkeypatch)
 
-    def test_match_straddles_segment_boundary(self):
+    def test_match_straddles_segment_boundary(self, monkeypatch):
         # a long token crossing the segment boundary: windows are packed
         # from the full stream before segmentation, so the row that owns
-        # the match position must still see the full window
-        vocab = self._vocab()
-        probe = b"the quick brown fox j"
-        data = bytearray(np.random.default_rng(33).integers(
-            105, 111, size=140000).astype(np.uint8).tobytes())
-        for start in (65536 - 21, 65536 - 10, 65536 - 1, 65536):
-            data[start : start + len(probe)] = probe
-        self._both(vocab, bytes(data))
+        # the match position must still see the full window. The boundary
+        # is wherever the auto cost model puts it — compute it, don't
+        # guess (the model picks non-pow2 segment sizes).
+        from gpu_bpe_tpu.ops import tokenize as tz
 
-    def test_rank_space_segmented_consistency(self):
+        monkeypatch.delenv("GPU_BPE_TPU_STAB_SEG", raising=False)
+        vocab = self._vocab()
+        t = tz.MatchTables.from_vocab(vocab)
+        probe = b"the quick brown fox j"
+        n = 1 << 18
+        data = bytearray(np.random.default_rng(33).integers(
+            105, 111, size=n - 1000).astype(np.uint8).tobytes())
+        nseg, seg = tz._seg_shape(n, 2 * t.stab["count"])
+        assert nseg > 1 and seg < len(data), "probes must be placeable at a real boundary"
+        for start in (seg - 21, seg - 10, seg - 1, seg):
+            data[start : start + len(probe)] = probe
+        self._both(vocab, bytes(data), monkeypatch)
+
+    def test_rank_space_segmented_consistency(self, monkeypatch):
         # rank path with segmentation on vs off (interpret Pallas): the
-        # compacted rank rows reshape into segments with garbage tails
+        # compacted rank rows reshape into segments with garbage tails.
+        # n = 2^19 so the rank cap (max(n>>3, 2^15) = 65536) reaches
+        # _SEG_MIN_ROWS and the level>=2 joins actually run segmented —
+        # the production shape at TPU pass sizes (n=2^24 -> cap=2^21).
         rng = np.random.default_rng(34)
         from gpu_bpe_tpu.ops import tokenize as tz
 
+        monkeypatch.delenv("GPU_BPE_TPU_STAB_SEG", raising=False)
         vocab = self._vocab()
         t = tz.MatchTables.from_vocab(vocab)
         import jax.numpy as jnp
 
+        n = 1 << 19
         data = (
-            bytes(rng.integers(97, 105, size=60000).tolist())
-            + b"the quick brown fox jQQ" * 30
-            + bytes(rng.integers(97, 105, size=60000).tolist())
+            bytes(rng.integers(97, 105, size=(n - 3000) // 2).tolist())
+            + b"the quick brown fox jQQ" * 120
+            + bytes(rng.integers(97, 105, size=(n - 3000) // 2).tolist())
         )
-        n = 1 << 17
+        cap = min(n, max(n >> 3, 1 << 15))
+        lvl_count = t.stab["levels"][0]["count"]
+        assert tz._seg_shape(cap, 2 * lvl_count)[0] > 1, (
+            "rank-space joins must run segmented or this test is vacuous"
+        )
         buf = np.zeros(n, np.uint8)
         buf[: len(data)] = np.frombuffer(data[:n], np.uint8)
         d = jnp.asarray(buf).astype(jnp.uint32)
         ln = jnp.asarray(min(len(data), n), jnp.int32)
         rank = tz._stab_match(d, t.stab, ln, 2048, rank_mode="interpret")
-        os.environ["GPU_BPE_TPU_STAB_SEG"] = "0"
-        try:
-            flat = tz._stab_match(d, t.stab, ln, 2048, rank_mode="off")
-        finally:
-            del os.environ["GPU_BPE_TPU_STAB_SEG"]
+        monkeypatch.setenv("GPU_BPE_TPU_STAB_SEG", "0")
+        flat = tz._stab_match(d, t.stab, ln, 2048, rank_mode="off")
+        monkeypatch.delenv("GPU_BPE_TPU_STAB_SEG", raising=False)
         np.testing.assert_array_equal(np.asarray(rank), np.asarray(flat))
+
+
+class TestOverlayKernel:
+    """The Pallas streaming overlay+fit kernel (ops/stab_kernels.py) must
+    be bitwise-equal to the XLA doubling scan on every path it serves:
+    segmented level-1, rank-space level joins, group storms (carry
+    churn at every depth incl. closes killing opens across block
+    boundaries), and padding tails."""
+
+    @pytest.fixture(autouse=True)
+    def _force_deep_levels(self, monkeypatch):
+        from gpu_bpe_tpu.ops import tokenize as tz
+
+        monkeypatch.setattr(tz, "_LEVEL_MIN_TOKENS", 1)
+
+    def _vocab(self):
+        rng = np.random.default_rng(61)
+        toks = {bytes([b]) for b in range(256)}
+        vocab = [bytes([b]) for b in range(256)]
+        while len(vocab) < 2600:
+            ln = int(rng.integers(2, 9))
+            t = bytes(rng.integers(97, 105, size=ln).tolist())
+            if t not in toks:
+                toks.add(t)
+                vocab.append(t)
+        return vocab + [
+            b"the quick brown",
+            b"the quick brown fox j",
+            b"prefixAAsuffix",
+            b"aaaaaaaaa",  # group storm: every position in an a-run is in-group
+        ]
+
+    def _both(self, data: bytes, monkeypatch, rank_mode="off", n_bits=17):
+        import jax.numpy as jnp
+
+        from gpu_bpe_tpu.ops import tokenize as tz
+
+        t = tz.MatchTables.from_vocab(self._vocab())
+        n = 1 << n_bits
+        buf = np.zeros(n, np.uint8)
+        buf[: min(len(data), n)] = np.frombuffer(data[:n], np.uint8)
+        d = jnp.asarray(buf).astype(jnp.uint32)
+        ln = jnp.asarray(min(len(data), n), jnp.int32)
+        monkeypatch.setenv("GPU_BPE_TPU_STAB_SCAN", "0")
+        ref = np.asarray(tz._stab_match(d, t.stab, ln, 2048, rank_mode="off"))
+        monkeypatch.setenv("GPU_BPE_TPU_STAB_SCAN", "interpret")
+        got = np.asarray(tz._stab_match(d, t.stab, ln, 2048, rank_mode=rank_mode))
+        monkeypatch.delenv("GPU_BPE_TPU_STAB_SCAN")
+        np.testing.assert_array_equal(got, ref)
+
+    def test_segmented_full_width(self, monkeypatch):
+        rng = np.random.default_rng(62)
+        data = (bytes(rng.integers(97, 105, size=60000).tolist())
+                + b"the quick brown fox jQQ" * 40
+                + b"aaaaaaaab" * 500
+                + bytes(rng.integers(97, 105, size=60000).tolist()))
+        self._both(data, monkeypatch)
+
+    def test_rank_space_with_kernel(self, monkeypatch):
+        rng = np.random.default_rng(63)
+        data = (bytes(rng.integers(97, 105, size=100000).tolist())
+                + b"the quick brown fox jQQ" * 60
+                + bytes(rng.integers(97, 105, size=150000).tolist()))
+        self._both(data, monkeypatch, rank_mode="interpret", n_bits=18)
+
+    def test_group_close_across_block_boundary(self, monkeypatch):
+        # dense a-runs put opens/closes at every depth around the 32K
+        # block boundaries of the sorted stream — the carry handoff must
+        # respect closes that kill an open from an earlier block
+        data = b"aaaaaaaab" * 14000
+        self._both(data, monkeypatch)
 
 
 class Test64KVocabScale:
