@@ -104,18 +104,112 @@ def run_selftest() -> None:
         os.environ["GPU_BPE_TPU_NO_TOKENIZE_PALLAS"] = "1"
 
 
+def _synth_vocab_64k(corpus: bytes) -> list[bytes]:
+    """Deterministic 65,536-entry vocab from the corpus's frequent words.
+
+    Training 65K merges inside the bench would dominate its runtime; the
+    tokenize rate depends on the vocab's SHAPE (entry count, length
+    distribution, shared prefixes — they set the stab levels and dense
+    lengths), not its provenance, so the wide-walk row uses corpus words
+    and their prefixes instead. scripts/bench_tokenize_vocabs.py remains
+    the trained-vocab measurement (docs/artifacts/tokenize_rates.json)."""
+    vocab: list[bytes] = [bytes([b]) for b in range(256)]
+    seen = set(vocab)
+    words = corpus.split()
+    from collections import Counter
+
+    freq = Counter(words)
+    for w, _ in freq.most_common():
+        if len(vocab) >= 65536:
+            break
+        for end in range(2, min(len(w), 20) + 1):
+            cand = w[:end]
+            if cand not in seen:
+                seen.add(cand)
+                vocab.append(cand)
+                if len(vocab) >= 65536:
+                    break
+    # pad with deterministic numeric strings if the corpus runs dry
+    k = 0
+    while len(vocab) < 65536:
+        cand = b"#%d" % k
+        if cand not in seen:
+            seen.add(cand)
+            vocab.append(cand)
+        k += 1
+    return vocab
+
+
+def _device_rate_row(tok, corpus: bytes, vocab_label: str) -> None:
+    """One auxiliary tokenize row (device rate only) on a trained/synth
+    vocab — regression coverage for the dense-join (1K) and wide-walk
+    (64K) paths that the headline 8K row does not exercise."""
+    import jax
+    import jax.numpy as jnp
+
+    pass_bytes = min(len(corpus), tok.max_pass_bytes)
+    cap = 1 << 16
+    while cap < pass_bytes:
+        cap <<= 1
+    cap = -(-cap // tok.chunk_size) * tok.chunk_size
+    buf = np.zeros(cap, dtype=np.uint8)
+    buf[:pass_bytes] = np.frombuffer(corpus[:pass_bytes], dtype=np.uint8)
+    dbuf = jax.device_put(jnp.asarray(buf))
+    nlen = jnp.asarray(pass_bytes, jnp.int32)
+
+    def timed(k: int) -> float:
+        t0 = time.perf_counter()
+        total = None
+        for _ in range(k):
+            _pages, total = tok._encode_pass(dbuf, nlen)
+        int(total)
+        return time.perf_counter() - t0
+
+    try:
+        timed(1)  # warm/compile
+        t2, t6 = timed(2), timed(6)
+    except Exception as e:  # pragma: no cover - device-lowering guard
+        print(json.dumps({"metric": "tokenize_mb_per_sec", "value": 0.0,
+                          "unit": f"device MB/s (vocab {vocab_label})",
+                          "error": f"{type(e).__name__}: {e}"}), file=sys.stderr)
+        return
+    rate = 4 * pass_bytes / max(1e-9, t6 - t2) / 1e6
+    n_levels = len(tok.tables.stab["levels"]) + 1 if tok.tables.stab else 0
+    print(json.dumps({
+        "metric": "tokenize_mb_per_sec",
+        "value": round(rate, 1),
+        "unit": f"device MB/s ({pass_bytes >> 20}MB pass, vocab {vocab_label}, 1 chip)",
+        "stab_levels": n_levels,
+        "dense_lengths": tok.tables.dense_lengths,
+    }), file=sys.stderr)
+
+
 def bench_tokenize(stream, corpus: bytes) -> None:
     """Second axis: bulk tokenization MB/s at a real trained 8K vocab.
 
     Reports BOTH the device-side rate (chained dispatches, one scalar
     readback — ``block_until_ready`` is a no-op on this tunnel) and the
-    end-to-end wall rate including the u16 page readback.
+    end-to-end wall rate including the u16 page readback. Two auxiliary
+    rows cover the other match-table paths: a trained 1K vocab (dense
+    join) and a synthetic 64K vocab (full stab chain + wide walk).
     """
     from gpu_bpe_tpu.ops import TPUTrainer
     from gpu_bpe_tpu.ops.tokenize import _RANK_MIN_N, TPUTokenizer, _rank_use_pallas
 
     trainer = TPUTrainer()
-    result = trainer.train_stream(stream, target_vocab_size=TOKENIZE_VOCAB)
+
+    # auxiliary row 1: trained 1K vocab — dense-join path
+    def fresh():
+        return type(stream)(
+            stream.symbols.copy(), stream.weights.copy(), stream.n, stream.total_bytes
+        )
+
+    r1k = trainer.train_stream(fresh(), target_vocab_size=1024)
+    _device_rate_row(TPUTokenizer(r1k.vocab), corpus, "1024")
+    # auxiliary row 2: synthetic 64K vocab — full stab chain + wide paths
+    _device_rate_row(TPUTokenizer(_synth_vocab_64k(corpus)), corpus, "65536-synth")
+
+    result = trainer.train_stream(fresh(), target_vocab_size=TOKENIZE_VOCAB)
     tok = TPUTokenizer(result.vocab)
     n_levels = len(tok.tables.stab["levels"]) + 1 if tok.tables.stab else 0
     max_len = tok.tables.max_token_len

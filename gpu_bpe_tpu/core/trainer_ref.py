@@ -46,6 +46,10 @@ class TrainingResult:
     merges: list[tuple[int, int, int]]  # (symbol_a, symbol_b, new_token_id)
     merge_counts: list[int] = field(default_factory=list)  # count at merge time
     training_time_s: float = 0.0
+    # window-machinery diagnostics (TPU/dist trainers; 0 for the CPU oracle):
+    # full certificate recounts and dual/multi-merge fires over the run
+    recounts: int = 0
+    duals: int = 0
 
 
 def bytes_to_symbols(data: bytes) -> np.ndarray:

@@ -120,6 +120,8 @@ class TPUTrainer:
         total_done = 0
         early_stop = False
         batches_run = 0
+        recounts_total = 0
+        duals_total = 0
 
         def _write_checkpoint():
             from .checkpoint import TrainingCheckpoint, fingerprint_stream
@@ -152,9 +154,11 @@ class TPUTrainer:
             merges_done = int(packed[-4])
             n_now = int(np.int32(packed[-3]))
             early_stop = bool(packed[-2])
+            recounts_total = int(packed[-1])
+            duals_total = int(packed[-5])
             logger.debug(
                 "batch: %d merges, %d recounts, %d duals total",
-                merges_done, int(packed[-1]), int(packed[-5]),
+                merges_done, recounts_total, duals_total,
             )
 
             for i in range(merges_done):
@@ -216,6 +220,8 @@ class TPUTrainer:
             merges=merges,
             merge_counts=merge_counts,
             training_time_s=elapsed,
+            recounts=recounts_total,
+            duals=duals_total,
         )
 
     def train(

@@ -109,16 +109,21 @@ class DistributedTrainer:
         @jax.jit
         def _summary(st):
             scalars = jnp.stack(
-                [st.merges_done, st.early_stop.astype(jnp.int32),
+                [st.recounts, st.duals,
+                 st.merges_done, st.early_stop.astype(jnp.int32),
                  jnp.sum(st.n)]
             ).astype(jnp.uint32)
             return jnp.concatenate([st.merge_log.reshape(-1), scalars])
 
+        recounts_total = 0
+        duals_total = 0
         while total_done < merges_needed and not early_stop:
             batch = min(self.batch_merges, merges_needed - total_done)
             state = self._batch(state, np.int32(batch))
             packed = np.asarray(_summary(state))
             log = packed[: BATCH_MERGES * 3].reshape(BATCH_MERGES, 3)
+            recounts_total = int(packed[-5])
+            duals_total = int(packed[-4])
             merges_done = int(packed[-3])
             early_stop = bool(packed[-2])
             symbol_count = int(packed[-1])
@@ -151,4 +156,6 @@ class DistributedTrainer:
             merges=merges,
             merge_counts=merge_counts,
             training_time_s=time.perf_counter() - start,
+            recounts=recounts_total,
+            duals=duals_total,
         )

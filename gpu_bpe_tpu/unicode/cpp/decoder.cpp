@@ -121,8 +121,17 @@ constexpr uint32_t kSBase = 0xAC00, kLBase = 0x1100, kVBase = 0x1161, kTBase = 0
 constexpr uint32_t kLCount = 19, kVCount = 21, kTCount = 28;
 constexpr uint32_t kNCount = kVCount * kTCount, kSCount = kLCount * kNCount;
 
+// Reference-compat mode (GPU_BPE_TPU_REF_HANGUL / decoder_set_hangul_inert):
+// the reference's wasm treats Hangul as normalization-INERT — its NFD/NFKD
+// never algorithmically decomposes syllables and its NFC/NFKC never composes
+// conjoining jamo (oracle-probed: decoder_compose(0x1109,0x1161) == 0; see
+// docs/CONFORMANCE.md "Hangul normalization"). We implement the UAX #15
+// algorithmic step by default; this flag restores the reference's behavior
+// so merge lists match it bit-for-bit on decomposed-jamo corpora.
+bool g_hangul_inert = false;
+
 void decompose_cp(uint32_t cp, std::vector<uint32_t>& out, bool compat = false) {
-  if (cp >= kSBase && cp < kSBase + kSCount) {  // Hangul (UAX #15 §3.12)
+  if (!g_hangul_inert && cp >= kSBase && cp < kSBase + kSCount) {  // Hangul (UAX #15 §3.12)
     uint32_t s = cp - kSBase;
     out.push_back(kLBase + s / kNCount);
     out.push_back(kVBase + (s % kNCount) / kTCount);
@@ -162,13 +171,16 @@ void canonical_order(std::vector<uint32_t>& cps) {
 }
 
 inline int64_t compose_pair(uint32_t a, uint32_t b) {
-  // Hangul algorithmic composition
-  if (a >= kLBase && a < kLBase + kLCount && b >= kVBase && b < kVBase + kVCount) {
-    return kSBase + ((a - kLBase) * kVCount + (b - kVBase)) * kTCount;
-  }
-  if (a >= kSBase && a < kSBase + kSCount && ((a - kSBase) % kTCount) == 0 &&
-      b > kTBase && b < kTBase + kTCount) {
-    return a + (b - kTBase);
+  // Hangul algorithmic composition (skipped in reference-compat mode —
+  // the reference binary cannot compose conjoining jamo, see g_hangul_inert)
+  if (!g_hangul_inert) {
+    if (a >= kLBase && a < kLBase + kLCount && b >= kVBase && b < kVBase + kVCount) {
+      return kSBase + ((a - kLBase) * kVCount + (b - kVBase)) * kTCount;
+    }
+    if (a >= kSBase && a < kSBase + kSCount && ((a - kSBase) % kTCount) == 0 &&
+        b > kTBase && b < kTBase + kTCount) {
+      return a + (b - kTBase);
+    }
   }
   uint64_t key = ((uint64_t)a << 21) | b;
   const uint64_t* end = kCompKey + kCompCount;
@@ -244,6 +256,11 @@ extern "C" {
 int decoder_init() { return 0; }
 void decoder_cleanup() {}
 const char* decoder_get_unicode_version() { return kUnicodeVersion; }
+
+// Reference-compat Hangul mode (see g_hangul_inert above): 1 = skip the
+// UAX #15 algorithmic Hangul step exactly like the reference binary does.
+void decoder_set_hangul_inert(int v) { g_hangul_inert = v != 0; }
+int decoder_get_hangul_inert() { return g_hangul_inert ? 1 : 0; }
 
 // ── properties ───────────────────────────────────────────────────────
 int decoder_get_category(uint32_t cp) { return category_of(cp); }

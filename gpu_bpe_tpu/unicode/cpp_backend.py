@@ -197,7 +197,26 @@ class CppUnicodeBackend(PyUnicodeBackend):
     name = "cpp-decoder"
 
     def __init__(self):
+        import os
+
         self._lib = _load()
+        self._lib.decoder_set_hangul_inert.argtypes = [C.c_int]
+        self._lib.decoder_set_hangul_inert.restype = None
+        self._lib.decoder_get_hangul_inert.restype = C.c_int
+        if os.environ.get("GPU_BPE_TPU_REF_HANGUL"):
+            self.set_ref_hangul(True)
+
+    def set_ref_hangul(self, enabled: bool) -> None:
+        """Reference-compat Hangul mode: skip the UAX #15 algorithmic
+        Hangul decompose/compose steps, exactly like the reference's wasm
+        (docs/CONFORMANCE.md "Hangul normalization"). Closes the last
+        documented merge-list divergence route on decomposed-jamo corpora.
+        Env: GPU_BPE_TPU_REF_HANGUL=1 at backend creation."""
+        self._lib.decoder_set_hangul_inert(1 if enabled else 0)
+
+    @property
+    def ref_hangul(self) -> bool:
+        return bool(self._lib.decoder_get_hangul_inert())
 
     @property
     def unicode_version(self) -> str:

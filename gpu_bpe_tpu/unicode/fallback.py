@@ -332,9 +332,42 @@ class PyUnicodeBackend:
     # ── Normalization (decoder.mjs:309-362) ─────────────────────────
     _FORMS = ("NFC", "NFD", "NFKC", "NFKD")
 
+    def set_ref_hangul(self, enabled: bool) -> None:
+        """Reference-compat Hangul mode (see CppUnicodeBackend.set_ref_hangul):
+        Hangul syllables and conjoining jamo pass through normalization
+        untouched, like the reference's wasm. Implemented here by splitting
+        on Hangul runs and normalizing the segments between them (Hangul
+        has ccc=0 and no table decompositions, so segments are independent)."""
+        self._ref_hangul = enabled
+
+    @property
+    def ref_hangul(self) -> bool:
+        return getattr(self, "_ref_hangul", False) or bool(
+            __import__("os").environ.get("GPU_BPE_TPU_REF_HANGUL")
+        )
+
+    @staticmethod
+    def _is_hangul_inert_cp(o: int) -> bool:
+        # syllables + conjoining jamo (the cps the algorithmic step touches)
+        return 0xAC00 <= o <= 0xD7A3 or 0x1100 <= o <= 0x11FF
+
     def normalize(self, text: str, form: int | str = "NFC") -> str:
         if isinstance(form, int):
             form = self._FORMS[form]
+        if self.ref_hangul and any(self._is_hangul_inert_cp(ord(c)) for c in text):
+            out: list[str] = []
+            seg: list[str] = []
+            for ch in text:
+                if self._is_hangul_inert_cp(ord(ch)):
+                    if seg:
+                        out.append(unicodedata.normalize(form, "".join(seg)))
+                        seg = []
+                    out.append(ch)
+                else:
+                    seg.append(ch)
+            if seg:
+                out.append(unicodedata.normalize(form, "".join(seg)))
+            return "".join(out)
         return unicodedata.normalize(form, text)
 
     def normalize_bytes(self, data: bytes, form: int | str = "NFC") -> bytes:

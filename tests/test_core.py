@@ -203,6 +203,43 @@ class TestEncoders:
         # inside one chunk the merge applies
         assert enc.encode(b"xab").tolist() == [ord("x"), 256]
 
+    def test_greedy_vs_merge_order_divergence_fixture(self):
+        """The committed divergence corpus (SURVEY §4; docs/CONFORMANCE.md
+        "Merge-order encoding" vs "Greedy trie encoding"): the two encode
+        semantics the reference ships (tokenizer-manager.js:43-58 vs
+        tokenize.wgsl:123-172) DISAGREE on this input, by design.
+
+        Merges learned in order: (b,c)->256 "bc", (256,d)->257 "bcd",
+        (a,b)->258 "ab". On input "abcd":
+        * merge-order replay applies rank 0 first: b,c -> 256, then rank 1:
+          256,d -> 257 — yielding [a, "bcd"] = [97, 257];
+        * greedy longest-match starts at position 0 and takes the longest
+          vocab entry there — "ab" — stranding "c","d" as raw bytes:
+          [258, 99, 100].
+        Both decode back to the input; the token streams differ."""
+        merges = [(98, 99, 256), (256, 100, 257), (97, 98, 258)]
+        vocab = [bytes([i]) for i in range(256)] + [b"bc", b"bcd", b"ab"]
+        data = b"abcd"
+
+        mo = encode_merge_order(data, merges)
+        assert mo == [97, 257]
+        from gpu_bpe_tpu.core.encoder_ref import _encode_merge_order_naive
+
+        assert _encode_merge_order_naive(data, merges) == mo
+
+        greedy = GreedyTrieEncoder(vocab).encode(data).tolist()
+        assert greedy == [258, 99, 100]
+        assert greedy != mo  # the divergence is the point
+
+        # the TPU bulk tokenizer implements GREEDY semantics and must agree
+        # with the CPU greedy oracle on the divergent input
+        from gpu_bpe_tpu.ops.tokenize import TPUTokenizer
+
+        assert TPUTokenizer(vocab).encode_bytes(data).tolist() == greedy
+
+        assert decode_tokens(mo, vocab) == data
+        assert decode_tokens(greedy, vocab) == data
+
     def test_decode_unknown_token_replacement(self):
         vocab = [bytes([i]) for i in range(256)]
         out = decode_tokens([65, 999999], vocab)

@@ -41,10 +41,11 @@ import json
 from gpu_bpe_tpu.api import TrainConfig, train
 
 corpus = open(sys.argv[4], "rb").read()
-config = TrainConfig(vocab_size=256 + 48, backend="dist", show_progress=False)
+config = TrainConfig(vocab_size=int(sys.argv[6]), backend="dist", show_progress=False)
 _tok, result = train(corpus, config)
 with open(sys.argv[5] + f".rank{rank}", "w") as f:
-    json.dump({"merges": result.merges, "counts": result.merge_counts}, f)
+    json.dump({"merges": result.merges, "counts": result.merge_counts,
+               "recounts": result.recounts, "duals": result.duals}, f)
 from gpu_bpe_tpu.parallel.multihost import shutdown_multihost
 shutdown_multihost()
 """
@@ -56,12 +57,21 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+VOCAB_SIZE = 256 + 288  # deep enough for recounts AND dual-merge fires
+
+
 @pytest.fixture(scope="module")
 def corpus_file(tmp_path_factory):
+    # Zipf-ish text over syllable-composed words: enough distinct pair
+    # structure that a 288-merge run exercises the full window machinery
+    # (certificate failures -> recounts; strict second winners -> duals)
     rng = np.random.default_rng(7)
-    words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dogs",
-             "running", "trainer", "tokenize", "merge", "don't", "we'll", "123456"]
-    text = " ".join(rng.choice(words) for _ in range(4000))
+    syll = [a + b for a in "btkdsmnlr" for b in ("a", "e", "i", "o", "ar", "en", "on")]
+    words = ["".join(syll[i] for i in rng.integers(0, len(syll), size=k))
+             for k in rng.integers(1, 5, size=2000)]
+    ranks = np.arange(1, len(words) + 1, dtype=np.float64) ** -1.05
+    ranks /= ranks.sum()
+    text = " ".join(words[i] for i in rng.choice(len(words), size=30000, p=ranks))
     p = tmp_path_factory.mktemp("mh") / "corpus.txt"
     p.write_text(text)
     return p
@@ -78,7 +88,7 @@ def test_two_process_train_bitwise(tmp_path, corpus_file):
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), coord, "2", str(rank),
-             str(corpus_file), str(out)],
+             str(corpus_file), str(out), str(VOCAB_SIZE)],
             cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         )
         for rank in range(2)
@@ -86,7 +96,7 @@ def test_two_process_train_bitwise(tmp_path, corpus_file):
     outs = []
     for p in procs:
         try:
-            stdout, stderr = p.communicate(timeout=600)
+            stdout, stderr = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -98,14 +108,21 @@ def test_two_process_train_bitwise(tmp_path, corpus_file):
     r0 = json.loads((tmp_path / "result.json.rank0").read_text())
     r1 = json.loads((tmp_path / "result.json.rank1").read_text())
     assert r0 == r1, "ranks disagree on the merge list"
-    assert len(r0["merges"]) > 16, "training barely ran"
+    assert len(r0["merges"]) >= 256, "training barely ran"
+
+    # the cross-PROCESS run must actually exercise the window machinery's
+    # collective corners, not just happy-path certified merges: at least
+    # one full recount beyond the forced initial one, and at least one
+    # dual-merge fire (second winner certified across the process boundary)
+    assert r0["recounts"] >= 2, f"recounts={r0['recounts']}: window never failed over"
+    assert r0["duals"] >= 1, f"duals={r0['duals']}: dual-merge never fired cross-process"
 
     # single-process ground truth on the in-test 8-device virtual mesh:
     # merge lists are invariant across process AND shard counts
     from gpu_bpe_tpu.api import TrainConfig, train
 
     _tok, ref = train(corpus_file.read_bytes(),
-                      TrainConfig(vocab_size=256 + 48, backend="dist",
+                      TrainConfig(vocab_size=VOCAB_SIZE, backend="dist",
                                   show_progress=False))
     assert [tuple(m) for m in r0["merges"]] == [tuple(m) for m in ref.merges]
     assert r0["counts"] == ref.merge_counts

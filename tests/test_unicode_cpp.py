@@ -242,6 +242,64 @@ class TestSegmentation:
         assert cpp.count_sentences("One. Two! Three?") == 3
 
 
+class TestRefHangulMode:
+    """GPU_BPE_TPU_REF_HANGUL / set_ref_hangul: the reference's wasm never
+    algorithmically decomposes Hangul syllables nor composes conjoining
+    jamo (oracle-probed, docs/CONFORMANCE.md "Hangul normalization"); the
+    compat mode must reproduce that exactly so merge lists match the
+    reference on decomposed-jamo corpora."""
+
+    DECOMPOSED = "상"  # S+A+NG jamo ("상" decomposed)
+    PRECOMPOSED = "상"  # U+C0C1 상
+
+    def test_cpp_inert_mode(self, cpp):
+        try:
+            cpp.set_ref_hangul(True)
+            # NFC must NOT compose conjoining jamo
+            assert cpp.normalize(self.DECOMPOSED, "NFC") == self.DECOMPOSED
+            # NFD must NOT decompose syllables
+            assert cpp.normalize(self.PRECOMPOSED, "NFD") == self.PRECOMPOSED
+            # non-Hangul normalization still works in the same pass
+            assert cpp.normalize("é" + self.DECOMPOSED, "NFC") == (
+                "é" + self.DECOMPOSED
+            )
+        finally:
+            cpp.set_ref_hangul(False)
+
+    def test_cpp_default_follows_uax15(self, cpp):
+        import unicodedata
+
+        assert cpp.normalize(self.DECOMPOSED, "NFC") == unicodedata.normalize(
+            "NFC", self.DECOMPOSED
+        ) == self.PRECOMPOSED
+        assert cpp.normalize(self.PRECOMPOSED, "NFD") == unicodedata.normalize(
+            "NFD", self.PRECOMPOSED
+        )
+
+    def test_fallback_inert_mode(self):
+        be = PyUnicodeBackend()
+        be.set_ref_hangul(True)
+        assert be.normalize(self.DECOMPOSED, "NFC") == self.DECOMPOSED
+        assert be.normalize(self.PRECOMPOSED, "NFD") == self.PRECOMPOSED
+        assert be.normalize("é" + self.DECOMPOSED + "é", "NFC") == (
+            "é" + self.DECOMPOSED + "é"
+        )
+        be.set_ref_hangul(False)
+
+    def test_merge_list_route_closed(self, cpp):
+        """The ingest consequence: a decomposed-jamo corpus pre-tokenizes
+        to different bytes under the two modes — compat mode preserves the
+        jamo byte sequence the reference would train on."""
+        try:
+            cpp.set_ref_hangul(True)
+            compat = cpp.normalize_bytes(self.DECOMPOSED.encode(), "NFC")
+            assert compat == self.DECOMPOSED.encode()
+        finally:
+            cpp.set_ref_hangul(False)
+        default = cpp.normalize_bytes(self.DECOMPOSED.encode(), "NFC")
+        assert default == self.PRECOMPOSED.encode()
+
+
 def test_backend_selection_prefers_cpp():
     import gpu_bpe_tpu.unicode as u
 
