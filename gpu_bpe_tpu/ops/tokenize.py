@@ -249,6 +249,7 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
         "close_words": pack8(cb),
         "ln": np.concatenate([np.array(lns, np.uint32), np.zeros(pad, np.uint32)]),
         "id": np.concatenate([np.array(ids, np.uint32), np.zeros(pad, np.uint32)]),
+        "n_groups": len(groups),  # gates the packed 2-operand restore sort
         "levels": [],
         "max_len": _STAB_MAX_LEN,  # raised below as levels are added
     }
@@ -310,6 +311,7 @@ def _stab_vocab_rows(vocab: list[bytes]) -> dict:
                 "close": pack6(lcb),
                 "ln": np.concatenate([np.array(l_lns, np.uint32), np.zeros(lpad, np.uint32)]),
                 "id": np.concatenate([np.array(l_ids, np.uint32), np.zeros(lpad, np.uint32)]),
+                "n_groups": len(next_groups),
             }
         )
         remaining = next_toks
@@ -367,6 +369,31 @@ def _k3(flag, ln, pay):
     depth | payload. Keeps the sort narrow — multi-operand sorts compile
     catastrophically slowly on TPU."""
     return (flag << jnp.uint32(30)) | (ln << jnp.uint32(25)) | pay
+
+
+_GID_SENTINEL = 0x1FFF  # 13-bit no-group marker in the packed restore word
+
+
+def _pack_restore(packed, gid, sub: int):
+    """(deepest-fit packed, group id) -> ONE u32 restore payload, making
+    the position-restore sort 2-operand instead of 3 (sort cost scales
+    with operand count). Layout: len-code (3b: packed_len - sub, 0 = no
+    match) | vocab id (16b) | gid (13b, 0x1FFF = no group). Only valid
+    when the level's group count is < 0x1FFF — callers gate on the stab
+    table's ``n_groups`` and keep the 3-operand sort otherwise."""
+    code = jnp.where(packed > 0, (packed >> jnp.uint32(16)) - jnp.uint32(sub), jnp.uint32(0))
+    idf = packed & jnp.uint32(0xFFFF)
+    g = jnp.where(gid == _NO_GROUP, jnp.uint32(_GID_SENTINEL), gid)
+    return (code << jnp.uint32(29)) | (idf << jnp.uint32(13)) | g
+
+
+def _unpack_restore(combo, sub: int):
+    code = combo >> jnp.uint32(29)
+    idf = (combo >> jnp.uint32(13)) & jnp.uint32(0xFFFF)
+    g = combo & jnp.uint32(_GID_SENTINEL)
+    packed = jnp.where(code > 0, ((code + jnp.uint32(sub)) << jnp.uint32(16)) | idf, jnp.uint32(0))
+    gid = jnp.where(g == _GID_SENTINEL, _NO_GROUP, g)
+    return packed, gid
 
 
 def _overlay_mode() -> str:
@@ -598,10 +625,16 @@ def _stab_match(
         _, packed_sorted = lax.sort((key2, packed), num_keys=1)
         return take(packed_sorted)
 
-    # position's prefix-group id (exact 8-byte window match), or _NO_GROUP
-    _, packed_sorted, gid_sorted = lax.sort((key2, packed, gid), num_keys=1)
-    result = take(packed_sorted)
-    gid_pos = take(gid_sorted)
+    # position's prefix-group id (exact 8-byte window match), or _NO_GROUP.
+    # With few groups (every real vocab) the restore rides ONE packed
+    # payload word — a 2-operand sort instead of 3.
+    if stab.get("n_groups", _GID_SENTINEL) < _GID_SENTINEL:
+        _, combo_sorted = lax.sort((key2, _pack_restore(packed, gid, 1)), num_keys=1)
+        result, gid_pos = _unpack_restore(take(combo_sorted), 1)
+    else:
+        _, packed_sorted, gid_sorted = lax.sort((key2, packed, gid), num_keys=1)
+        result = take(packed_sorted)
+        gid_pos = take(gid_sorted)
 
     # ── levels k >= 2: (gid, 6-byte window at pos+base) vs that level's
     # suffix-interval rows, packed into TWO key words (gid<<16 | b0<<8 |
@@ -669,6 +702,12 @@ def _stab_match(
         if last:
             _, packed2_sorted = lax.sort((key2b, packed2), num_keys=1)
             return take2(packed2_sorted), None
+        if lvl.get("n_groups", _GID_SENTINEL) < _GID_SENTINEL:
+            _, combo_sorted = lax.sort(
+                (key2b, _pack_restore(packed2, gid2, base)), num_keys=1
+            )
+            p2, g2 = _unpack_restore(take2(combo_sorted), base)
+            return p2, g2
         _, packed2_sorted, gid2_sorted = lax.sort((key2b, packed2, gid2), num_keys=1)
         return take2(packed2_sorted), take2(gid2_sorted)
 
