@@ -35,7 +35,7 @@ from jax import lax
 from ..constants import INVALID_TOKEN, adaptive_chunk_size
 
 _PAD_TOKEN = np.uint32(INVALID_TOKEN)  # never a real id (ids are 16-bit)
-_SCAN_UNROLL = 8  # chunk offsets consumed per scan step (amortizes loop overhead)
+_SCAN_UNROLL = 16  # chunk offsets consumed per scan step (amortizes loop overhead)
 _PAGE_TOKENS = 1 << 21  # u16 tokens per device->host fetch page (4 MB)
 
 # Above this many multi-byte tokens the O(vocab)-per-position dense join is
@@ -343,12 +343,12 @@ def _seg_shape(rows: int, v2: int) -> tuple[int, int]:
     env = os.environ.get("GPU_BPE_TPU_STAB_SEG")
     if env == "0":
         return 1, rows
-    if rows < _SEG_MIN_ROWS:
-        return 1, rows
-    if env:
+    if env:  # an explicit pin overrides the small-input floor
         s = (1 << int(env)) - v2
         nseg = -(-rows // s)
         return (nseg, s) if s > 0 and nseg >= 2 else (1, rows)
+    if rows < _SEG_MIN_ROWS:
+        return 1, rows
     best = None
     for k in range(16, 23):
         m = 1 << k
@@ -748,38 +748,55 @@ def _stab_match(
     from .pallas_kernels import compact_mask, expand_to_mask
 
     interpret = rank_mode == "interpret"
-    cap = min(n, max(n >> 3, 1 << 15))  # C; BLOCK floor keeps tiny shapes out
     mask = gid_pos != _NO_GROUP
     prim = jnp.where(mask, gid_pos, jnp.uint32(0xFFFFFFFF))
     extras = [iota]
     for b0b1, sw1 in sw_bytes_pos:
         extras += [b0b1, sw1]
     outs, cnt = compact_mask(prim, extras, interpret=interpret)
-    gid_r = outs[0][:cap]
-    iota_c = lax.broadcasted_iota(jnp.uint32, (cap,), 0)
-    live = iota_c < cnt.astype(jnp.uint32)
-    # rows past cnt are garbage: give them max keys and a position payload
-    # past any real position (n < 2^25) so they sort to the tail of every
-    # join and restore; their matches are inert anyway (pos beyond
-    # input_len -> no chunk fit -> packed 0, not enclosed -> gid NO_GROUP)
-    pos_r = jnp.where(live, outs[1][:cap], jnp.uint32(0x1FFFFFF))
-    sw_bytes_rank = [
-        (
-            jnp.where(live, outs[2 + 2 * li][:cap], jnp.uint32(0xFFFFFFFF)),
-            jnp.where(live, outs[3 + 2 * li][:cap], jnp.uint32(0xFFFFFFFF)),
+
+    def _rank_branch(cap: int):
+        # rows past cnt are garbage: give them max keys and a position
+        # payload past any real position (n < 2^25) so they sort to the
+        # tail of every join and restore; their matches are inert anyway
+        # (pos beyond input_len -> no chunk fit -> packed 0, not
+        # enclosed -> gid NO_GROUP)
+        gid_r = outs[0][:cap]
+        iota_c = lax.broadcasted_iota(jnp.uint32, (cap,), 0)
+        live = iota_c < cnt.astype(jnp.uint32)
+        pos_r = jnp.where(live, outs[1][:cap], jnp.uint32(0x1FFFFFF))
+        sw_bytes_rank = [
+            (
+                jnp.where(live, outs[2 + 2 * li][:cap], jnp.uint32(0xFFFFFFFF)),
+                jnp.where(live, outs[3 + 2 * li][:cap], jnp.uint32(0xFFFFFFFF)),
+            )
+            for li in range(len(levels))
+        ]
+
+        def branch():
+            contrib_r = _levels_chain(
+                jnp.where(live, gid_r, _NO_GROUP), sw_bytes_rank, pos_r
+            )
+            return expand_to_mask(mask, contrib_r, interpret=interpret)
+
+        return branch
+
+    # Two-tier capacity: group candidates are rare on real text (~1-3% of
+    # positions hold an exact long-token prefix), so the common case runs
+    # the level joins at n/32; denser corpora fall to n/8, and only truly
+    # pathological inputs pay the full-width chain. Each tier is exact —
+    # the cond choice is never visible in outputs.
+    cap_small = min(n, max(n >> 5, 1 << 15))
+    cap_big = min(n, max(n >> 3, 1 << 15))
+    full = lambda: _levels_chain(gid_pos, sw_bytes_pos, iota)
+    if cap_small < cap_big:
+        contribution = lax.cond(
+            cnt <= cap_small,
+            _rank_branch(cap_small),
+            lambda: lax.cond(cnt <= cap_big, _rank_branch(cap_big), full),
         )
-        for li in range(len(levels))
-    ]
-
-    def _rank_branch():
-        contrib_r = _levels_chain(jnp.where(live, gid_r, _NO_GROUP), sw_bytes_rank, pos_r)
-        return expand_to_mask(mask, contrib_r, interpret=interpret)
-
-    contribution = lax.cond(
-        cnt <= cap,
-        _rank_branch,
-        lambda: _levels_chain(gid_pos, sw_bytes_pos, iota),
-    )
+    else:
+        contribution = lax.cond(cnt <= cap_big, _rank_branch(cap_big), full)
     return jnp.maximum(result, contribution)
 
 

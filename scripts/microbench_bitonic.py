@@ -40,10 +40,10 @@ def main() -> None:
 
     ROWS, LANES = 1024, 128  # one 2^17-element segment
     R = args.rounds
-    MIN = jnp.int32(-(1 << 31))
 
     def kernel(a_ref, b_ref, c_ref, oa_ref, ob_ref, oc_ref):
         a, b, c = a_ref[:, :], b_ref[:, :], c_ref[:, :]
+        MIN = jnp.int32(-(1 << 31))
         lane = lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
         row = lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
         fi = row * LANES + lane
@@ -51,9 +51,9 @@ def main() -> None:
             j = 1 << (r % 7)  # lane strides 1..64 (the common case)
             k = 1 << (7 + (r % 10))
             lo = (lane & j) == 0
-            pa = jnp.where(lo, pltpu.roll(a, -j, axis=1), pltpu.roll(a, j, axis=1))
-            pb = jnp.where(lo, pltpu.roll(b, -j, axis=1), pltpu.roll(b, j, axis=1))
-            pc = jnp.where(lo, pltpu.roll(c, -j, axis=1), pltpu.roll(c, j, axis=1))
+            pa = jnp.where(lo, pltpu.roll(a, LANES - j, axis=1), pltpu.roll(a, j, axis=1))
+            pb = jnp.where(lo, pltpu.roll(b, LANES - j, axis=1), pltpu.roll(b, j, axis=1))
+            pc = jnp.where(lo, pltpu.roll(c, LANES - j, axis=1), pltpu.roll(c, j, axis=1))
             # biased signed compares == unsigned order (Mosaic has no maxui)
             sa, sb2 = a ^ MIN, pa ^ MIN
             ta, tb = b ^ MIN, pb ^ MIN
@@ -64,7 +64,8 @@ def main() -> None:
             eq = e0 & e1 & (ua == ub)
             gt = ~(lt | eq)
             asc = (fi & k) == 0
-            take = jnp.where(asc == lo, gt, lt)
+            x1 = asc ^ lo
+            take = (x1 & lt) | (~x1 & gt)
             a = jnp.where(take, pa, a)
             b = jnp.where(take, pb, b)
             c = jnp.where(take, pc, c)

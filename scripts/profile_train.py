@@ -161,6 +161,64 @@ def main() -> None:
     b_fast_us = count_chain(A_FAST)
     b_full_us = count_chain(A_AFFECTED)
 
+    # ── D/E/F: fused-iteration constituents (round-5: attribute the gap
+    # between the ~40 us kernel and the ~313 us wall at HEAD) ──
+    from gpu_bpe_tpu.ops.pallas_kernels import (
+        W_SLOTS, count_pairs2, window_post,
+    )
+    from gpu_bpe_tpu.constants import BATCH_MERGES
+
+    @jax.jit
+    def cp2_chain(sym, w, n, kk):
+        def body(i, acc):
+            l_slot = (_U32(300) << _U32(16)) | (_U32(257) + acc[0])
+            r_slot = (_U32(301) << _U32(16)) | (_U32(258) + acc[0])
+            c = count_pairs2(sym, w, n, l_slot, r_slot, interpret=interp)
+            return (c[0].astype(_U32) & _U32(1), acc[1] + c[1])
+        return lax.fori_loop(0, kk, body, (jnp.uint32(0), jnp.int32(0)))[1]
+
+    d_us = marginal(lambda kk: timed(cp2_chain, sym, w, n, kk), k, 3 * k)
+
+    @jax.jit
+    def wpost_chain(kk):
+        cand0 = jnp.full((W_SLOTS,), 0xFFFFFFFF, _U32)
+        cnts0 = jnp.full((W_SLOTS,), -1, jnp.int32)
+        binz = jnp.zeros((16, 16), jnp.float32)
+        log0 = jnp.zeros((BATCH_MERGES * 3,), _U32)
+        probes0 = jnp.zeros((16,), jnp.int32)
+
+        def body(i, carry):
+            cand, cnts = carry
+            cand2, cnts2, _log, sc = window_post(
+                cand, cnts, binz, binz, log0,
+                pair=_U32(0), count=jnp.int32(5), next_id=_U32(300) + jnp.uint32(i),
+                theta=jnp.int32(3), ub_new=jnp.int32(2), fill=jnp.int32(4),
+                merges_done=jnp.int32(0), active=jnp.asarray(False),
+                early_stop=jnp.asarray(False), use_probes=jnp.asarray(True),
+                n_aff=jnp.int32(0), c_l=jnp.int32(0), c_r=jnp.int32(0),
+                l_ok=jnp.asarray(False), r_ok=jnp.asarray(False),
+                l_tok=_U32(1), r_tok=_U32(1), has_room=jnp.asarray(False),
+                probes=probes0, pcnt=probes0, interpret=interp,
+            )
+            return cand2, cnts2
+        return lax.fori_loop(0, kk, body, (cand0, cnts0))[1]
+
+    e_us = marginal(lambda kk: timed(wpost_chain, kk), k, 3 * k)
+
+    @jax.jit
+    def rezero_chain(sym, w, n, kk):
+        iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+
+        def body(i, carry):
+            s2, w2 = carry
+            s2 = jnp.where(iota < n - (i & 1), s2, _U32(0))
+            w2 = jnp.where(iota < n - (i & 1), w2, 0)
+            return s2, w2
+        out = lax.fori_loop(0, kk, body, (sym, w))
+        return out[0][0] + out[1][0].astype(_U32)
+
+    f_us = marginal(lambda kk: timed(rezero_chain, sym, w, n, kk), k, 3 * k)
+
     # ── C: ground truth — the real batch loop at depth, re-padded to the
     # trainer's power-of-two rung (the production capacity; an off-ladder
     # capacity both compiles fresh and mis-measures). Marginal between two
@@ -196,6 +254,9 @@ def main() -> None:
         "kernel_us_per_merge": round(a_us, 1),
         "count_update_fast_us": round(b_fast_us, 1),
         "count_update_full_us": round(b_full_us, 1),
+        "count_pairs2_us": round(d_us, 1),
+        "window_post_us": round(e_us, 1),
+        "tail_rezero_us": round(f_us, 1),
         "train_batch_us_per_merge": round(c_us, 1),
         "batch_merges_done": 16 + k,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -526,14 +526,16 @@ class TestSegmentedStab:
 
     def test_rank_space_segmented_consistency(self, monkeypatch):
         # rank path with segmentation on vs off (interpret Pallas): the
-        # compacted rank rows reshape into segments with garbage tails.
-        # n = 2^19 so the rank cap (max(n>>3, 2^15) = 65536) reaches
-        # _SEG_MIN_ROWS and the level>=2 joins actually run segmented —
-        # the production shape at TPU pass sizes (n=2^24 -> cap=2^21).
+        # compacted rank rows reshape into segments with garbage tails —
+        # the production shape at TPU pass sizes (n=2^24 -> rank cap
+        # n/32 = 2^19, segmented). At test sizes the auto heuristic
+        # leaves the small-tier rank joins unsegmented, so the segment
+        # shape is PINNED via the env hatch and the engagement asserted —
+        # the test fails loudly if the segmented path stops engaging.
         rng = np.random.default_rng(34)
         from gpu_bpe_tpu.ops import tokenize as tz
 
-        monkeypatch.delenv("GPU_BPE_TPU_STAB_SEG", raising=False)
+        monkeypatch.setenv("GPU_BPE_TPU_STAB_SEG", "14")
         vocab = self._vocab()
         t = tz.MatchTables.from_vocab(vocab)
         import jax.numpy as jnp
@@ -544,7 +546,7 @@ class TestSegmentedStab:
             + b"the quick brown fox jQQ" * 120
             + bytes(rng.integers(97, 105, size=(n - 3000) // 2).tolist())
         )
-        cap = min(n, max(n >> 3, 1 << 15))
+        cap = min(n, max(n >> 5, 1 << 15))  # the tier sparse data takes
         lvl_count = t.stab["levels"][0]["count"]
         assert tz._seg_shape(cap, 2 * lvl_count)[0] > 1, (
             "rank-space joins must run segmented or this test is vacuous"
