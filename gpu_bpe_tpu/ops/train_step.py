@@ -725,15 +725,10 @@ def _merge_and_track(st: TrainState, best_pair, count, nxt, lookahead, active=No
     return new_state, ub_merge, c_l, c_r, next2
 
 
-def _full_recount_impl(symbols, weights, extent, iota, lookahead):
-    """Exact full recount: sort-based winner + fresh candidate window.
-
-    Returns (best_pair, count, cand, counts, theta, ub_new=0,
-    fill=K_CANDIDATES) — the 7-tuple both iteration structures adopt.
-    """
-    pair, w, _nxt = _masked_pairs(symbols, weights, extent, iota, lookahead)
-    sp, sw = lax.sort((pair, w), num_keys=1)
-    run_total = _run_totals(sp, sw)
+def _pick_window(sp, run_total):
+    """Winner + fresh candidate window + theta from a sorted pair stream
+    with per-run totals at run ends. Shared by the monolithic and the
+    two-level segmented recounts (identical selection semantics)."""
     # exact winner with the reference's is_better ordering
     # (train.wgsl:83-85): count desc, pair id asc
     bc = jnp.max(run_total)
@@ -761,9 +756,164 @@ def _full_recount_impl(symbols, weights, extent, iota, lookahead):
             jnp.asarray(0, jnp.int32), jnp.asarray(K_CANDIDATES, jnp.int32))
 
 
-def _one_merge_fused(state: TrainState, batch_merges) -> TrainState:
-    """One device iteration, fused-window structure (single-chip Pallas
-    default; round 4).
+# Above this capacity the recount's monolithic O(cap log cap) sort is
+# replaced by the two-level segmented scheme (measured ~32 ns/element of
+# capacity at the 2^25 rung — the dominant term of the 10 GB train).
+_SEG_RECOUNT_MIN_CAP = 1 << 22
+_SEG_RECOUNT_M = 1 << 17  # segment length: the sort's VMEM sweet spot
+
+
+def _seg_recount_enabled() -> bool:
+    """Trace-time gate: the two-level recount needs the Pallas compaction
+    kernel; GPU_BPE_TPU_SEG_RECOUNT=0 is the escape hatch."""
+    if _os.environ.get("GPU_BPE_TPU_SEG_RECOUNT") == "0":
+        return False
+    return _use_pallas()
+
+
+def _run_totals_reset(sp: jax.Array, sw: jax.Array) -> jax.Array:
+    """Per-run totals of a [nseg, m] segment-sorted pair stream, at run
+    ends (0 elsewhere and for pair id 0) — runs break at row boundaries.
+
+    Gather-free: a segmented-reset Hillis-Steele scan carries (sum, seen-
+    start) pairs, so no csum[prev_end] lookup is needed (the monolithic
+    ``_run_totals`` pays an O(n) gather). Sums accumulate in wrapping u32
+    WITHIN a run only — exact whenever the run's own mass < 2^32, the
+    same envelope as the reference's u32 atomics (train.wgsl pair_counts).
+    """
+    rows, m = sp.shape
+    start = jnp.concatenate(
+        [jnp.ones((rows, 1), bool), sp[:, 1:] != sp[:, :-1]], axis=1
+    )
+    rs = sw.astype(jnp.uint32)
+    flag = start
+    s = 1
+    while s < m:
+        pad_v = jnp.zeros((rows, s), jnp.uint32)
+        pad_f = jnp.zeros((rows, s), bool)
+        lv = jnp.concatenate([pad_v, rs[:, :-s]], axis=1)
+        lf = jnp.concatenate([pad_f, flag[:, :-s]], axis=1)
+        rs = rs + jnp.where(flag, 0, lv)
+        flag = flag | lf
+        s <<= 1
+    is_end = jnp.concatenate(
+        [sp[:, :-1] != sp[:, 1:], jnp.ones((rows, 1), bool)], axis=1
+    )
+    return jnp.where(is_end & (sp != 0), rs.astype(jnp.int32), 0)
+
+
+def _full_recount_segmented(pair, w, cap):
+    """Two-level exact recount (round 5): per-segment sort + run totals,
+    Pallas-compact the (pair, count) run summaries, then ONE much smaller
+    monolithic sort combines per-segment counts into global totals.
+
+    Exactness: every per-segment count is an exact sum; the second level
+    sums a pair's per-segment counts (``_run_totals`` over the compacted
+    summaries), so global totals equal the monolithic recount's. Window
+    selection is the shared ``_pick_window`` — winner/theta identical by
+    construction; candidate PICKS may differ from the monolithic layout
+    (approx_max_k sees a different array), which only moves certificate
+    windows, never a merge (the same robustness the word-order-permutation
+    conformance tests pin). Summary counts are tiered (cap/8 then cap/2)
+    with a monolithic fallback when the stream has more runs than that —
+    each tier bitwise-exact.
+    """
+    from .pallas_kernels import compact_mask
+
+    m = _SEG_RECOUNT_M
+    nseg = cap // m
+    sp, sw = lax.sort(
+        (pair.reshape(nseg, m), w.reshape(nseg, m)), dimension=1, num_keys=1
+    )
+    rt = _run_totals_reset(sp, sw)
+    flat_sp = sp.reshape(-1)
+    flat_rt = rt.reshape(-1)
+    # the compaction's PRIMARY word only preserves its low 16 bits (bits
+    # 16..30 are in-flight displacement scratch) — full-width pair ids and
+    # counts ride as extras
+    prim = jnp.where(flat_rt > 0, _U32(0), _INVALID)
+    outs, cnt = compact_mask(
+        prim, [flat_sp, flat_rt.astype(jnp.uint32)], interpret=_pallas_interpret()
+    )
+
+    def level2(rcap: int):
+        def branch():
+            sp2 = outs[1][:rcap]
+            c2 = outs[2][:rcap].astype(jnp.int32)
+            io = lax.broadcasted_iota(jnp.int32, (rcap,), 0)
+            live = io < cnt
+            sp2 = jnp.where(live, sp2, _U32(0))
+            c2 = jnp.where(live, c2, 0)
+            ssp, ssw = lax.sort((sp2, c2), num_keys=1)
+            return _pick_window(ssp, _run_totals(ssp, ssw))
+
+        return branch
+
+    def monolithic():
+        sp1, sw1 = lax.sort((pair, w), num_keys=1)
+        return _pick_window(sp1, _run_totals(sp1, sw1))
+
+    rcap1, rcap2 = cap >> 3, cap >> 1
+    return lax.cond(
+        cnt <= rcap1,
+        level2(rcap1),
+        lambda: lax.cond(cnt <= rcap2, level2(rcap2), monolithic),
+    )
+
+
+def _full_recount_impl(symbols, weights, extent, iota, lookahead):
+    """Exact full recount: sort-based winner + fresh candidate window.
+
+    Returns (best_pair, count, cand, counts, theta, ub_new=0,
+    fill=K_CANDIDATES) — the 7-tuple both iteration structures adopt.
+    At large capacities the sort runs the two-level segmented scheme
+    (``_full_recount_segmented``).
+    """
+    pair, w, _nxt = _masked_pairs(symbols, weights, extent, iota, lookahead)
+    cap = symbols.shape[0]
+    if cap >= _SEG_RECOUNT_MIN_CAP and cap % _SEG_RECOUNT_M == 0 and _seg_recount_enabled():
+        return _full_recount_segmented(pair, w, cap)
+    sp, sw = lax.sort((pair, w), num_keys=1)
+    return _pick_window(sp, _run_totals(sp, sw))
+
+
+def _ensure_pending(state: TrainState) -> TrainState:
+    """Refresh the pending winner via a full recount when the carried
+    certificate failed (or ground-truth mode demands it). Runs OUTSIDE
+    the per-merge loop — round 5: a ``lax.cond`` whose untaken branch
+    contains the O(cap log cap) recount sort costs ~269 µs per EXECUTION
+    of the surrounding loop body on TPU even when never taken (bisected:
+    45 -> 314 µs/merge at the 16 MB depth-1024 state), so the per-merge
+    body must not contain it; the nested-loop ``train_batch`` pays it
+    once per actual recount instead."""
+    cap = state.symbols.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+
+    certified = state.pend_cert
+    if _os.environ.get("GPU_BPE_TPU_FORCE_RECOUNT"):
+        # ground-truth mode (see _one_merge): every merge recounts
+        certified = jnp.asarray(False)
+
+    def adopt(st):
+        return st
+
+    def full_recount(st):
+        bp, bc, cand, ccounts, theta, ub_new, fill = _full_recount_impl(
+            st.symbols, st.weights, st.extent, iota, 0
+        )
+        return st._replace(
+            pend_pair=bp, pend_count=bc, cand=cand, cand_counts=ccounts,
+            theta=theta, ub_new=ub_new, fill=fill,
+            pend_cert=jnp.asarray(True),
+            recounts=st.recounts + 1,
+        )
+
+    return lax.cond(certified, adopt, full_recount, state)
+
+
+def _one_merge_fused_certified(state: TrainState, batch_merges) -> TrainState:
+    """One device iteration over an ALREADY-CERTIFIED pending winner —
+    the fused-window structure's inner body (single-chip Pallas default).
 
     Same certificate and merge semantics as ``_one_merge`` (bitwise-equal
     merge lists — validated vs the classic structure and the
@@ -774,7 +924,8 @@ def _one_merge_fused(state: TrainState, batch_merges) -> TrainState:
 
     * winner + certificate — computed by the PREVIOUS iteration's
       window-post kernel, carried in ``pend_pair/pend_count/pend_cert``
-      (a full recount refreshes them when the certificate fails);
+      (``_ensure_pending`` refreshes them when the certificate fails —
+      round 5: OUTSIDE this body, see its docstring);
     * probe prep — block 0 of the merge kernel derives the affected
       candidate subset from the window in-kernel;
     * post-merge window maintenance + next-winner selection — ONE
@@ -792,28 +943,13 @@ def _one_merge_fused(state: TrainState, batch_merges) -> TrainState:
     )
 
     assert K_CANDIDATES + S_CREATED == W_SLOTS
-    cap = state.symbols.shape[0]
-    iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
-    interp = _pallas_interpret()
 
-    certified = state.pend_cert
-    if _os.environ.get("GPU_BPE_TPU_FORCE_RECOUNT"):
-        # ground-truth mode (see _one_merge): every merge recounts
-        certified = jnp.asarray(False)
-
-    def adopt(_):
-        return (state.pend_pair, state.pend_count, state.cand,
-                state.cand_counts, state.theta, state.ub_new, state.fill)
-
-    def full_recount(_):
-        return _full_recount_impl(
-            state.symbols, state.weights, state.extent, iota, 0
-        )
-
-    best_pair, count, cand, ccounts, theta, ub_new, fill = lax.cond(
-        certified, adopt, full_recount, None
+    best_pair, count, cand, ccounts, theta, ub_new, fill = (
+        state.pend_pair, state.pend_count, state.cand,
+        state.cand_counts, state.theta, state.ub_new, state.fill,
     )
-    recounts = state.recounts + jnp.where(certified, 0, 1)
+    recounts = state.recounts
+    interp = _pallas_interpret()
     stop = (count < 2) | (state.next_id > _TOKEN_MASK)
     active = ~stop
     # neutralized stop: pair 0 matches nothing (see _merge_and_track)
@@ -864,6 +1000,12 @@ def _one_merge_fused(state: TrainState, batch_merges) -> TrainState:
         probes=probes_out, pcnt=pcnt, interpret=interp,
     )
 
+    pend_cert = sc_out[5] != 0
+    if _os.environ.get("GPU_BPE_TPU_FORCE_RECOUNT"):
+        # ground-truth mode: never carry a certificate, so the outer
+        # loop recounts before every merge
+        pend_cert = jnp.asarray(False)
+
     return state._replace(
         symbols=sym2,
         weights=w2,
@@ -882,8 +1024,17 @@ def _one_merge_fused(state: TrainState, batch_merges) -> TrainState:
         fill=sc_out[1],
         pend_pair=sc_out[7].astype(_U32),
         pend_count=sc_out[4],
-        pend_cert=sc_out[5] != 0,
+        pend_cert=pend_cert,
     )
+
+
+def _one_merge_fused(state: TrainState, batch_merges) -> TrainState:
+    """One device iteration, fused-window structure: refresh the pending
+    winner if uncertified, then merge. Single-dispatch-per-merge callers
+    (tests, the CI interpret driver) use this; ``train_batch`` calls the
+    two pieces in its nested-loop structure instead so the recount cond
+    stays out of the hot inner body (see ``_ensure_pending``)."""
+    return _one_merge_fused_certified(_ensure_pending(state), batch_merges)
 
 
 def _one_merge(state: TrainState, batch_merges) -> TrainState:
@@ -1107,8 +1258,35 @@ def train_batch(
             go &= (st.recounts - recounts0) < recount_budget
         return go
 
-    body = _functools.partial(_one_merge, batch_merges=batch_merges)
-    state = lax.while_loop(cond, body, state)
+    if _use_pallas() and not _multi_merge_enabled():
+        # Fused path, nested loops (round 5): the inner while runs only
+        # CERTIFIED merges — its body has no recount branch, because a
+        # lax.cond containing the O(cap log cap) sort costs ~269 µs per
+        # body execution even when untaken (bisected 45 -> 314 µs/merge).
+        # The outer loop recounts once per actual certificate failure
+        # (~2.5% of merges on the 16 MB bench).
+        def inner_cond(st: TrainState):
+            # no budget term: inner merges never recount, and allowing
+            # the merge that follows the budget-th recount preserves the
+            # old structure's "at least one merge per dispatch" guarantee
+            go = (st.merges_done < batch_merges) & ~st.early_stop
+            if cap > _MIN_SHRINK_CAP:
+                collapsed = (st.n + 32 <= cap // 2) & (st.merges_done > 0)
+                go &= ~collapsed
+            return go & st.pend_cert
+
+        inner_body = _functools.partial(
+            _one_merge_fused_certified, batch_merges=batch_merges
+        )
+
+        def outer_body(st: TrainState):
+            st = _ensure_pending(st)
+            return lax.while_loop(inner_cond, inner_body, st)
+
+        state = lax.while_loop(cond, outer_body, state)
+    else:
+        body = _functools.partial(_one_merge, batch_merges=batch_merges)
+        state = lax.while_loop(cond, body, state)
 
     def final_compact(st: TrainState) -> TrainState:
         cap = st.symbols.shape[0]

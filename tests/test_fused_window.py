@@ -48,7 +48,8 @@ for _ in range(int(sys.argv[3])):
     i = int(state.merges_done) - 1
     pair, nid, cnt = int(log[i, 0]), int(log[i, 1]), int(log[i, 2])
     merges.append([pair >> 16, pair & TOKEN_MASK, nid, cnt])
-json.dump({"merges": merges, "recounts": int(state.recounts)},
+json.dump({"merges": merges, "recounts": int(state.recounts),
+           "cap": int(state.symbols.shape[0])},
           open(sys.argv[2], "w"))
 """
 
@@ -61,12 +62,17 @@ def _oracle(data: bytes, starts, vocab_size: int):
     return ReferenceTrainer().train(sym, target_vocab_size=vocab_size)
 
 
-def _run_worker(tmp_path, corpus: bytes, n_merges: int, env_extra=None):
+def _run_worker(tmp_path, corpus: bytes, n_merges: int, env_extra=None, patch=""):
     import numpy as np
 
     repo = Path(__file__).resolve().parent.parent
     w = tmp_path / "fused_worker.py"
-    w.write_text(_WORKER)
+    if patch:
+        # insert module patches after the jax platform pin, before tracing
+        head, sep, tail = _WORKER.partition('import numpy as np')
+        w.write_text(head + patch + sep + tail)
+    else:
+        w.write_text(_WORKER)
     c = tmp_path / "c.txt"
     c.write_bytes(corpus)
     out = tmp_path / "out.json"
@@ -107,3 +113,38 @@ def test_fused_force_recount_bitwise(tmp_path):
                           env_extra={"GPU_BPE_TPU_FORCE_RECOUNT": "1"})
     assert fast["merges"] == slow["merges"]
     assert slow["recounts"] == len(slow["merges"]) + 1  # every pass recounted
+
+
+_SEG_WORKER_PATCH = """
+import gpu_bpe_tpu.ops.train_step as _ts
+_ts._SEG_RECOUNT_MIN_CAP = 1 << 12
+_ts._SEG_RECOUNT_M = 1 << 10
+"""
+
+
+def test_segmented_recount_bitwise(tmp_path):
+    """The two-level segmented recount (round 5, large-capacity path) must
+    produce bitwise-identical merge lists to the monolithic recount. The
+    worker lowers the capacity gate so CI exercises it, and runs under
+    FORCE_RECOUNT so EVERY merge takes the recount path."""
+    # the stream is DEDUPed, so the gate needs many distinct words: the
+    # padded capacity must clear the (lowered) 2^12 segmented threshold
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    syll = [a + b for a in "btkdsmnlr" for b in "aeiou"]
+    words = ["".join(syll[i] for i in rng.integers(0, len(syll), size=k))
+             for k in rng.integers(2, 5, size=1500)]
+    corpus = " ".join(words[i] for i in rng.integers(0, len(words), size=4000)).encode()
+    plain, _ = _run_worker(tmp_path, corpus, 80,
+                           env_extra={"GPU_BPE_TPU_FORCE_RECOUNT": "1",
+                                      "GPU_BPE_TPU_SEG_RECOUNT": "0"})
+    tmp2 = tmp_path / "seg"
+    tmp2.mkdir()
+    seg, _ = _run_worker(tmp2, corpus, 80,
+                         env_extra={"GPU_BPE_TPU_FORCE_RECOUNT": "1"},
+                         patch=_SEG_WORKER_PATCH)
+    assert seg["merges"] == plain["merges"]
+    assert seg["recounts"] == plain["recounts"]
+    # the segmented path must actually have engaged (patched gate: 2^12)
+    assert seg["cap"] >= (1 << 12) and seg["cap"] % (1 << 10) == 0, seg["cap"]

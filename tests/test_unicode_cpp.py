@@ -242,6 +242,51 @@ class TestSegmentation:
         assert cpp.count_sentences("One. Two! Three?") == 3
 
 
+class TestFallbackSegmentationParity:
+    """The cpp→python degradation chain must be surface-identical for
+    grapheme/word/sentence counts (round 5: the fallback ports the native
+    WB/SB rule engines over regex-derived break classes — the same data
+    source the native tables are generated from)."""
+
+    SAMPLES = [
+        "hello world, again",
+        "One. Two! Three?",
+        "Dr. Smith went to Washington. He arrived at 3 p.m. on Tuesday.",
+        "don't can't won't it's",
+        "a.b.c 3.14 1,000,000",
+        "日本語のテキストです。カタカナ words mixed.",
+        "e.g. i.e. etc. And so on. lower case continue.",
+        "🇺🇸🇫🇷🇩🇪 flags 👨‍👩‍👧‍👦 family",
+        "Hello\r\nWorld\r\n",
+        "«Quote.» Next one!",
+        "__init__ foo_bar x1y2",
+        "",
+    ]
+
+    def test_counts_match_native(self, cpp):
+        from gpu_bpe_tpu.unicode.fallback import PyUnicodeBackend
+
+        py = PyUnicodeBackend()
+        for s in self.SAMPLES:
+            assert py.count_graphemes(s) == cpp.count_graphemes(s), repr(s)
+            assert py.count_words(s) == cpp.count_words(s), repr(s)
+            assert py.count_sentences(s) == cpp.count_sentences(s), repr(s)
+
+    def test_counts_match_native_fuzz(self, cpp):
+        import random
+
+        from gpu_bpe_tpu.unicode.fallback import PyUnicodeBackend
+
+        py = PyUnicodeBackend()
+        rng = random.Random(7)
+        pool = "abc ABC 123 .!? 'x' אב カタ é́ \r\n\t()«»…。日 🙂👍🇺🇸 _-,"
+        for _ in range(60):
+            s = "".join(rng.choice(pool) for _ in range(rng.randint(0, 60)))
+            assert py.count_graphemes(s) == cpp.count_graphemes(s), repr(s)
+            assert py.count_words(s) == cpp.count_words(s), repr(s)
+            assert py.count_sentences(s) == cpp.count_sentences(s), repr(s)
+
+
 class TestRefHangulMode:
     """GPU_BPE_TPU_REF_HANGUL / set_ref_hangul: the reference's wasm never
     algorithmically decomposes Hangul syllables nor composes conjoining
