@@ -53,8 +53,11 @@ _BIG = BLOCK + _TILE  # staging window: carry tile + one block
 _BROWS = _BIG // _LANES
 _TRACK_SIDE = 16  # tracking-kernel histogram side (16x16=256 bins; [side, B]
 #   f32 one-hots must fit VMEM: 2 x [16, 32768] = 4 MB per hist call)
-N_PROBES = 16  # fused probe-pair slots (= train_step.A_AFFECTED: 99% of
-#   merges affect <= 16 tracked candidates on real text)
+N_PROBES = 64  # fused probe-pair slots. Round 5: 16 was far too small —
+#   merges at real window occupancy routinely affect 16..64 tracked
+#   candidates, and every overflow pays the [A, N] dense window recount
+#   (~105 us/merge measured at the 16 MB depth-1024 state). The matmul
+#   probe counter makes 64 slots cost barely more than 16.
 
 # Candidate-window geometry for the fused-window kernels: the tracked
 # window (train_step.K_CANDIDATES + S_CREATED) must fill exactly
@@ -429,12 +432,29 @@ def _merge_compact_kernel(
 
     @pl.when(n_probes > 0)
     def _probe_count():
+        # One [N_PROBES, BIG] one-hot + ONE MXU contraction instead of
+        # N_PROBES sequential full-window scalar reductions (round 5: the
+        # reduction loop measured ~150 us/merge — the dominant cost of a
+        # certified iteration). EXACTNESS: weights split into 8-bit limbs
+        # so every f32 partial sum is an integer <= 255 * BIG < 2^24 —
+        # bit-exact, unlike the slack-guarded histogram bins below.
         pw = jnp.where(v_ok, (u_tok << jnp.uint32(16)) | v_tok, jnp.uint32(0))
         wv = jnp.where(v_ok, u_w, 0)
+        pw1 = pw.reshape(_BIG)
+        wv1 = wv.reshape(_BIG)
+        pv = jnp.stack([pvals_ref[k] for k in range(N_PROBES)]).astype(jnp.uint32)
+        live = lax.broadcasted_iota(jnp.int32, (N_PROBES, 1), 0) < n_probes
+        # pure-i32 masked row sums: integer-exact by construction (an MXU
+        # limb formulation returned counts mod 2^16 on real hardware in
+        # the full-kernel context — a Mosaic lowering artifact invisible
+        # both to interpret mode and to the same dot in isolation; see the
+        # probe_count_heavy selftest case that pins this)
+        oh = (jnp.broadcast_to(pw1, (N_PROBES, _BIG)) == pv[:, None]) & live
+        tot = jnp.sum(
+            jnp.where(oh, jnp.broadcast_to(wv1, (N_PROBES, _BIG)), 0), axis=1
+        )  # [N_PROBES] i32
         for k in range(N_PROBES):
-            live_slot = jnp.int32(k) < n_probes
-            s = jnp.sum(jnp.where(pw == pvals_ref[k].astype(jnp.uint32), wv, 0))
-            pacc_ref[k] = pacc_ref[k] + jnp.where(live_slot, s, 0)
+            pacc_ref[k] = pacc_ref[k] + tot[k]
 
     for k in range(N_PROBES):
         pcnt_ref[k] = pacc_ref[k]

@@ -212,6 +212,57 @@ def run_kernel_selftest(interpret: bool = False) -> dict[str, bool]:
 
     results["window_probe_prep"] = _sec5c()
 
+    # 5c2. probe counts vs ground truth with HEAVY weights (> 2^16): the
+    #      round-5 matmul probe counter once returned counts mod 2^16 on
+    #      real hardware — a Mosaic lowering artifact of a sub-tile [4, B]
+    #      operand, INVISIBLE to interpret mode and to any case whose
+    #      counts stay below 65536. This case pins the full 32-bit range.
+    def _sec5c2():
+        from .pallas_kernels import N_PROBES, W_SLOTS, merge_compact_tracked as mct
+        from .train_step import _masked_pairs
+
+        n = 2 * BLOCK + 77
+        symf, wf = _random_stream(rng, n, alphabet=8)
+        wf = wf.astype(np.int32) * 40_000  # single-site weights past 2^16
+        pair = pack_pair(3, 4)
+        cand = np.full(W_SLOTS, 0xFFFFFFFF, np.uint32)
+        counts = np.full(W_SLOTS, -1, np.int32)
+        wins = [pack_pair(2, 3), pack_pair(4, 5), pack_pair(6, 3),
+                pack_pair(4, 7), pack_pair(1, 3), pack_pair(4, 2)]
+        for k, pw in enumerate(wins):
+            cand[k] = pw
+            counts[k] = 10 + k
+        out = mct(
+            jnp.asarray(symf), jnp.asarray(wf), jnp.asarray(n),
+            jnp.uint32(pair), jnp.uint32(300),
+            window=(jnp.asarray(cand), jnp.asarray(counts)),
+            interpret=interpret,
+        )
+        sym2, w2, n2, _bl, _br, _samp, pcnt, probes_w, naff_w = out
+        naff = int(naff_w[0])
+        if not (0 < naff <= N_PROBES):
+            return False
+        import jax
+        from jax import lax
+
+        cap = int(jnp.asarray(symf).shape[0])
+        iota = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+        p2, w2m, _ = _masked_pairs(sym2, w2, n2, iota, 0)
+        p_h = np.asarray(p2)
+        w_h = np.asarray(w2m).astype(np.int64)
+        pc = np.asarray(pcnt)
+        pr = np.asarray(probes_w).view(np.uint32)
+        ok = True
+        any_heavy = False
+        for k in range(naff):
+            want = int(w_h[p_h == pr[k]].sum())
+            any_heavy |= want > (1 << 16)
+            ok &= int(pc[k]) == want
+        # the case must actually exercise the high limbs to mean anything
+        return bool(ok and any_heavy)
+
+    results["probe_count_heavy"] = _sec5c2()
+
     # 5d. window_post kernel vs a numpy reference of the classic
     #     _merge_and_track tail (count adoption, scratch append, histogram
     #     exclusion + ceiling, log row, scalar advances, next winner)

@@ -164,7 +164,7 @@ def main() -> None:
     # ── D/E/F: fused-iteration constituents (round-5: attribute the gap
     # between the ~40 us kernel and the ~313 us wall at HEAD) ──
     from gpu_bpe_tpu.ops.pallas_kernels import (
-        W_SLOTS, count_pairs2, window_post,
+        N_PROBES, W_SLOTS, count_pairs2, window_post,
     )
     from gpu_bpe_tpu.constants import BATCH_MERGES
 
@@ -185,7 +185,7 @@ def main() -> None:
         cnts0 = jnp.full((W_SLOTS,), -1, jnp.int32)
         binz = jnp.zeros((16, 16), jnp.float32)
         log0 = jnp.zeros((BATCH_MERGES * 3,), _U32)
-        probes0 = jnp.zeros((16,), jnp.int32)
+        probes0 = jnp.zeros((N_PROBES,), jnp.int32)
 
         def body(i, carry):
             cand, cnts = carry
