@@ -430,31 +430,37 @@ def _merge_compact_kernel(
     # by slot index, not by a sentinel word — every u32 is a legal pair).
     n_probes = npe_ref[0]
 
-    @pl.when(n_probes > 0)
-    def _probe_count():
-        # One [N_PROBES, BIG] one-hot + ONE MXU contraction instead of
-        # N_PROBES sequential full-window scalar reductions (round 5: the
-        # reduction loop measured ~150 us/merge — the dominant cost of a
-        # certified iteration). EXACTNESS: weights split into 8-bit limbs
-        # so every f32 partial sum is an integer <= 255 * BIG < 2^24 —
-        # bit-exact, unlike the slack-guarded histogram bins below.
-        pw = jnp.where(v_ok, (u_tok << jnp.uint32(16)) | v_tok, jnp.uint32(0))
-        wv = jnp.where(v_ok, u_w, 0)
-        pw1 = pw.reshape(_BIG)
-        wv1 = wv.reshape(_BIG)
-        pv = jnp.stack([pvals_ref[k] for k in range(N_PROBES)]).astype(jnp.uint32)
-        live = lax.broadcasted_iota(jnp.int32, (N_PROBES, 1), 0) < n_probes
-        # pure-i32 masked row sums: integer-exact by construction (an MXU
-        # limb formulation returned counts mod 2^16 on real hardware in
-        # the full-kernel context — a Mosaic lowering artifact invisible
-        # both to interpret mode and to the same dot in isolation; see the
-        # probe_count_heavy selftest case that pins this)
-        oh = (jnp.broadcast_to(pw1, (N_PROBES, _BIG)) == pv[:, None]) & live
-        tot = jnp.sum(
-            jnp.where(oh, jnp.broadcast_to(wv1, (N_PROBES, _BIG)), 0), axis=1
-        )  # [N_PROBES] i32
-        for k in range(N_PROBES):
-            pacc_ref[k] = pacc_ref[k] + tot[k]
+    # Probe counting in PAY-PER-USE tiers of 16 rows: each tier is an
+    # [16, BIG] i32 masked row-sum — integer-exact by construction (an MXU
+    # limb formulation returned counts mod 2^16 on real hardware in the
+    # full-kernel context — a Mosaic lowering artifact invisible both to
+    # interpret mode and to the same dot in isolation; see the
+    # probe_count_heavy selftest case that pins this). A tier only runs
+    # when the affected count reaches it, so the common narrow merge pays
+    # one tier while wide merges scale to N_PROBES — the flat [64, BIG]
+    # form cost O(64 n) on EVERY merge, ~1 ms at the 64 MB stream size.
+    _PT = 16
+    for sec in range(N_PROBES // _PT):
+
+        @pl.when(n_probes > _PT * sec)
+        def _probe_tier(sec=sec):
+            pw = jnp.where(v_ok, (u_tok << jnp.uint32(16)) | v_tok, jnp.uint32(0))
+            wv = jnp.where(v_ok, u_w, 0)
+            pw1 = pw.reshape(_BIG)
+            wv1 = wv.reshape(_BIG)
+            pvs = jnp.stack(
+                [pvals_ref[_PT * sec + t] for t in range(_PT)]
+            ).astype(jnp.uint32)
+            live = (
+                lax.broadcasted_iota(jnp.int32, (_PT, 1), 0)
+                < n_probes - _PT * sec
+            )
+            oh = (jnp.broadcast_to(pw1, (_PT, _BIG)) == pvs[:, None]) & live
+            tot = jnp.sum(
+                jnp.where(oh, jnp.broadcast_to(wv1, (_PT, _BIG)), 0), axis=1
+            )  # [_PT] i32
+            for t in range(_PT):
+                pacc_ref[_PT * sec + t] = pacc_ref[_PT * sec + t] + tot[t]
 
     for k in range(N_PROBES):
         pcnt_ref[k] = pacc_ref[k]
